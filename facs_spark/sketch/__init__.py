@@ -1,0 +1,40 @@
+"""Pure-numpy mergeable sketch core (no Spark dependency).
+
+Bloom (reference parity), HyperLogLog, count-min, t-digest, KLL —
+each with ``update_batch`` / associative ``merge`` / ``to_bytes`` /
+``from_bytes`` and a published error bound, per SURVEY.md §2.4.
+"""
+
+from .bloom import BloomFilter
+from .cms import CountMinSketch
+from .hll import HyperLogLog
+from .kll import KLL
+from .sizing import (BloomStat, bloom_fpr, facs_sizing, find_close_prime,
+                     is_prime, kmer_suggestion, mco_suggestion,
+                     prob_suggestion, standard_sizing)
+from .tdigest import TDigest
+
+SKETCH_TYPES = {
+    BloomFilter.MAGIC: BloomFilter,
+    HyperLogLog.MAGIC: HyperLogLog,
+    CountMinSketch.MAGIC: CountMinSketch,
+    TDigest.MAGIC: TDigest,
+    KLL.MAGIC: KLL,
+}
+
+
+def sketch_from_bytes(blob: bytes):
+    """Dispatch deserialization on the 4-byte magic."""
+    magic = bytes(blob[:4])
+    try:
+        return SKETCH_TYPES[magic].from_bytes(blob)
+    except KeyError:
+        raise ValueError(f"unknown sketch magic {magic!r}") from None
+
+
+__all__ = [
+    "BloomFilter", "HyperLogLog", "CountMinSketch", "TDigest", "KLL",
+    "BloomStat", "bloom_fpr", "facs_sizing", "standard_sizing",
+    "find_close_prime", "is_prime", "kmer_suggestion", "mco_suggestion",
+    "prob_suggestion", "sketch_from_bytes", "SKETCH_TYPES",
+]

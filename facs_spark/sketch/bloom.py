@@ -1,0 +1,183 @@
+"""Distributed Bloom filter — the reference engine's core sketch.
+
+Semantics reproduced from the reference (studied, not ported):
+
+* bit layout: bit ``i`` lives at byte ``i >> 3``, mask ``1 << (i & 7)``
+  (``facs/bloom.c:163-200`` ``finder``/``set``/``test``);
+* per-hash index: ``hash5(key, seed[i], len) % m`` with ``hash5`` =
+  lookup8 ``hash3`` masked to 36 bits and m prime
+  (``facs/bloom.c:163-168``, ``facs/lookup8.c:548-554``);
+* keys are lowercased before hashing on both build and probe sides
+  (``facs/bloom.c:111-135``, ``facs/tool.c:128``) — normalization is
+  the caller's job here (kernels lowercase whole pages in one
+  vectorized pass);
+* ``inserts`` counts only *novel* keys — an add that found every bit
+  already set does not bump it (``facs/bloom.c:121-135``);
+* membership may false-positive, never false-negative.
+
+What the reference does one key at a time in C, ``add_batch`` /
+``contains_batch`` do for a whole Arrow batch of fixed-length k-gram
+windows in a handful of numpy ops.  ``merge`` (bitwise OR) is the
+associative combine the reference lacks — it is what makes the build
+distributable across Spark partitions.
+"""
+
+from __future__ import annotations
+
+import struct
+from dataclasses import dataclass, field
+
+import numpy as np
+
+from .base import frame, unframe
+from .hashing import FACS_SEEDS, hash5_matrix
+from .sizing import BloomStat, bloom_fpr, facs_sizing, standard_sizing
+
+_MAGIC = b"FSBL"
+_VERSION = 1
+_STAT = struct.Struct("<QIQdIQ")  # m, k, capacity, e, k_mer, inserts
+
+
+@dataclass
+class BloomFilter:
+    """Mergeable Bloom sketch over fixed-length byte keys."""
+
+    stat: BloomStat
+    k_mer: int = 0  # key length this filter was built for (0 = any)
+    inserts: int = 0
+    vector: np.ndarray = field(default=None, repr=False)  # uint8 bit array
+
+    MAGIC = _MAGIC
+
+    def __post_init__(self):
+        nbytes = (self.stat.elements >> 3) + 1  # m/8+1 (facs/bloom.c:88)
+        if self.vector is None:
+            self.vector = np.zeros(nbytes, dtype=np.uint8)
+        elif self.vector.nbytes != nbytes:
+            raise ValueError("vector size does not match stat.elements")
+
+    # -- construction ------------------------------------------------
+    @classmethod
+    def create(cls, capacity: int, error_rate: float = 0.0005,
+               k_mer: int = 0, sizing: str = "facs") -> "BloomFilter":
+        """Size a new filter.
+
+        ``error_rate`` default 0.0005 matches the reference CLI code
+        path (``facs/build.c:47``; its docs say 0.005 — quirk noted in
+        SURVEY §7).  ``sizing``: "facs" = prime 13/9 integer math,
+        "standard" = -n·ln p/(ln 2)².
+        """
+        fn = facs_sizing if sizing == "facs" else standard_sizing
+        return cls(stat=fn(capacity, error_rate), k_mer=k_mer)
+
+    # -- hashing -----------------------------------------------------
+    def _indices(self, keys: np.ndarray, i: int) -> np.ndarray:
+        m = np.uint64(self.stat.elements)
+        return hash5_matrix(keys, FACS_SEEDS[i]) % m
+
+    # -- update ------------------------------------------------------
+    def add_batch(self, keys: np.ndarray) -> int:
+        """Insert an (n, L) uint8 key matrix; returns # novel keys.
+
+        A key is novel iff at least one of its k bit positions was
+        unset before this call — matching ``bloom_add``'s
+        "ret == 0 ⇒ inserts++" contract (facs/bloom.c:121-135) for
+        keys arriving one at a time.  (Within one batch, duplicates
+        after the first may still count as non-novel only if they map
+        to already-set bits from an earlier vector op — we apply the
+        batch seed-by-seed with novelty computed against the pre-call
+        state, then OR, which matches the sequential semantics for
+        distinct keys.)
+        """
+        if keys.shape[0] == 0:
+            return 0
+        novel = np.zeros(keys.shape[0], dtype=bool)
+        byte_idx_all = []
+        spot_all = []
+        for i in range(self.stat.ideal_hashes):
+            idx = self._indices(keys, i)
+            byte_idx = (idx >> np.uint64(3)).astype(np.int64)
+            spot = (np.uint8(1) << (idx & np.uint64(7)).astype(np.uint8))
+            novel |= (self.vector[byte_idx] & spot) == 0
+            byte_idx_all.append(byte_idx)
+            spot_all.append(spot)
+        for byte_idx, spot in zip(byte_idx_all, spot_all):
+            np.bitwise_or.at(self.vector, byte_idx, spot)
+        n_novel = int(novel.sum())
+        self.inserts += n_novel
+        return n_novel
+
+    # -- probe -------------------------------------------------------
+    def contains_batch(self, keys: np.ndarray) -> np.ndarray:
+        """Boolean membership for an (n, L) uint8 key matrix.
+
+        Early-exits per seed: after each hash round only surviving
+        candidates are re-probed (the vectorized analogue of
+        ``bloom_test``'s first-unset-bit return, facs/bloom.c:146-157).
+        """
+        n = keys.shape[0]
+        alive = np.arange(n)
+        out = np.zeros(n, dtype=bool)
+        sub = keys
+        for i in range(self.stat.ideal_hashes):
+            idx = self._indices(sub, i)
+            byte_idx = (idx >> np.uint64(3)).astype(np.int64)
+            spot = (np.uint8(1) << (idx & np.uint64(7)).astype(np.uint8))
+            hit = (self.vector[byte_idx] & spot) != 0
+            alive = alive[hit]
+            if alive.size == 0:
+                return out
+            sub = keys[alive]
+        out[alive] = True
+        return out
+
+    # -- merge -------------------------------------------------------
+    def merge(self, other: "BloomFilter") -> "BloomFilter":
+        """Associative combine: bitwise OR of bit arrays.
+
+        Requires identical geometry (same m, k, k_mer).  ``inserts``
+        becomes an upper bound after merge (novelty across partials is
+        unknowable without the exact set) — summed, like the
+        reference's MPI counter gather (facs/mpi_bloom.c:206-247).
+        """
+        if (self.stat.elements, self.stat.ideal_hashes, self.k_mer) != (
+                other.stat.elements, other.stat.ideal_hashes, other.k_mer):
+            raise ValueError("cannot merge Bloom filters with different geometry")
+        merged = BloomFilter(stat=self.stat, k_mer=self.k_mer,
+                             inserts=self.inserts + other.inserts,
+                             vector=np.bitwise_or(self.vector, other.vector))
+        return merged
+
+    # -- io ----------------------------------------------------------
+    def to_bytes(self) -> bytes:
+        hdr = _STAT.pack(self.stat.elements, self.stat.ideal_hashes,
+                         self.stat.capacity, self.stat.e, self.k_mer,
+                         self.inserts)
+        return frame(_MAGIC, _VERSION, hdr + self.vector.tobytes())
+
+    @classmethod
+    def from_bytes(cls, blob: bytes) -> "BloomFilter":
+        _, payload = unframe(_MAGIC, blob)
+        m, k, cap, e, k_mer, inserts = _STAT.unpack_from(payload)
+        vec = np.frombuffer(payload, dtype=np.uint8, offset=_STAT.size).copy()
+        return cls(stat=BloomStat(m, k, cap, e), k_mer=k_mer,
+                   inserts=inserts, vector=vec)
+
+    # -- stats -------------------------------------------------------
+    @property
+    def expected_fpr(self) -> float:
+        """(1 - e^{-kn/m})^k with n = inserts (published bound)."""
+        return bloom_fpr(self.stat.elements, self.stat.ideal_hashes, self.inserts)
+
+    def info(self) -> dict:
+        """Filter metadata (the reference's `facs info`, facs/info.c:13-33)."""
+        return {
+            "elements": self.stat.elements,
+            "ideal_hashes": self.stat.ideal_hashes,
+            "capacity": self.stat.capacity,
+            "error_rate": self.stat.e,
+            "k_mer": self.k_mer,
+            "inserts": self.inserts,
+            "bytes": int(self.vector.nbytes),
+            "expected_fpr": self.expected_fpr,
+        }

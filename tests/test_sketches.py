@@ -1,0 +1,250 @@
+"""Sketch-core property tests: no false negatives, FPR ≤ bound, merge
+associativity/commutativity, serialization round-trips, estimates
+within published error bounds (SURVEY.md §5 test plan)."""
+
+import math
+
+import numpy as np
+import pytest
+
+from facs_spark.sketch import (BloomFilter, CountMinSketch, HyperLogLog, KLL,
+                               TDigest, facs_sizing, find_close_prime,
+                               is_prime, sketch_from_bytes, standard_sizing)
+
+rng = np.random.default_rng(7)
+
+
+def _keys(n, length=15, seed=0):
+    r = np.random.default_rng(seed)
+    return r.integers(97, 123, size=(n, length), dtype=np.uint8)  # a-z
+
+
+# ---------------------------------------------------------------- sizing
+def test_sizing_prime_and_formulas():
+    st = facs_sizing(10000, 0.0005)
+    assert is_prime(st.elements)
+    assert st.ideal_hashes >= 1
+    # 13/9 ≈ 1/ln2: m within a few % of n*k/ln2
+    approx = 13 * 10000 * int(-math.log2(0.0005)) // 9
+    assert st.elements >= approx
+    std = standard_sizing(10000, 0.0005)
+    ideal = -10000 * math.log(0.0005) / math.log(2) ** 2
+    assert abs(std.elements - ideal) < ideal * 0.01 + 100
+
+
+def test_find_close_prime():
+    assert find_close_prime(90) == 97
+    assert find_close_prime(97) == 97
+    assert find_close_prime(100) == 101
+
+
+# ---------------------------------------------------------------- bloom
+def test_bloom_no_false_negatives_and_fpr():
+    keys = np.unique(_keys(5000, seed=1), axis=0)
+    bf = BloomFilter.create(capacity=keys.shape[0], error_rate=0.001, k_mer=15)
+    bf.add_batch(keys)
+    assert bf.contains_batch(keys).all(), "Bloom must never false-negative"
+    probe = np.unique(_keys(20000, seed=2), axis=0)
+    # remove true members from the probe set
+    member = set(map(bytes, keys))
+    mask = np.array([bytes(r) not in member for r in probe])
+    fp = bf.contains_batch(probe[mask]).mean()
+    assert fp <= 3 * 0.001 + 1e-9, f"observed FPR {fp} above bound"
+
+
+def test_bloom_inserts_counts_novel_only():
+    keys = np.unique(_keys(100, seed=3), axis=0)
+    bf = BloomFilter.create(capacity=1000, error_rate=0.001, k_mer=15)
+    bf.add_batch(keys)
+    first = bf.inserts
+    assert first > 0
+    bf.add_batch(keys)  # re-adding: nothing novel
+    assert bf.inserts == first
+
+
+def test_bloom_merge_equals_single_build():
+    keys = np.unique(_keys(4000, seed=4), axis=0)
+    whole = BloomFilter.create(capacity=5000, error_rate=0.001, k_mer=15)
+    whole.add_batch(keys)
+    parts = []
+    for chunk in np.array_split(keys, 7):
+        p = BloomFilter.create(capacity=5000, error_rate=0.001, k_mer=15)
+        p.add_batch(chunk)
+        parts.append(p)
+    merged = parts[0]
+    for p in parts[1:]:
+        merged = merged.merge(p)
+    assert (merged.vector == whole.vector).all(), "merge must equal one-pass build"
+    # associativity: ((a|b)|c) == (a|(b|c))
+    left = parts[0].merge(parts[1]).merge(parts[2])
+    right = parts[0].merge(parts[1].merge(parts[2]))
+    assert (left.vector == right.vector).all()
+
+
+def test_bloom_serialization_roundtrip():
+    keys = _keys(500, seed=5)
+    bf = BloomFilter.create(capacity=1000, error_rate=0.01, k_mer=15)
+    bf.add_batch(keys)
+    bf2 = sketch_from_bytes(bf.to_bytes())
+    assert (bf2.vector == bf.vector).all()
+    assert bf2.stat == bf.stat and bf2.inserts == bf.inserts
+    assert bf2.contains_batch(keys).all()
+
+
+# ---------------------------------------------------------------- HLL
+def test_hll_within_published_bound():
+    for true_n in (100, 5000, 200_000):
+        h = HyperLogLog(p=14)
+        h.update_batch(np.arange(true_n, dtype=np.int64))
+        est = h.estimate()
+        rel = abs(est - true_n) / true_n
+        assert rel <= 4 * h.relative_error, f"n={true_n}: rel err {rel}"
+
+
+def test_hll_merge_equals_single_and_associative():
+    vals = np.arange(50_000, dtype=np.int64)
+    whole = HyperLogLog(p=12)
+    whole.update_batch(vals)
+    parts = []
+    for chunk in np.array_split(vals, 5):
+        p = HyperLogLog(p=12)
+        p.update_batch(chunk)
+        parts.append(p)
+    merged = parts[0]
+    for p in parts[1:]:
+        merged = merged.merge(p)
+    assert (merged.registers == whole.registers).all()
+    l = parts[0].merge(parts[1]).merge(parts[2])
+    r = parts[0].merge(parts[1].merge(parts[2]))
+    assert (l.registers == r.registers).all()
+
+
+def test_hll_strings_and_roundtrip():
+    h = HyperLogLog(p=12)
+    h.update_batch([f"https://host{i}.example/{i}" for i in range(3000)])
+    h2 = sketch_from_bytes(h.to_bytes())
+    assert h2.estimate() == h.estimate()
+    assert abs(h.estimate() - 3000) / 3000 < 4 * h.relative_error
+
+
+# ---------------------------------------------------------------- CMS
+def test_cms_overcount_only_and_bound():
+    r = np.random.default_rng(11)
+    keys = r.zipf(1.5, size=50_000).astype(np.int64)
+    cms = CountMinSketch(epsilon=0.001, delta=0.01)
+    cms.update_batch(keys)
+    uniq, exact = np.unique(keys, return_counts=True)
+    est = cms.query_batch(uniq)
+    assert (est >= exact).all(), "CMS must never undercount"
+    within = (est - exact <= cms.error_bound)
+    assert within.mean() >= 0.99, "CMS additive error bound violated"
+
+
+def test_cms_merge_equals_single():
+    keys = np.arange(10_000, dtype=np.int64) % 97
+    whole = CountMinSketch(epsilon=0.01, delta=0.05)
+    whole.update_batch(keys)
+    a = CountMinSketch(epsilon=0.01, delta=0.05)
+    b = CountMinSketch(epsilon=0.01, delta=0.05)
+    a.update_batch(keys[:4000])
+    b.update_batch(keys[4000:])
+    merged = a.merge(b)
+    assert (merged.table == whole.table).all()
+    assert merged.total == whole.total
+    m2 = sketch_from_bytes(merged.to_bytes())
+    assert (m2.table == merged.table).all()
+
+
+# ---------------------------------------------------------------- t-digest
+def test_tdigest_quantiles_within_bound():
+    r = np.random.default_rng(13)
+    vals = r.lognormal(3.0, 1.0, size=100_000)
+    td = TDigest(delta=200)
+    for chunk in np.array_split(vals, 10):
+        td.update_batch(chunk)
+    svals = np.sort(vals)
+    for q in (0.01, 0.25, 0.5, 0.75, 0.99):
+        est = td.quantile(q)
+        true_rank = np.searchsorted(svals, est) / svals.size
+        assert abs(true_rank - q) <= 0.01, f"q={q}: rank err {abs(true_rank-q)}"
+
+
+def test_tdigest_merge_bounded_drift():
+    r = np.random.default_rng(17)
+    vals = r.normal(0, 1, size=60_000)
+    parts = []
+    for chunk in np.array_split(vals, 8):
+        t = TDigest(delta=200)
+        t.update_batch(chunk)
+        parts.append(t)
+    merged = parts[0]
+    for p in parts[1:]:
+        merged = merged.merge(p)
+    svals = np.sort(vals)
+    for q in (0.1, 0.5, 0.9):
+        est = merged.quantile(q)
+        true_rank = np.searchsorted(svals, est) / svals.size
+        assert abs(true_rank - q) <= 0.015
+    m2 = sketch_from_bytes(merged.to_bytes())
+    assert m2.quantile(0.5) == merged.quantile(0.5)
+
+
+# ---------------------------------------------------------------- KLL
+def test_kll_rank_error_within_bound():
+    r = np.random.default_rng(19)
+    vals = r.exponential(5.0, size=80_000)
+    kll = KLL(k=200)
+    for chunk in np.array_split(vals, 6):
+        kll.update_batch(chunk)
+    assert kll.n == vals.size
+    svals = np.sort(vals)
+    for q in (0.01, 0.25, 0.5, 0.75, 0.99):
+        est = kll.quantile(q)
+        true_rank = np.searchsorted(svals, est) / svals.size
+        assert abs(true_rank - q) <= kll.rank_error, f"q={q}"
+
+
+def test_kll_merge_and_roundtrip():
+    r = np.random.default_rng(23)
+    vals = r.uniform(0, 100, size=40_000)
+    parts = []
+    for chunk in np.array_split(vals, 4):
+        s = KLL(k=200)
+        s.update_batch(chunk)
+        parts.append(s)
+    merged = parts[0]
+    for p in parts[1:]:
+        merged = merged.merge(p)
+    assert merged.n == vals.size
+    svals = np.sort(vals)
+    for q in (0.1, 0.5, 0.9):
+        est = merged.quantile(q)
+        true_rank = np.searchsorted(svals, est) / svals.size
+        assert abs(true_rank - q) <= merged.rank_error
+    m2 = sketch_from_bytes(merged.to_bytes())
+    assert m2.quantile(0.5) == merged.quantile(0.5)
+    assert m2.n == merged.n
+
+
+def test_merge_repartition_invariance_property():
+    """Sketch(A∪B) bounds hold for ANY random partitioning (north rule)."""
+    r = np.random.default_rng(29)
+    vals = r.normal(50, 10, size=30_000)
+    svals = np.sort(vals)
+    for trial in range(3):
+        perm = np.random.default_rng(100 + trial).permutation(vals.size)
+        shuffled = vals[perm]
+        n_parts = [2, 5, 9][trial]
+        kll = None
+        td = None
+        for chunk in np.array_split(shuffled, n_parts):
+            s = KLL(k=200)
+            s.update_batch(chunk)
+            kll = s if kll is None else kll.merge(s)
+            t = TDigest(delta=200)
+            t.update_batch(chunk)
+            td = t if td is None else td.merge(t)
+        for q in (0.25, 0.5, 0.75):
+            for est in (kll.quantile(q), td.quantile(q)):
+                true_rank = np.searchsorted(svals, est) / svals.size
+                assert abs(true_rank - q) <= 0.02
