@@ -1,0 +1,164 @@
+"""The reference pipeline end-to-end on Spark: build → classify → report
+→ remove (SURVEY §3 query lifecycle).
+
+* ``build_reference_bloom`` — distributed replacement for the
+  single-threaded ``facs build`` (facs/build.c:138-154): per-partition
+  shingle+insert partials, tree OR-merge.  Capacity is derived from
+  table stats (``SUM(length(text))`` − (k−1)·COUNT ≈ window count),
+  the analogue of the reference's ``capacity = strlen`` heuristic
+  (facs/build.c:148).
+* ``classify_pages`` — the broadcast membership semi-join (SURVEY
+  §2.5): the filter bit-array ships once per executor via
+  ``SparkContext.broadcast`` (the small side; no shuffle of pages),
+  and the two-phase quick/full kernel runs per Arrow batch.
+* ``contamination_report`` — the reference's report row
+  (facs/query.c:468-511): counters via one partial+final aggregation
+  (replacing ``omp atomic`` + MPI gather), derived stats incl. the
+  A&S-erf p_value.
+* ``remove_split`` — classify once, split clean/contam by the cached
+  predicate (facs/remove.c semantics, minus the omp-critical append
+  bottleneck).
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from ..kernels.classify import classify_batch
+from ..session import ensure_shipped
+from ..sketch import BloomFilter, mco_suggestion, prob_suggestion
+from ..sketch.prob import cdf, get_mu, get_sigma
+from .sketch_agg import SketchSpec, build_sketch
+
+CLASSIFY_COLS = ("contaminated boolean, match_score double, match_time long, "
+                 "text_len long, escalated boolean")
+
+
+def estimate_kgram_capacity(df: DataFrame, text_col: str, k: int) -> int:
+    """n ≈ Σ length(text) − (k−1)·count — k-gram count upper bound from
+    table stats (SURVEY §2.4 sizing row)."""
+    row = df.agg(F.sum(F.length(F.col(text_col))).alias("chars"),
+                 F.count(F.lit(1)).alias("docs")).collect()[0]
+    chars = row["chars"] or 0
+    docs = row["docs"] or 0
+    return max(1, int(chars) - (k - 1) * int(docs))
+
+
+def build_reference_bloom(ref_df: DataFrame, text_col: str = "text",
+                          k: int = 15, error_rate: float = 0.0005,
+                          capacity: int | None = None,
+                          sizing: str = "facs",
+                          fanin: int = 64) -> BloomFilter:
+    """Distributed Bloom build over a reference-corpus DataFrame."""
+    if capacity is None:
+        capacity = estimate_kgram_capacity(ref_df, text_col, k)
+    spec = SketchSpec.make("bloom", text_col, prep="kgram", k=k,
+                           capacity=capacity, error_rate=error_rate,
+                           sizing=sizing)
+    sketch, _rows = build_sketch(ref_df, spec, fanin=fanin)
+    if sketch is None:  # empty corpus
+        sketch = spec.new_sketch()
+    return sketch
+
+
+def _classify_kernel(bc_blob, passthrough: tuple[str, ...], text_col: str,
+                     k: int, tole_rate: float):
+    def run(iterator):
+        bloom = BloomFilter.from_bytes(bc_blob.value)
+        for batch in iterator:
+            res = classify_batch(batch[text_col].tolist(), bloom, k, tole_rate)
+            out = {c: batch[c] for c in passthrough}
+            out["contaminated"] = res.contaminated
+            out["match_score"] = res.score
+            out["match_time"] = res.match_time
+            out["text_len"] = res.lengths
+            out["escalated"] = res.escalated
+            yield pd.DataFrame(out)
+
+    return run
+
+
+def classify_pages(df: DataFrame, bloom: BloomFilter,
+                   text_col: str = "text",
+                   passthrough: tuple[str, ...] = (),
+                   tole_rate: float | None = None,
+                   sample_fraction: float | None = None,
+                   seed: int = 42) -> DataFrame:
+    """Classify pages against a broadcast Bloom filter.
+
+    ``sample_fraction`` is the reference's ``-s`` Bernoulli sampling
+    (facs/tool.c:273-297), expressed as seeded ``df.sample`` so it is
+    pushed below the kernel (exact-fraction, an upgrade over the
+    reference's 0.1-granularity ``rand()%10``).
+    """
+    spark = df.sparkSession
+    ensure_shipped(spark)
+    k = bloom.k_mer or 15
+    tole = mco_suggestion(k) if tole_rate is None else tole_rate
+    if sample_fraction is not None and sample_fraction < 1.0:
+        df = df.sample(fraction=sample_fraction, seed=seed)
+    bc = spark.sparkContext.broadcast(bloom.to_bytes())
+    cols = tuple(passthrough)
+    select_cols = list(dict.fromkeys(cols + (text_col,)))
+    sel = df.select(*select_cols)
+    dtypes = {f.name: f.dataType.simpleString() for f in sel.schema.fields}
+    pass_schema = ", ".join(f"{c} {dtypes[c]}" for c in cols)
+    schema = (pass_schema + ", " if pass_schema else "") + CLASSIFY_COLS
+    return sel.mapInPandas(
+        _classify_kernel(bc, cols, text_col, k, tole), schema=schema)
+
+
+def contamination_counters(classified: DataFrame) -> DataFrame:
+    """Partial+final aggregation of the four global counters
+    (reads_num / reads_contam / hits / all_k — facs/bloom.h:69-78)."""
+    return classified.agg(
+        F.count(F.lit(1)).alias("total_read_count"),
+        F.sum(F.col("contaminated").cast("long")).alias("contaminated_reads"),
+        F.sum("match_time").alias("total_hits"),
+        F.sum("text_len").alias("all_k"),
+    )
+
+
+def contamination_report(classified: DataFrame, k: int,
+                         sample_name: str = "sample",
+                         filter_name: str = "reference") -> DataFrame:
+    """One-row report matching facs/query.c:468-511 fields."""
+    spark = classified.sparkSession
+    row = contamination_counters(classified).collect()[0]
+    total = int(row["total_read_count"] or 0)
+    contam = int(row["contaminated_reads"] or 0)
+    hits = int(row["total_hits"] or 0)
+    all_k = int(row["all_k"] or 0)
+    p = prob_suggestion(k)
+    rate = contam / total if total else 0.0
+    p_value = float(cdf(hits, get_mu(all_k, p), get_sigma(all_k, p))) if all_k else 0.0
+    pdf_row = pd.DataFrame([{
+        "sample": sample_name,
+        "bloom_filter": filter_name,
+        "total_read_count": total,
+        "contaminated_reads": contam,
+        "total_hits": hits,
+        "contamination_rate": rate,
+        "p_value": p_value,
+        "k_mer": k,
+    }])
+    return spark.createDataFrame(pdf_row)
+
+
+def remove_split(df: DataFrame, bloom: BloomFilter, text_col: str = "text",
+                 passthrough: tuple[str, ...] = (),
+                 tole_rate: float | None = None) -> tuple[DataFrame, DataFrame]:
+    """facs remove: (clean, contam) DataFrames from ONE classification.
+
+    The classification column is computed once and cached; the two
+    writes are plain filters — no omp-critical string appends
+    (facs/query.c:443-464), and order is not guaranteed (sort by an
+    input ordinal first if byte-parity with the reference matters).
+    """
+    classified = classify_pages(df, bloom, text_col=text_col,
+                                passthrough=tuple(passthrough) + (text_col,),
+                                tole_rate=tole_rate).cache()
+    clean = classified.filter(~F.col("contaminated"))
+    contam = classified.filter(F.col("contaminated"))
+    return clean, contam

@@ -1,0 +1,262 @@
+"""Generic mergeable-sketch aggregation over Spark DataFrames.
+
+This is the distributed pattern the whole engine is built on (SURVEY
+§2.4): the reference builds its Bloom filter single-threaded
+(``facs/build.c:138-154``); here every partition builds a *partial*
+sketch inside ``mapInPandas`` (Arrow batches, numpy update kernels —
+no per-row Python), the partials are combined by an associative
+``merge`` in a bounded-fan-in tree (``applyInPandas`` levels), and
+only the final handful of blobs ever reaches the driver.  The
+partial rows carry lineage + metrics ``(partition_id, rows_seen,
+wall_ms)`` for checkpoint/resume (north rule), the Spark analogue of
+the reference's per-rank MPI counter gather
+(``facs/mpi_bloom.c:206-247``).
+
+Shuffle accounting: raw data is NEVER shuffled — the only exchange
+moves one small blob row per input partition (then per merge group).
+Map-side partial aggregation is total.
+"""
+
+from __future__ import annotations
+
+import math
+import time
+from dataclasses import dataclass, field
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, functions as F
+
+from ..session import ensure_shipped
+from ..sketch import (BloomFilter, CountMinSketch, HyperLogLog, KLL, TDigest,
+                      sketch_from_bytes)
+
+PARTIAL_SCHEMA = ("partition_id long, rows_seen long, wall_ms double, "
+                  "sketch binary")
+
+
+@dataclass(frozen=True)
+class SketchSpec:
+    """Picklable recipe: which sketch, over which column, how to feed it.
+
+    kind: bloom | hll | cms | tdigest | kll
+    prep: how batch values are fed to ``update_batch``:
+      * "kgram"  — shingle text into k-gram windows (bloom only)
+      * "tokens" — whitespace-split text into tokens
+      * "raw"    — pass the column values straight through
+    """
+
+    kind: str
+    column: str
+    prep: str = "raw"
+    params: tuple = field(default_factory=tuple)  # sorted (key, value) pairs
+
+    def param(self, key, default=None):
+        return dict(self.params).get(key, default)
+
+    @staticmethod
+    def make(kind: str, column: str, prep: str = "raw", **params) -> "SketchSpec":
+        return SketchSpec(kind=kind, column=column, prep=prep,
+                          params=tuple(sorted(params.items())))
+
+    def new_sketch(self):
+        p = dict(self.params)
+        if self.kind == "bloom":
+            return BloomFilter.create(
+                capacity=p.get("capacity", 1_000_000),
+                error_rate=p.get("error_rate", 0.0005),
+                k_mer=p.get("k", 15),
+                sizing=p.get("sizing", "facs"))
+        if self.kind == "hll":
+            return HyperLogLog(p=p.get("p", 14))
+        if self.kind == "cms":
+            return CountMinSketch(epsilon=p.get("epsilon", 1e-4),
+                                  delta=p.get("delta", 0.01))
+        if self.kind == "tdigest":
+            return TDigest(delta=p.get("delta", 200.0))
+        if self.kind == "kll":
+            return KLL(k=p.get("k", 200))
+        raise ValueError(f"unknown sketch kind {self.kind!r}")
+
+    def update(self, sketch, series: pd.Series) -> int:
+        """Feed one Arrow batch column into the sketch; returns rows seen."""
+        n = len(series)
+        if n == 0:
+            return 0
+        if self.prep == "kgram":
+            from ..kernels.shingle import shingle_batch
+            sb = shingle_batch(series.tolist(), self.param("k", 15))
+            sketch.add_batch(sb.windows)
+        elif self.kind == "bloom":
+            # raw keys into a Bloom: int64s become 8-byte keys,
+            # strings are lowercased + length-grouped byte matrices
+            from ..sketch.hashing import int64_key_matrix, length_group_matrices
+            vals = series.to_numpy()
+            if vals.dtype.kind in "iuf":
+                sketch.add_batch(int64_key_matrix(vals.astype(np.int64)))
+            else:
+                enc = [("" if v is None else str(v)).lower().encode("utf-8")
+                       for v in series]
+                for _idx, mat in length_group_matrices(enc):
+                    sketch.add_batch(mat)
+        elif self.prep == "tokens":
+            toks: list[str] = []
+            for t in series:
+                if t:
+                    toks.extend(t.split())
+            sketch.update_batch(toks)
+        elif self.kind in ("tdigest", "kll"):
+            sketch.update_batch(series.to_numpy(dtype=np.float64, na_value=np.nan))
+        else:
+            vals = series.to_numpy()
+            if vals.dtype.kind in "iuf":
+                vals = vals[~np.isnan(vals)] if vals.dtype.kind == "f" else vals
+                sketch.update_batch(vals.astype(np.int64))
+            else:
+                sketch.update_batch(series.fillna("").astype(str).tolist())
+        return n
+
+
+# ---------------------------------------------------------------- partials
+def _partial_builder(spec: SketchSpec):
+    """Module-level factory → picklable mapInPandas kernel."""
+
+    def build(iterator):
+        from pyspark import TaskContext
+        pid = TaskContext.get().partitionId() if TaskContext.get() else -1
+        t0 = time.perf_counter()
+        sketch = spec.new_sketch()
+        rows = 0
+        for batch in iterator:
+            rows += spec.update(sketch, batch[spec.column])
+        wall = (time.perf_counter() - t0) * 1e3
+        yield pd.DataFrame({
+            "partition_id": [pid], "rows_seen": [rows],
+            "wall_ms": [wall], "sketch": [sketch.to_bytes()],
+        })
+
+    return build
+
+
+def partial_sketches(df: DataFrame, spec: SketchSpec) -> DataFrame:
+    """One lineage row per partition: (partition_id, rows_seen, wall_ms, sketch).
+
+    Column pruning is explicit — only ``spec.column`` crosses the
+    Arrow boundary.
+    """
+    ensure_shipped(df.sparkSession)
+    return df.select(spec.column).mapInPandas(_partial_builder(spec),
+                                              schema=PARTIAL_SCHEMA)
+
+
+# ---------------------------------------------------------------- merge
+def _merge_group(pdf: pd.DataFrame) -> pd.DataFrame:
+    merged = None
+    rows = 0
+    t0 = time.perf_counter()
+    for blob, r in zip(pdf["sketch"], pdf["rows_seen"]):
+        s = sketch_from_bytes(bytes(blob))
+        merged = s if merged is None else merged.merge(s)
+        rows += int(r)
+    wall = (time.perf_counter() - t0) * 1e3
+    return pd.DataFrame({
+        "partition_id": [int(pdf["partition_id"].min())],
+        "rows_seen": [rows], "wall_ms": [wall],
+        "sketch": [merged.to_bytes()],
+    })
+
+
+def tree_merge(partials: DataFrame, fanin: int = 64) -> tuple[object, int]:
+    """Reduce partial rows to one sketch with bounded fan-in.
+
+    While more than ``fanin`` partials remain, group them by
+    ``partition_id % ngroups`` and merge each group in an executor
+    (``applyInPandas``); the driver only ever merges ≤ fanin blobs.
+    This is the banked, driver-OOM-safe reduction for wide sketches
+    (SURVEY §4 physical notes).  Returns (sketch, total_rows).
+    """
+    level = partials
+    n = level.count()
+    while n > fanin:
+        ngroups = math.ceil(n / fanin)
+        level = (level
+                 .withColumn("grp", F.pmod(F.col("partition_id"), F.lit(ngroups)))
+                 .groupBy("grp")
+                 .applyInPandas(_merge_group, schema=PARTIAL_SCHEMA))
+        n = level.count()
+    rows = level.collect()
+    merged = None
+    total = 0
+    for r in sorted(rows, key=lambda r: r["partition_id"]):
+        s = sketch_from_bytes(bytes(r["sketch"]))
+        merged = s if merged is None else merged.merge(s)
+        total += r["rows_seen"]
+    return merged, total
+
+
+def build_sketch(df: DataFrame, spec: SketchSpec, fanin: int = 64):
+    """End-to-end: partials → tree merge → final sketch object."""
+    return tree_merge(partial_sketches(df, spec), fanin=fanin)
+
+
+# ---------------------------------------------------------------- grouped
+def _grouped_partial_builder(spec: SketchSpec, group_cols: tuple[str, ...]):
+    def build(iterator):
+        from pyspark import TaskContext
+        pid = TaskContext.get().partitionId() if TaskContext.get() else -1
+        sketches: dict[tuple, object] = {}
+        rows: dict[tuple, int] = {}
+        for batch in iterator:
+            for key, sub in batch.groupby(list(group_cols), dropna=False, sort=False):
+                key = key if isinstance(key, tuple) else (key,)
+                sk = sketches.get(key)
+                if sk is None:
+                    sk = sketches[key] = spec.new_sketch()
+                    rows[key] = 0
+                rows[key] += spec.update(sk, sub[spec.column])
+        out = {c: [] for c in group_cols}
+        out.update({"partition_id": [], "rows_seen": [], "sketch": []})
+        for key, sk in sketches.items():
+            for c, v in zip(group_cols, key):
+                out[c].append(v)
+            out["partition_id"].append(pid)
+            out["rows_seen"].append(rows[key])
+            out["sketch"].append(sk.to_bytes())
+        yield pd.DataFrame(out)
+
+    return build
+
+
+def _grouped_merge(pdf: pd.DataFrame) -> pd.DataFrame:
+    merged = None
+    for blob in pdf["sketch"]:
+        s = sketch_from_bytes(bytes(blob))
+        merged = s if merged is None else merged.merge(s)
+    head = pdf.iloc[[0]].copy()
+    head["rows_seen"] = pdf["rows_seen"].sum()
+    head["sketch"] = [merged.to_bytes()]
+    return head.drop(columns=["partition_id"])
+
+
+def grouped_sketches(df: DataFrame, group_cols: list[str],
+                     spec: SketchSpec) -> DataFrame:
+    """Per-group sketches with map-side partials (partial+final agg).
+
+    Raw rows are never shuffled: each partition emits one tiny sketch
+    row per (partition, group); only those are exchanged on the group
+    key and merged.  Skewed group keys therefore cost nothing extra —
+    the salting happens implicitly because heavy groups still produce
+    exactly one partial per partition.
+    """
+    ensure_shipped(df.sparkSession)
+    group_cols = list(group_cols)
+    gschema = ", ".join(
+        f"{c} {df.schema[c].dataType.simpleString()}" for c in group_cols)
+    partial_schema = (f"{gschema}, partition_id long, rows_seen long, "
+                      "sketch binary")
+    final_schema = f"{gschema}, rows_seen long, sketch binary"
+    partials = df.select(*group_cols, spec.column).mapInPandas(
+        _grouped_partial_builder(spec, tuple(group_cols)),
+        schema=partial_schema)
+    return partials.groupBy(*group_cols).applyInPandas(
+        _grouped_merge, schema=final_schema)

@@ -1,0 +1,412 @@
+"""Driver-contract queries: every operator from SURVEY.md §2 exposed as
+a (spark, sf_dir) -> DataFrame callable with a DuckDB-checkable ANSI
+SQL oracle.
+
+Design rule for oracle parity: every checked output column is either
+integer, boolean, string, or a double produced by the *identical*
+integer arithmetic on both sides (no cross-engine float aggregation
+order), so the driver's value-hash comparison is deterministic.
+Approximate sketch outputs are exposed as (exact_value, within_bound)
+pairs — the bound check is the published-error-bound gate from the
+north rule, and the oracle asserts it must hold (`true`).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from .ops.contamination import (build_reference_bloom, classify_pages,
+                                contamination_counters)
+from .ops.sketch_agg import SketchSpec, build_sketch, grouped_sketches
+from .sketch import sketch_from_bytes
+from .sketch.hashing import int64_key_matrix
+
+# Flagship parameters (k per kmer_suggestion for small inputs,
+# tole per mco_suggestion(15) — facs/suggestions.c:35-82).
+K_GRAM = 15
+TOLE = 0.4
+REF_SOURCE = "src0"
+# Near-exact filter for oracle-checked membership (per-probe FPR ~1e-9
+# so the finite test corpora see zero false positives — verified in
+# tests; no false negatives by construction).
+EXACT_E = 1e-9
+
+
+def _read(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+# =====================================================================
+# q01 — relational aggregation layer (partial+final agg, the F_set
+# counter pattern generalized; SURVEY §2.4 "global counters").
+# =====================================================================
+def q01_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _read(spark, sf_dir, "lineitem")
+    # Money is summed in integer cents so the value-hash is
+    # bit-deterministic across engines (double sums are order-dependent).
+    return (li.filter(F.col("l_shipdate") <= F.lit("1998-09-02"))
+            .groupBy("l_returnflag", "l_linestatus")
+            .agg(F.sum("l_quantity").cast("long").alias("sum_qty"),
+                 F.sum(F.round(F.col("l_extendedprice") * 100)
+                       .cast("long")).alias("sum_base_price_cents"),
+                 F.count(F.lit(1)).alias("count_order"))
+            .orderBy("l_returnflag", "l_linestatus"))
+
+
+Q01_SQL = """
+SELECT l_returnflag, l_linestatus,
+       CAST(SUM(l_quantity) AS BIGINT) AS sum_qty,
+       SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)) AS sum_base_price_cents,
+       COUNT(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+GROUP BY l_returnflag, l_linestatus
+ORDER BY l_returnflag, l_linestatus
+"""
+
+
+# =====================================================================
+# q02 — Bloom membership as a broadcast semi-join (SURVEY §2.5):
+# build the filter over part keys, probe a half-member/half-alien
+# stream, count Bloom positives per returnflag.  With EXACT_E the
+# positives equal exact membership (zero FP on this corpus).
+# =====================================================================
+def q02_bloom_semijoin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    part = _read(spark, sf_dir, "part")
+    li = _read(spark, sf_dir, "lineitem")
+    n_keys = part.count()
+    bloom, _ = build_sketch(part, SketchSpec.make(
+        "bloom", "p_partkey", prep="raw", k=8, capacity=max(n_keys, 1),
+        error_rate=EXACT_E))
+    max_pk = part.agg(F.max("p_partkey")).collect()[0][0]
+    probes = li.select(
+        "l_returnflag",
+        F.when(F.col("l_orderkey") % 2 == 0, F.col("l_partkey"))
+         .otherwise(F.col("l_partkey") + F.lit(max_pk)).alias("probe_key"))
+    bc = spark.sparkContext.broadcast(bloom.to_bytes())
+
+    def probe_kernel(iterator):
+        import pandas as pd
+        from facs_spark.sketch import sketch_from_bytes as sfb
+        from facs_spark.sketch.hashing import int64_key_matrix as km
+        bf = sfb(bc.value)
+        for batch in iterator:
+            keys = km(batch["probe_key"].to_numpy())
+            yield pd.DataFrame({
+                "l_returnflag": batch["l_returnflag"],
+                "is_member": bf.contains_batch(keys)})
+
+    from .session import ensure_shipped
+    ensure_shipped(spark)
+    probed = probes.mapInPandas(probe_kernel,
+                                schema="l_returnflag string, is_member boolean")
+    return (probed.groupBy("l_returnflag")
+            .agg(F.count(F.lit(1)).alias("n_probed"),
+                 F.sum(F.col("is_member").cast("long")).alias("n_member"))
+            .orderBy("l_returnflag"))
+
+
+Q02_SQL = """
+WITH mx AS (SELECT MAX(p_partkey) AS max_pk FROM part),
+probes AS (
+  SELECT l_returnflag,
+         CASE WHEN l_orderkey % 2 = 0 THEN l_partkey
+              ELSE l_partkey + (SELECT max_pk FROM mx) END AS probe_key
+  FROM lineitem
+)
+SELECT l_returnflag,
+       COUNT(*) AS n_probed,
+       SUM(CASE WHEN probe_key IN (SELECT p_partkey FROM part)
+                THEN 1 ELSE 0 END) AS n_member
+FROM probes
+GROUP BY l_returnflag
+ORDER BY l_returnflag
+"""
+
+
+# =====================================================================
+# q03 — the flagship: facs query() contamination report over the
+# documents table (two-phase scan + score formula + counters; SURVEY
+# §3.1).  Oracle: the same semantics stated in pure SQL with an exact
+# k-gram set (window LAG for the consecutive-run bonus).
+# =====================================================================
+def q03_contamination_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _read(spark, sf_dir, "documents")
+    ref = docs.filter(F.col("source") == REF_SOURCE)
+    bloom = build_reference_bloom(ref, text_col="text", k=K_GRAM,
+                                  error_rate=EXACT_E)
+    classified = classify_pages(docs, bloom, text_col="text",
+                                tole_rate=TOLE)
+    return (contamination_counters(classified)
+            .select("total_read_count", "contaminated_reads", "total_hits",
+                    (F.col("contaminated_reads") /
+                     F.col("total_read_count")).alias("contamination_rate")))
+
+
+Q03_SQL = f"""
+WITH p AS (SELECT {K_GRAM} AS k, CAST({TOLE} AS DOUBLE) AS tol),
+nums AS (
+  SELECT CAST(unnest(range(1, (SELECT MAX(length(text)) FROM documents) + 1))
+         AS INT) AS i
+),
+ref_grams AS (
+  SELECT DISTINCT substr(lower(d.text), n.i, p.k) AS gram
+  FROM documents d, p
+  JOIN nums n ON n.i <= length(d.text) - p.k + 1
+  WHERE d.source = '{REF_SOURCE}'
+),
+wins AS (
+  SELECT d.doc_id, length(d.text) AS len, n.i AS pos,
+         substr(lower(d.text), n.i, p.k) AS gram
+  FROM documents d, p
+  JOIN nums n ON n.i <= length(d.text) - p.k + 1
+),
+hits AS (
+  SELECT w.doc_id, w.len, w.pos, (rg.gram IS NOT NULL) AS hit
+  FROM wins w LEFT JOIN ref_grams rg ON w.gram = rg.gram
+),
+runs AS (
+  SELECT doc_id, len, pos, hit,
+         CASE WHEN hit AND NOT coalesce(
+              LAG(hit) OVER (PARTITION BY doc_id ORDER BY pos), FALSE)
+              THEN 1 ELSE 0 END AS run_start,
+         CASE WHEN hit AND ((pos - 1) % (SELECT k FROM p) = 0
+              OR ((len % (SELECT k FROM p)) <> 0
+                  AND pos = len - (SELECT k FROM p) + 1))
+              THEN 1 ELSE 0 END AS quick_hit
+  FROM hits
+),
+per_doc AS (
+  SELECT doc_id, ANY_VALUE(len) AS len,
+         SUM(CASE WHEN hit THEN 1 ELSE 0 END) AS mt,
+         SUM(run_start) AS run_starts,
+         MAX(quick_hit) AS escalated
+  FROM runs GROUP BY doc_id
+),
+scored AS (
+  SELECT doc_id, escalated,
+         CASE WHEN escalated = 1 THEN mt ELSE 0 END AS match_time,
+         CASE WHEN escalated = 1 THEN
+           (mt * p.k + mt + (p.k - 1) * run_starts) * 1.0
+           / (p.k * len + len - p.k * p.k)
+         ELSE 0.0 END AS score
+  FROM per_doc, p
+),
+docs_all AS (
+  SELECT d.doc_id,
+         coalesce(s.escalated, 0) AS escalated,
+         coalesce(s.match_time, 0) AS match_time,
+         coalesce(s.score, 0.0) AS score
+  FROM documents d LEFT JOIN scored s ON d.doc_id = s.doc_id
+)
+SELECT COUNT(*) AS total_read_count,
+       SUM(CASE WHEN escalated = 1 AND score >= (SELECT tol FROM p)
+                THEN 1 ELSE 0 END) AS contaminated_reads,
+       SUM(match_time) AS total_hits,
+       SUM(CASE WHEN escalated = 1 AND score >= (SELECT tol FROM p)
+                THEN 1 ELSE 0 END) * 1.0 / COUNT(*) AS contamination_rate
+FROM docs_all
+"""
+
+
+# =====================================================================
+# q04 — per-page classification detail (page-level parity, not just
+# the aggregate): doc_id, escalated, contaminated, match_time.
+# =====================================================================
+def q04_classify_pages(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _read(spark, sf_dir, "documents")
+    ref = docs.filter(F.col("source") == REF_SOURCE)
+    bloom = build_reference_bloom(ref, text_col="text", k=K_GRAM,
+                                  error_rate=EXACT_E)
+    classified = classify_pages(docs, bloom, text_col="text",
+                                passthrough=("doc_id",), tole_rate=TOLE)
+    return (classified.select("doc_id", "escalated", "contaminated",
+                              "match_time", "match_score")
+            .orderBy("doc_id"))
+
+
+Q04_SQL = Q03_SQL.replace(
+    """SELECT COUNT(*) AS total_read_count,
+       SUM(CASE WHEN escalated = 1 AND score >= (SELECT tol FROM p)
+                THEN 1 ELSE 0 END) AS contaminated_reads,
+       SUM(match_time) AS total_hits,
+       SUM(CASE WHEN escalated = 1 AND score >= (SELECT tol FROM p)
+                THEN 1 ELSE 0 END) * 1.0 / COUNT(*) AS contamination_rate
+FROM docs_all""",
+    """SELECT doc_id, escalated = 1 AS escalated,
+       (escalated = 1 AND score >= (SELECT tol FROM p)) AS contaminated,
+       match_time, score AS match_score
+FROM docs_all ORDER BY doc_id""")
+
+
+# =====================================================================
+# q05 — HLL distinct counts per group, gated by the published bound
+# (1.04/√m); output is (lang, exact_distinct, within_bound).
+# =====================================================================
+def q05_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _read(spark, sf_dir, "documents")
+    g = grouped_sketches(docs, ["lang"], SketchSpec.make("hll", "doc_id", p=14))
+
+    def estimate(pdf):
+        import pandas as pd
+        from facs_spark.sketch import sketch_from_bytes as sfb
+        ests = [sfb(bytes(b)).estimate() for b in pdf["sketch"]]
+        return pd.DataFrame({"lang": pdf["lang"], "hll_est": ests})
+
+    ests = g.groupBy("lang").applyInPandas(estimate, "lang string, hll_est double")
+    exact = docs.groupBy("lang").agg(
+        F.countDistinct("doc_id").alias("exact_distinct"))
+    bound = 3 * 1.04 / (2 ** 7)  # 3σ at p=14 (m=16384, √m=128)
+    return (exact.join(ests, "lang")
+            .select("lang", "exact_distinct",
+                    (F.abs(F.col("hll_est") - F.col("exact_distinct"))
+                     <= F.lit(bound) * F.col("exact_distinct") + F.lit(1.0)
+                     ).alias("within_bound"))
+            .orderBy("lang"))
+
+
+Q05_SQL = """
+SELECT lang, COUNT(DISTINCT doc_id) AS exact_distinct, TRUE AS within_bound
+FROM documents GROUP BY lang ORDER BY lang
+"""
+
+
+# =====================================================================
+# q06 — CMS heavy-hitter tokens with the exact top-k verifier
+# (SURVEY §2.6): top 10 tokens by exact count; CMS estimate must sit
+# in [exact, exact + εN] (published CMS guarantee).
+# =====================================================================
+def q06_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _read(spark, sf_dir, "documents")
+    cms, _ = build_sketch(docs, SketchSpec.make("cms", "text", prep="tokens",
+                                                epsilon=1e-4, delta=0.01))
+    tokens = (docs.select(F.explode(F.split(F.col("text"), " ")).alias("token"))
+              .filter(F.col("token") != ""))
+    top = (tokens.groupBy("token").agg(F.count(F.lit(1)).alias("exact_count"))
+           .orderBy(F.desc("exact_count"), "token").limit(10))
+    rows = top.collect()
+    import pandas as pd
+    ests = cms.query_batch([r["token"] for r in rows])
+    bound = cms.error_bound
+    pdf = pd.DataFrame({
+        "token": [r["token"] for r in rows],
+        "exact_count": [r["exact_count"] for r in rows],
+        "within_bound": [bool(e >= r["exact_count"] and
+                              e <= r["exact_count"] + bound)
+                         for e, r in zip(ests, rows)],
+    })
+    return spark.createDataFrame(pdf).orderBy(F.desc("exact_count"), "token")
+
+
+Q06_SQL = """
+SELECT token, COUNT(*) AS exact_count, TRUE AS within_bound
+FROM (SELECT unnest(string_split(text, ' ')) AS token FROM documents)
+WHERE token <> ''
+GROUP BY token
+ORDER BY exact_count DESC, token
+LIMIT 10
+"""
+
+
+# =====================================================================
+# q07/q08 — quantile sketches gated by rank error: estimate q, then
+# measure the estimate's exact normalized rank in Spark; the oracle
+# asserts |rank − q| ≤ bound.
+# =====================================================================
+def _quantile_rank_check(spark, df, col, qs, sketch_kind, bound, **params):
+    import pandas as pd
+    sk, _n = build_sketch(df, SketchSpec.make(sketch_kind, col, **params))
+    n = df.filter(F.col(col).isNotNull()).count()
+    ests = [float(sk.quantile(q)) for q in qs]
+    conds = [F.sum((F.col(col) <= e).cast("long")).alias(f"r{i}")
+             for i, e in enumerate(ests)]
+    ranks = df.filter(F.col(col).isNotNull()).agg(*conds).collect()[0]
+    out = pd.DataFrame({
+        "q": qs,
+        "within_bound": [bool(abs(ranks[i] / n - q) <= bound)
+                         for i, q in enumerate(qs)],
+    })
+    return spark.createDataFrame(out).orderBy("q")
+
+
+QUANTILES = [0.01, 0.25, 0.5, 0.75, 0.99]
+
+
+def q07_tdigest_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _read(spark, sf_dir, "lineitem")
+    return _quantile_rank_check(spark, li, "l_extendedprice", QUANTILES,
+                                "tdigest", bound=0.01, delta=200.0)
+
+
+def q08_kll_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _read(spark, sf_dir, "documents")
+    return _quantile_rank_check(spark, docs, "n_chars", QUANTILES,
+                                "kll", bound=0.015, k=200)
+
+
+_QUANTILE_SQL = ("SELECT q, TRUE AS within_bound FROM (VALUES "
+                 + ", ".join(f"(CAST({q} AS DOUBLE))" for q in QUANTILES)
+                 + ") t(q) ORDER BY q")
+Q07_SQL = _QUANTILE_SQL
+Q08_SQL = _QUANTILE_SQL
+
+
+# =====================================================================
+# q09 — exact deduplication (hash-groupBy) on the events table:
+# duplicate (user_id, event_type) groups with the kept representative.
+# =====================================================================
+def q09_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _read(spark, sf_dir, "events")
+    return (ev.groupBy("user_id", "event_type")
+            .agg(F.count(F.lit(1)).alias("dup_count"),
+                 F.min("event_id").alias("keep_event_id"))
+            .filter(F.col("dup_count") > 1)
+            .orderBy(F.desc("dup_count"), "user_id", "event_type")
+            .limit(50))
+
+
+Q09_SQL = """
+SELECT user_id, event_type, COUNT(*) AS dup_count,
+       MIN(event_id) AS keep_event_id
+FROM events
+GROUP BY user_id, event_type
+HAVING COUNT(*) > 1
+ORDER BY dup_count DESC, user_id, event_type
+LIMIT 50
+"""
+
+
+# =====================================================================
+# registry
+# =====================================================================
+def queries():
+    return {
+        "q01_pricing_summary": q01_pricing_summary,
+        "q02_bloom_semijoin": q02_bloom_semijoin,
+        "q03_contamination_report": q03_contamination_report,
+        "q04_classify_pages": q04_classify_pages,
+        "q05_hll_distinct": q05_hll_distinct,
+        "q06_cms_heavy_hitters": q06_cms_heavy_hitters,
+        "q07_tdigest_quantiles": q07_tdigest_quantiles,
+        "q08_kll_quantiles": q08_kll_quantiles,
+        "q09_exact_dedup": q09_exact_dedup,
+    }
+
+
+def oracle_sql():
+    return {
+        "q01_pricing_summary": Q01_SQL,
+        "q02_bloom_semijoin": Q02_SQL,
+        "q03_contamination_report": Q03_SQL,
+        "q04_classify_pages": Q04_SQL,
+        "q05_hll_distinct": Q05_SQL,
+        "q06_cms_heavy_hitters": Q06_SQL,
+        "q07_tdigest_quantiles": Q07_SQL,
+        "q08_kll_quantiles": Q08_SQL,
+        "q09_exact_dedup": Q09_SQL,
+    }
+
+
+def entry(spark: SparkSession) -> DataFrame:
+    """Flagship: the contamination report at sf0.001 (driver smoke)."""
+    return q03_contamination_report(spark, "/root/testdata/sf0.001")

@@ -1,0 +1,77 @@
+"""SparkSession helpers + package shipping.
+
+``get_spark`` builds a session tuned for the sketch workload (AQE on,
+Arrow on, bounded shuffle partitions).  ``ensure_shipped`` zips the
+``facs_spark`` package and registers it via ``addPyFile`` so executor
+Python workers can import the kernels — the same mechanism as the
+production ``spark-submit --py-files`` deployment (north rule), and
+the reason every kernel closure here references only top-level module
+functions (cloudpickle then pickles them by reference).
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+import zipfile
+
+from pyspark.sql import SparkSession
+
+_SHIPPED_SESSIONS: set[int] = set()
+
+
+def repo_root() -> str:
+    return os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def package_zip() -> str:
+    """Zip the facs_spark package into a temp file (cached per process)."""
+    pkg_dir = os.path.dirname(os.path.abspath(__file__))
+    out = os.path.join(tempfile.gettempdir(),
+                       f"facs_spark_pkg_{os.getpid()}.zip")
+    if not os.path.exists(out):
+        with zipfile.ZipFile(out, "w", zipfile.ZIP_DEFLATED) as zf:
+            for base, _dirs, files in os.walk(pkg_dir):
+                for f in files:
+                    if f.endswith(".py"):
+                        full = os.path.join(base, f)
+                        rel = os.path.relpath(full, os.path.dirname(pkg_dir))
+                        zf.write(full, rel)
+    return out
+
+
+def ensure_shipped(spark: SparkSession) -> None:
+    """Make facs_spark importable on executors (idempotent per session)."""
+    key = id(spark.sparkContext)
+    if key in _SHIPPED_SESSIONS:
+        return
+    spark.sparkContext.addPyFile(package_zip())
+    _SHIPPED_SESSIONS.add(key)
+
+
+def get_spark(app_name: str = "facs_spark", cpus: int | None = None,
+              shuffle_partitions: int | None = None) -> SparkSession:
+    """local[cpus] session with scale-appropriate defaults.
+
+    The same config block is what a cluster deployment would set: AQE
+    for runtime re-planning (skew splits, partition coalescing), Arrow
+    for the pandas-UDF hot path, and shuffle partitions sized to the
+    parallelism rather than the 200 default.
+    """
+    cpus = cpus or int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    shuffle_partitions = shuffle_partitions or cpus
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .master(f"local[{cpus}]")
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "8g"))
+        .config("spark.ui.enabled", "false")
+    )
+    spark = builder.getOrCreate()
+    ensure_shipped(spark)
+    return spark

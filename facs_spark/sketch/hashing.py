@@ -161,6 +161,26 @@ def int64_key_matrix(values: np.ndarray) -> np.ndarray:
     return v.view(np.uint8).reshape(-1, 8)
 
 
+def length_group_matrices(values):
+    """Group variable-length byte strings by length → key matrices.
+
+    Yields ``(indices, (n, L) uint8 matrix)`` per distinct length, so
+    downstream kernels stay fully vectorized over ragged inputs.
+    """
+    arr = np.asarray(values, dtype=object)
+    n = len(arr)
+    if n == 0:
+        return
+    lengths = np.fromiter((len(v) for v in arr), dtype=np.int64, count=n)
+    for length in np.unique(lengths):
+        idx = np.nonzero(lengths == length)[0]
+        if length == 0:
+            yield idx, np.empty((len(idx), 0), np.uint8)
+        else:
+            buf = np.frombuffer(b"".join(arr[idx]), dtype=np.uint8)
+            yield idx, buf.reshape(len(idx), int(length))
+
+
 def hash_bytes_batch(values, seed: int) -> np.ndarray:
     """Vectorized hash of variable-length byte strings.
 
@@ -168,19 +188,9 @@ def hash_bytes_batch(values, seed: int) -> np.ndarray:
     per distinct length, so there is no per-row Python hashing in the
     hot path.  ``values``: sequence/array of ``bytes``.
     """
-    arr = np.asarray(values, dtype=object)
-    n = len(arr)
-    out = np.zeros(n, dtype=U64)
-    if n == 0:
-        return out
-    lengths = np.fromiter((len(v) for v in arr), dtype=np.int64, count=n)
-    for length in np.unique(lengths):
-        idx = np.nonzero(lengths == length)[0]
-        if length == 0:
-            out[idx] = hash3_matrix(np.empty((len(idx), 0), np.uint8), seed)
-            continue
-        buf = np.frombuffer(b"".join(arr[idx]), dtype=np.uint8)
-        out[idx] = hash3_matrix(buf.reshape(len(idx), int(length)), seed)
+    out = np.zeros(len(values), dtype=U64)
+    for idx, mat in length_group_matrices(values):
+        out[idx] = hash3_matrix(mat, seed)
     return out
 
 

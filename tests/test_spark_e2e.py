@@ -1,0 +1,113 @@
+"""Spark-layer e2e tests: driver contract smoke, distributed build ≡
+single-pass build, remove split, grouped sketches (SURVEY §5 plan)."""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+import __spark_entry__ as entry_mod
+from facs_spark.kernels.shingle import shingle_batch
+from facs_spark.ops.contamination import (build_reference_bloom,
+                                          classify_pages, remove_split)
+from facs_spark.ops.sketch_agg import SketchSpec, build_sketch, grouped_sketches
+from facs_spark.session import get_spark
+from facs_spark.sketch import BloomFilter, sketch_from_bytes
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def spark():
+    s = get_spark("facs_spark_tests", cpus=4, shuffle_partitions=4)
+    yield s
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.read.parquet(f"{SF}/documents.parquet")
+
+
+def test_entry_smoke(spark):
+    df = entry_mod.entry(spark)
+    rows = df.collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert r["total_read_count"] > 0
+    assert 0.0 <= r["contamination_rate"] <= 1.0
+
+
+def test_queries_and_oracles_aligned():
+    qs = entry_mod.queries()
+    oracles = entry_mod.oracle_sql()
+    assert qs, "queries() must not be empty"
+    for name in oracles:
+        assert name in qs, f"oracle {name} has no query"
+
+
+def test_distributed_build_equals_local_build(spark, docs):
+    """Partition-partial + tree-merge Bloom ≡ one-pass local build
+    (the merge-correctness property, north rule)."""
+    ref = docs.filter(F.col("source") == "src0")
+    dist = build_reference_bloom(ref, k=15, error_rate=0.001, capacity=50_000)
+    texts = [r["text"] for r in ref.select("text").collect()]
+    local = BloomFilter.create(capacity=50_000, error_rate=0.001, k_mer=15)
+    local.add_batch(shingle_batch(texts, 15).windows)
+    assert (dist.vector == local.vector).all()
+    assert dist.inserts == local.inserts
+
+
+def test_tree_merge_multi_level(spark, docs):
+    """fanin=2 forces multiple applyInPandas merge levels; result must
+    equal the flat merge."""
+    ref = docs.filter(F.col("source") == "src0").repartition(8)
+    spec = SketchSpec.make("bloom", "text", prep="kgram", k=15,
+                           capacity=50_000, error_rate=0.001)
+    deep, rows_deep = build_sketch(ref, spec, fanin=2)
+    flat, rows_flat = build_sketch(ref, spec, fanin=1000)
+    assert rows_deep == rows_flat
+    assert (deep.vector == flat.vector).all()
+
+
+def test_remove_split_partitions_disjoint(spark, docs):
+    ref = docs.filter(F.col("source") == "src0")
+    bloom = build_reference_bloom(ref, k=15, error_rate=1e-9)
+    clean, contam = remove_split(docs, bloom, passthrough=("doc_id",),
+                                 tole_rate=0.4)
+    n_clean, n_contam = clean.count(), contam.count()
+    assert n_clean + n_contam == docs.count()
+    ids = {r["doc_id"] for r in clean.select("doc_id").collect()}
+    ids_c = {r["doc_id"] for r in contam.select("doc_id").collect()}
+    assert not ids & ids_c
+
+
+def test_classify_sampling_pushdown(spark, docs):
+    ref = docs.filter(F.col("source") == "src0")
+    bloom = build_reference_bloom(ref, k=15, error_rate=1e-9)
+    full = classify_pages(docs, bloom, tole_rate=0.4)
+    sampled = classify_pages(docs, bloom, tole_rate=0.4,
+                             sample_fraction=0.3, seed=1)
+    assert 0 < sampled.count() < full.count()
+
+
+def test_grouped_hll_within_bound(spark, docs):
+    g = grouped_sketches(docs, ["lang"], SketchSpec.make("hll", "doc_id", p=12))
+    exact = {r["lang"]: r["n"] for r in
+             docs.groupBy("lang").agg(F.countDistinct("doc_id").alias("n")).collect()}
+    got = g.collect()
+    assert {r["lang"] for r in got} == set(exact)
+    for r in got:
+        est = sketch_from_bytes(bytes(r["sketch"])).estimate()
+        n = exact[r["lang"]]
+        assert abs(est - n) <= 4 * 1.04 / np.sqrt(2 ** 12) * n + 2
+
+
+def test_spark_builtin_crosschecks(spark, docs):
+    """Our sketches vs Spark's own approximate built-ins on the same data."""
+    hll, _ = build_sketch(docs, SketchSpec.make("hll", "doc_id", p=14))
+    builtin = docs.agg(F.approx_count_distinct("doc_id", 0.01).alias("a")).collect()[0]["a"]
+    exact = docs.select("doc_id").distinct().count()
+    assert abs(hll.estimate() - exact) / exact <= 0.05
+    assert abs(builtin - exact) / exact <= 0.05  # sanity on the cross-check itself
+    kll, _ = build_sketch(docs, SketchSpec.make("kll", "n_chars", k=200))
+    [approx] = docs.agg(F.percentile_approx("n_chars", 0.5).alias("p")).collect()
+    assert abs(kll.quantile(0.5) - approx["p"]) <= 0.05 * approx["p"] + 5
