@@ -1,0 +1,165 @@
+"""Benchmark harness (driver contract + scaling evidence).
+
+Default mode: run every driver-contract query at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS], plus the
+flagship synthetic-pages build+classify throughput, and print ONE JSON
+line: {"metric", "value" (total sec), "unit": "sec", "queries":
+{name: sec}, "sf", "pages_per_sec", ...}.
+
+Scaling mode (north rule, sandbox protocol per BASELINE.md): `python
+bench.py --scaling` runs the same throughput job in fresh subprocesses
+at two parallelism levels (default 8 and 32 cores) on the SAME
+deterministic input and reports throughput at both + efficiency
+  eff = (T_N / T_4N) / 4  ... expressed as pages/s ratio / core ratio.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+import time
+
+REPO = os.path.dirname(os.path.abspath(__file__))
+sys.path.insert(0, REPO)
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+BENCH_PAGES = int(os.environ.get("BENCH_PAGES", "300000"))
+
+
+def _sf_from_dir(d: str) -> float:
+    base = os.path.basename(d.rstrip("/"))
+    try:
+        return float(base.replace("sf", ""))
+    except ValueError:
+        return -1.0
+
+
+def _pages_parquet(spark, n_pages: int) -> str:
+    """Materialize the deterministic synthetic pages table once per
+    machine (same bytes for every parallelism level — the scaling
+    benchmark's 'same input' requirement)."""
+    import tempfile
+
+    from facs_spark.io.synth import synth_pages
+
+    path = os.path.join(tempfile.gettempdir(), f"facs_bench_pages_{n_pages}")
+    marker = os.path.join(path, "_SUCCESS")
+    if not os.path.exists(marker):
+        synth_pages(spark, n_pages, partitions=64).write.mode(
+            "overwrite").parquet(path)
+    return path
+
+
+def throughput_job(spark, n_pages: int) -> dict:
+    """Flagship pages/s workload: build reference Bloom, classify every
+    page of the materialized synthetic table, aggregate the report.
+    Measures sketch-build + classification only (input pre-generated)."""
+    from facs_spark.io.synth import reference_corpus_batch
+    from facs_spark.kernels.shingle import shingle_batch
+    from facs_spark.ops.contamination import (classify_pages,
+                                              contamination_counters)
+    from facs_spark.sketch import BloomFilter
+
+    pages = spark.read.parquet(_pages_parquet(spark, n_pages))
+    ref = reference_corpus_batch(n_docs=50, mean_tokens=200)
+    # reference corpus is small + local → build its Bloom driver-side,
+    # broadcast for classification (the semi-join small side)
+    sb = shingle_batch(ref["text"].tolist(), 15)
+    bloom = BloomFilter.create(capacity=max(sb.windows.shape[0], 1),
+                               error_rate=0.0005, k_mer=15)
+    bloom.add_batch(sb.windows)
+    # warm-up: fork+import every python worker and fill the page cache
+    # (all partitions touched), then measure steady state, best of 2
+    contamination_counters(
+        classify_pages(pages.sample(0.02, seed=1), bloom,
+                       tole_rate=0.4)).collect()
+    best, row = None, None
+    for _ in range(2):
+        t0 = time.perf_counter()
+        classified = classify_pages(pages, bloom, tole_rate=0.4)
+        row = contamination_counters(classified).collect()[0]
+        dt = time.perf_counter() - t0
+        best = dt if best is None else min(best, dt)
+    return {
+        "pages": int(row["total_read_count"]),
+        "contaminated": int(row["contaminated_reads"]),
+        "sec": round(best, 3),
+        "pages_per_sec": round(int(row["total_read_count"]) / best, 1),
+    }
+
+
+def run_queries(spark) -> dict[str, float]:
+    import __spark_entry__ as e
+
+    timings: dict[str, float] = {}
+    for name, fn in e.queries().items():
+        t0 = time.perf_counter()
+        df = fn(spark, SF_DIR)
+        df.collect()
+        timings[name] = round(time.perf_counter() - t0, 3)
+    return timings
+
+
+def main() -> None:
+    from facs_spark.session import get_spark
+
+    if "--throughput-only" in sys.argv:
+        spark = get_spark("bench_tp", cpus=CPUS, shuffle_partitions=CPUS)
+        tp = throughput_job(spark, BENCH_PAGES)
+        spark.stop()
+        print(json.dumps({"cpus": CPUS, **tp}))
+        return
+
+    if "--scaling" in sys.argv:
+        levels = [int(x) for x in
+                  os.environ.get("SCALING_LEVELS", "8,32").split(",")]
+        trials = int(os.environ.get("SCALING_TRIALS", "3"))
+        results = {}
+        # interleave trials across levels so shared-host noise hits
+        # both levels alike; keep the best run per level
+        for t in range(trials):
+            for lvl in levels:
+                env = dict(os.environ, SPARK_GRAFT_CPUS=str(lvl),
+                           BENCH_PAGES=str(BENCH_PAGES))
+                out = subprocess.run(
+                    [sys.executable, __file__, "--throughput-only"],
+                    capture_output=True, text=True, env=env, check=True)
+                r = json.loads(out.stdout.strip().splitlines()[-1])
+                if (lvl not in results
+                        or r["pages_per_sec"] > results[lvl]["pages_per_sec"]):
+                    results[lvl] = r
+        lo, hi = min(levels), max(levels)
+        eff = ((results[hi]["pages_per_sec"] / results[lo]["pages_per_sec"])
+               / (hi / lo))
+        print(json.dumps({
+            "metric": "scaling_efficiency",
+            "value": round(eff, 3),
+            "unit": "ratio",
+            "levels": {str(l): results[l] for l in levels},
+            "pages": BENCH_PAGES,
+        }))
+        return
+
+    spark = get_spark("bench", cpus=CPUS, shuffle_partitions=CPUS)
+    t_all = time.perf_counter()
+    timings = run_queries(spark)
+    tp = throughput_job(spark, BENCH_PAGES)
+    total = round(time.perf_counter() - t_all, 3)
+    spark.stop()
+    print(json.dumps({
+        "metric": "headline_queries_plus_throughput_sec",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": _sf_from_dir(SF_DIR),
+        "throughput": tp,
+        "pages_per_sec": round(tp["pages_per_sec"], 1),
+        "cpus": CPUS,
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -32,7 +32,8 @@ from dataclasses import dataclass
 import numpy as np
 
 from ..sketch.bloom import BloomFilter
-from .shingle import ShingleBatch, quick_probe_mask, shingle_batch
+from .shingle import (encode_batch, flat_positions,
+                      quick_probe_positions_batch, windows_at)
 
 
 @dataclass
@@ -48,20 +49,20 @@ class ClassifyResult:
 
 def classify_batch(texts, bloom: BloomFilter, k: int, tole_rate: float,
                    lowercase: bool = True,
-                   canonicalize=None) -> ClassifyResult:
+                   canonicalize=None, cache: dict | None = None) -> ClassifyResult:
     """Classify a batch of page texts against a broadcast Bloom filter.
 
     ``canonicalize``: optional ``texts -> texts`` second-pass transform
     (the reverse-complement analogue); pages still clean after the
     forward pass are re-checked in canonicalized space.
     """
-    res = _classify_once(texts, bloom, k, tole_rate, lowercase)
+    res = _classify_once(texts, bloom, k, tole_rate, lowercase, cache)
     if canonicalize is not None:
         clean = ~res.contaminated
         if clean.any():
             texts_arr = np.asarray(texts, dtype=object)
             res2 = _classify_once(canonicalize(texts_arr[clean]), bloom, k,
-                                  tole_rate, lowercase)
+                                  tole_rate, lowercase, cache)
             # merge: a clean page flips if its canonical form scores
             res.contaminated[clean] |= res2.contaminated
             res.match_time[clean] += res2.match_time
@@ -70,27 +71,34 @@ def classify_batch(texts, bloom: BloomFilter, k: int, tole_rate: float,
 
 
 def _classify_once(texts, bloom: BloomFilter, k: int, tole_rate: float,
-                   lowercase: bool) -> ClassifyResult:
-    sb: ShingleBatch = shingle_batch(texts, k, lowercase=lowercase)
-    n_docs = sb.doc_lengths.size
+                   lowercase: bool, cache: dict | None = None) -> ClassifyResult:
+    # Lazy materialization, mirroring the reference's two-phase scan:
+    # only stride-k probe windows are ever built for clean pages; the
+    # full stride-1 window set is built ONLY for escalated pages.
+    buf, offsets, lengths = encode_batch(texts, lowercase=lowercase)
+    n_docs = lengths.size
     contaminated = np.zeros(n_docs, dtype=bool)
     score = np.zeros(n_docs, dtype=np.float64)
     match_time = np.zeros(n_docs, dtype=np.int64)
     escalated = np.zeros(n_docs, dtype=bool)
-    if sb.windows.shape[0] == 0:
+    if buf.size < k:
         return ClassifyResult(contaminated, score, match_time,
-                              sb.doc_lengths, escalated)
+                              lengths, escalated)
 
     # Phase 1: quick pass — probe only stride-k positions.
-    qmask = quick_probe_mask(sb, k)
-    q_hits = bloom.contains_batch(sb.windows[qmask])
-    np.logical_or.at(escalated, sb.doc_idx[qmask], q_hits)
+    q_doc, q_pos = quick_probe_positions_batch(lengths, k)
+    q_hits = bloom.contains_batch(
+        windows_at(buf, offsets[:-1][q_doc] + q_pos, k), cache=cache)
+    np.logical_or.at(escalated, q_doc, q_hits)
 
     if escalated.any():
         # Phase 2: full stride-1 check, only for escalated pages.
-        fmask = escalated[sb.doc_idx]
-        f_doc = sb.doc_idx[fmask]
-        f_hits = bloom.contains_batch(sb.windows[fmask])
+        esc = np.flatnonzero(escalated)
+        n_wins = lengths[esc] - k + 1  # all ≥ 1 (escalated ⇒ L ≥ k)
+        sub_idx, f_pos = flat_positions(n_wins)
+        f_doc = esc[sub_idx]
+        f_hits = bloom.contains_batch(
+            windows_at(buf, offsets[:-1][f_doc] + f_pos, k), cache=cache)
         # match_time per doc
         np.add.at(match_time, f_doc, f_hits.astype(np.int64))
         # run starts: hit with no hit at previous window of same doc
@@ -103,7 +111,7 @@ def _classify_once(texts, bloom: BloomFilter, k: int, tole_rate: float,
         np.add.at(run_starts, f_doc, run_start.astype(np.int64))
         # conse = match_time + (k-1)·run_starts  (k at start, 1 inside)
         conse = match_time + (k - 1) * run_starts
-        L = sb.doc_lengths
+        L = lengths
         # Score in float64 (the reference uses C float; we use double on
         # both the engine and oracle sides so the two agree exactly).
         denom = (k * L + L - k * k).astype(np.float64)
@@ -114,4 +122,4 @@ def _classify_once(texts, bloom: BloomFilter, k: int, tole_rate: float,
         match_time = np.where(escalated, match_time, 0)
 
     return ClassifyResult(contaminated, score, match_time,
-                          sb.doc_lengths, escalated)
+                          lengths, escalated)

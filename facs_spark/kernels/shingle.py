@@ -92,6 +92,40 @@ def quick_probe_positions(length: int, k: int) -> np.ndarray:
     return pos
 
 
+def flat_positions(counts: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """(doc_idx, within-doc ordinal) for ragged per-doc counts."""
+    n = counts.size
+    total = int(counts.sum())
+    doc_idx = np.repeat(np.arange(n, dtype=np.int64), counts)
+    starts = np.zeros(n + 1, dtype=np.int64)
+    np.cumsum(counts, out=starts[1:])
+    ordinal = np.arange(total, dtype=np.int64) - starts[:-1][doc_idx]
+    return doc_idx, ordinal
+
+
+def quick_probe_positions_batch(lengths: np.ndarray, k: int):
+    """Vectorized quick-pass probe positions for a whole batch.
+
+    Per doc: ceil(L/k) probes at 0, k, 2k, …, with the final probe
+    right-aligned to L−k when L % k ≠ 0 (facs/tool.c:66-90).  Returns
+    (doc_idx, pos) flat arrays; docs with L < k contribute none.
+    """
+    nq = np.where(lengths >= k, -(-lengths // k), 0)
+    doc_idx, j = flat_positions(nq)
+    pos = j * k
+    L = lengths[doc_idx]
+    tail = (j == nq[doc_idx] - 1) & (L % k != 0)
+    pos[tail] = L[tail] - k
+    return doc_idx, pos
+
+
+def windows_at(buf: np.ndarray, abs_pos: np.ndarray, k: int) -> np.ndarray:
+    """Materialize only the requested windows from the shared buffer."""
+    if abs_pos.size == 0 or buf.size < k:
+        return np.empty((0, k), dtype=np.uint8)
+    return sliding_window_view(buf, k)[abs_pos]
+
+
 def quick_probe_mask(sb: ShingleBatch, k: int) -> np.ndarray:
     """Boolean mask over ``sb.windows`` marking quick-pass probes.
 

@@ -1,0 +1,76 @@
+"""Checkpointed, resumable sketch builds with per-partition lineage.
+
+North-rule requirement: long sketch builds over 10¹²-row tables must
+survive restarts.  The unit of recovery is the *partial sketch row*
+``(partition_id, rows_seen, wall_ms, sketch)`` — written to a parquet
+checkpoint table as each build completes.  A resume merges the saved
+partials instead of rescanning input; an interrupted multi-job build
+over split inputs re-runs only the splits without a checkpoint row
+(idempotent: partials are keyed by split).
+
+This is the Spark heir of the reference's save/load_bloom + chunk
+offset rewind resume loop (``facs/bloom.c:217-337``,
+``facs/query.c:167-231``), with lineage the reference lacks.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from .sketch_agg import SketchSpec, partial_sketches, tree_merge
+
+MANIFEST = "_sketch_manifest.json"
+
+
+def checkpoint_build(df: DataFrame, spec: SketchSpec, path: str,
+                     split_id: str = "all", fanin: int = 64):
+    """Build partials for one input split and persist them (idempotent).
+
+    Returns the (sketch, rows) merged over ALL splits checkpointed so
+    far at ``path``.
+    """
+    spark = df.sparkSession
+    if not _has_split(spark, path, split_id):
+        partials = (partial_sketches(df, spec)
+                    .withColumn("split_id", F.lit(split_id))
+                    .withColumn("created_ts", F.lit(time.time())))
+        (partials.write.mode("append").partitionBy("split_id").parquet(path))
+        _write_manifest(path, spec)
+    return resume(spark, path, fanin=fanin)
+
+
+def resume(spark: SparkSession, path: str, fanin: int = 64):
+    """Merge every checkpointed partial at ``path`` into one sketch."""
+    partials = spark.read.parquet(path)
+    # re-key partition ids uniquely across splits for the tree merge
+    keyed = partials.select(
+        F.monotonically_increasing_id().alias("partition_id"),
+        "rows_seen", "wall_ms", "sketch")
+    return tree_merge(keyed, fanin=fanin)
+
+
+def lineage(spark: SparkSession, path: str) -> DataFrame:
+    """The checkpoint's lineage/metrics table (north-rule observability)."""
+    return (spark.read.parquet(path)
+            .select("split_id", "partition_id", "rows_seen", "wall_ms",
+                    "created_ts")
+            .orderBy("split_id", "partition_id"))
+
+
+def _has_split(spark: SparkSession, path: str, split_id: str) -> bool:
+    try:
+        df = spark.read.parquet(path)
+    except Exception:  # noqa: BLE001 — no checkpoint yet
+        return False
+    return df.filter(F.col("split_id") == split_id).limit(1).count() > 0
+
+
+def _write_manifest(path: str, spec: SketchSpec) -> None:
+    os.makedirs(path, exist_ok=True)
+    with open(os.path.join(path, MANIFEST), "w") as fh:
+        json.dump({"kind": spec.kind, "column": spec.column,
+                   "prep": spec.prep, "params": list(spec.params)}, fh)

@@ -26,7 +26,7 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from ..kernels.classify import classify_batch
-from ..session import ensure_shipped
+from ..session import ensure_parallelism, ensure_shipped
 from ..sketch import BloomFilter, mco_suggestion, prob_suggestion
 from ..sketch.prob import cdf, get_mu, get_sigma
 from .sketch_agg import SketchSpec, build_sketch
@@ -62,19 +62,28 @@ def build_reference_bloom(ref_df: DataFrame, text_col: str = "text",
     return sketch
 
 
+_KERNEL_BATCH = 2500  # cache-resident slice; see session.py batch note
+
+
 def _classify_kernel(bc_blob, passthrough: tuple[str, ...], text_col: str,
-                     k: int, tole_rate: float):
+                     k: int, tole_rate: float, memoize: bool = False):
     def run(iterator):
         bloom = BloomFilter.from_bytes(bc_blob.value)
+        # optional cross-batch probe memo: wins on boilerplate-heavy
+        # corpora with large k; per-batch dedup already covers the rest
+        memo: dict | None = {} if memoize else None
         for batch in iterator:
-            res = classify_batch(batch[text_col].tolist(), bloom, k, tole_rate)
-            out = {c: batch[c] for c in passthrough}
-            out["contaminated"] = res.contaminated
-            out["match_score"] = res.score
-            out["match_time"] = res.match_time
-            out["text_len"] = res.lengths
-            out["escalated"] = res.escalated
-            yield pd.DataFrame(out)
+            for lo in range(0, len(batch), _KERNEL_BATCH):
+                sub = batch.iloc[lo:lo + _KERNEL_BATCH]
+                res = classify_batch(sub[text_col].tolist(), bloom, k,
+                                     tole_rate, cache=memo)
+                out = {c: sub[c] for c in passthrough}
+                out["contaminated"] = res.contaminated
+                out["match_score"] = res.score
+                out["match_time"] = res.match_time
+                out["text_len"] = res.lengths
+                out["escalated"] = res.escalated
+                yield pd.DataFrame(out)
 
     return run
 
@@ -84,7 +93,7 @@ def classify_pages(df: DataFrame, bloom: BloomFilter,
                    passthrough: tuple[str, ...] = (),
                    tole_rate: float | None = None,
                    sample_fraction: float | None = None,
-                   seed: int = 42) -> DataFrame:
+                   seed: int = 42, memoize: bool = False) -> DataFrame:
     """Classify pages against a broadcast Bloom filter.
 
     ``sample_fraction`` is the reference's ``-s`` Bernoulli sampling
@@ -101,12 +110,13 @@ def classify_pages(df: DataFrame, bloom: BloomFilter,
     bc = spark.sparkContext.broadcast(bloom.to_bytes())
     cols = tuple(passthrough)
     select_cols = list(dict.fromkeys(cols + (text_col,)))
-    sel = df.select(*select_cols)
+    sel = ensure_parallelism(df.select(*select_cols))
     dtypes = {f.name: f.dataType.simpleString() for f in sel.schema.fields}
     pass_schema = ", ".join(f"{c} {dtypes[c]}" for c in cols)
     schema = (pass_schema + ", " if pass_schema else "") + CLASSIFY_COLS
     return sel.mapInPandas(
-        _classify_kernel(bc, cols, text_col, k, tole), schema=schema)
+        _classify_kernel(bc, cols, text_col, k, tole, memoize=memoize),
+        schema=schema)
 
 
 def contamination_counters(classified: DataFrame) -> DataFrame:

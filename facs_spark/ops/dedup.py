@@ -1,0 +1,270 @@
+"""Large-scale deduplication operators over the documents table.
+
+The training-data-pipeline ops (task brief): exact dedup, MinHash+LSH
+near-dup, SimHash, n-gram Jaccard — all Spark-first:
+
+* exact: hash-groupBy (one shuffle on a 64-bit key, not the text);
+* MinHash: per-doc signatures in a vectorized kernel (one pass over
+  the shingle set per batch — permutations via the standard
+  ``(a·h + b) mod p`` universal family), banded into LSH buckets, a
+  self-join ON the bucket key only (candidate pairs ≪ n²), then an
+  exact-Jaccard verify of candidates;
+* SimHash: 64-bit signed-projection fingerprint, bucket by rotated
+  prefix blocks (Hamming-ball search), verify by true Hamming
+  distance;
+* n-gram Jaccard: exact pairwise Jaccard via token-shingle inverted
+  index (explode → join on shingle → group by pair) — the exact
+  verifier for the approximate paths.
+
+At 10¹²-doc scale only signatures/buckets shuffle (tens of bytes per
+doc); raw text never does.  Skewed buckets (boilerplate) are capped
+with a per-bucket limit + salt column, the SURVEY §4 salting note.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, functions as F
+
+from ..session import ensure_parallelism, ensure_shipped
+from ..sketch.hashing import splitmix64
+
+_MERSENNE = (1 << 61) - 1
+
+
+def exact_dedup(df: DataFrame, cols: list[str],
+                order_col: str) -> DataFrame:
+    """Keep the first row (min order_col) per duplicate group."""
+    return (df.groupBy(*cols)
+            .agg(F.min(order_col).alias("keep_" + order_col),
+                 F.count(F.lit(1)).alias("dup_count")))
+
+
+# ------------------------------------------------------------ shingles
+def _token_shingles(text: str, n: int) -> set:
+    toks = text.lower().split()
+    if len(toks) < n:
+        return {" ".join(toks)} if toks else set()
+    return {" ".join(toks[i:i + n]) for i in range(len(toks) - n + 1)}
+
+
+def _shingle_hashes(texts, n: int) -> list[np.ndarray]:
+    """Per-doc uint64 hash sets of token n-gram shingles."""
+    from ..sketch.hashing import hash_strings_batch
+    out = []
+    for t in texts:
+        sh = sorted(_token_shingles(t or "", n))
+        out.append(np.unique(hash_strings_batch(sh, 0)) if sh
+                   else np.zeros(0, dtype=np.uint64))
+    return out
+
+
+# ------------------------------------------------------------ minhash
+def minhash_signatures(df: DataFrame, id_col: str, text_col: str,
+                       num_hashes: int = 128, shingle_n: int = 3,
+                       bands: int = 32) -> DataFrame:
+    """(id, band, bucket) rows — one per doc per LSH band.
+
+    Signature h_i(doc) = min over shingles s of (a_i·H(s)+b_i mod p);
+    the i-loop is vectorized as an (num_hashes, n_shingles) broadcast.
+    Band bucket = hash of the band's signature rows.
+    """
+    ensure_shipped(df.sparkSession)
+    if num_hashes % bands:
+        raise ValueError("bands must divide num_hashes")
+    rows_per_band = num_hashes // bands
+    rng = np.random.default_rng(0xFAC5)
+    a = rng.integers(1, _MERSENNE, size=num_hashes, dtype=np.int64).astype(np.uint64)
+    b = rng.integers(0, _MERSENNE, size=num_hashes, dtype=np.int64).astype(np.uint64)
+
+    def kernel(iterator):
+        for batch in iterator:
+            ids, band_ids, buckets = [], [], []
+            hashes = _shingle_hashes(batch[text_col].tolist(), shingle_n)
+            for doc_id, h in zip(batch[id_col], hashes):
+                if h.size == 0:
+                    continue
+                with np.errstate(over="ignore"):
+                    # (num_hashes, n_shingles) universal-hash matrix
+                    m = (a[:, None] * h[None, :] + b[:, None]) % np.uint64(_MERSENNE)
+                sig = m.min(axis=1)  # (num_hashes,)
+                band_sig = sig.reshape(bands, rows_per_band)
+                bucket = splitmix64(
+                    band_sig.sum(axis=1, dtype=np.uint64)
+                    ^ splitmix64(band_sig[:, 0]))
+                ids.extend([doc_id] * bands)
+                band_ids.extend(range(bands))
+                buckets.extend((bucket >> np.uint64(1)).astype(np.int64))
+            yield pd.DataFrame({id_col: ids, "band": band_ids,
+                                "bucket": buckets})
+
+    return ensure_parallelism(df.select(id_col, text_col)).mapInPandas(
+        kernel, schema=f"{id_col} long, band int, bucket long")
+
+
+def minhash_candidates(sig: DataFrame, id_col: str,
+                       max_bucket: int = 200) -> DataFrame:
+    """Distinct candidate pairs from shared (band, bucket) cells.
+
+    Pure DataFrame self-join on the (band, bucket) key — the only
+    shuffled payload is (band, bucket, id) longs.  ``max_bucket`` caps
+    degenerate buckets (boilerplate skew): a bucket with B docs yields
+    B²/2 pairs, so one viral template would melt the join — the cap is
+    the skew guard (SURVEY §4 salting row).
+    """
+    ok_cells = (sig.groupBy("band", "bucket")
+                .agg(F.count(F.lit(1)).alias("n"))
+                .filter((F.col("n") >= 2) & (F.col("n") <= max_bucket))
+                .select("band", "bucket"))
+    kept = sig.join(ok_cells, ["band", "bucket"])
+    a = kept.select("band", "bucket", F.col(id_col).alias("id_a"))
+    b = kept.select("band", "bucket", F.col(id_col).alias("id_b"))
+    return (a.join(b, ["band", "bucket"])
+            .filter(F.col("id_a") < F.col("id_b"))
+            .select("id_a", "id_b").distinct())
+
+
+def exact_jaccard_pairs(df: DataFrame, pairs: DataFrame, id_col: str,
+                        text_col: str, shingle_n: int = 3) -> DataFrame:
+    """Exact token-shingle Jaccard for candidate pairs (verify stage).
+
+    Joins the (small) candidate list back to text twice — broadcast
+    when it fits — and computes |A∩B|/|A∪B| in a vectorized kernel.
+    """
+    ensure_shipped(df.sparkSession)
+    txt = df.select(F.col(id_col), F.col(text_col))
+    joined = (pairs
+              .join(txt.withColumnRenamed(id_col, "id_a")
+                       .withColumnRenamed(text_col, "text_a"), "id_a")
+              .join(txt.withColumnRenamed(id_col, "id_b")
+                       .withColumnRenamed(text_col, "text_b"), "id_b"))
+
+    def kernel(iterator):
+        for batch in iterator:
+            ha = _shingle_hashes(batch["text_a"].tolist(), shingle_n)
+            hb = _shingle_hashes(batch["text_b"].tolist(), shingle_n)
+            jac = []
+            for x, y in zip(ha, hb):
+                if x.size == 0 and y.size == 0:
+                    jac.append(1.0)
+                    continue
+                inter = np.intersect1d(x, y, assume_unique=True).size
+                jac.append(inter / (x.size + y.size - inter))
+            yield pd.DataFrame({"id_a": batch["id_a"], "id_b": batch["id_b"],
+                                "jaccard": jac})
+
+    return joined.mapInPandas(
+        kernel, schema="id_a long, id_b long, jaccard double")
+
+
+def minhash_dedup(df: DataFrame, id_col: str, text_col: str,
+                  threshold: float = 0.8, num_hashes: int = 128,
+                  bands: int = 32, shingle_n: int = 3) -> DataFrame:
+    """Near-duplicate pairs: LSH candidates → exact-Jaccard ≥ threshold."""
+    sig = minhash_signatures(df, id_col, text_col, num_hashes=num_hashes,
+                             shingle_n=shingle_n, bands=bands)
+    cand = minhash_candidates(sig, id_col)
+    verified = exact_jaccard_pairs(df, cand, id_col, text_col,
+                                   shingle_n=shingle_n)
+    return verified.filter(F.col("jaccard") >= threshold)
+
+
+# ------------------------------------------------------------ simhash
+def simhash_fingerprints(df: DataFrame, id_col: str, text_col: str,
+                         shingle_n: int = 2) -> DataFrame:
+    """64-bit SimHash (Charikar 2002) per doc, vectorized per batch."""
+    ensure_shipped(df.sparkSession)
+
+    def kernel(iterator):
+        bit_cols = np.arange(64, dtype=np.uint64)
+        for batch in iterator:
+            hashes = _shingle_hashes(batch[text_col].tolist(), shingle_n)
+            fps = []
+            for h in hashes:
+                if h.size == 0:
+                    fps.append(0)
+                    continue
+                bits = (h[:, None] >> bit_cols[None, :]) & np.uint64(1)
+                votes = 2 * bits.sum(axis=0, dtype=np.int64) - h.size
+                fp = np.uint64(0)
+                fp_bits = np.flatnonzero(votes > 0)
+                for bpos in fp_bits:
+                    fp |= np.uint64(1) << np.uint64(bpos)
+                fps.append(int(fp.astype(np.int64)))
+            yield pd.DataFrame({id_col: batch[id_col], "simhash": fps})
+
+    return ensure_parallelism(df.select(id_col, text_col)).mapInPandas(
+        kernel, schema=f"{id_col} long, simhash long")
+
+
+def simhash_near_pairs(fp: DataFrame, id_col: str,
+                       max_hamming: int = 6) -> DataFrame:
+    """Pairs within a Hamming ball via 8-block bucketing.
+
+    Pigeonhole: two 64-bit prints within distance ≤7 share at least
+    one identical 8-bit block of 8 — bucket on (block_idx, block),
+    then verify the true distance.  Near-identical documents (Jaccard
+    ≈ 0.97-0.99 on 2-gram shingles) land at Hamming 2-6 empirically,
+    hence the ≤6 default.
+    """
+    blocks = fp.select(
+        id_col, "simhash",
+        F.explode(F.array(*[
+            F.struct(F.lit(i).alias("blk"),
+                     F.shiftright(F.col("simhash"), 8 * i)
+                      .bitwiseAND(F.lit(0xFF)).alias("val"))
+            for i in range(8)])).alias("b"))
+    blocks = blocks.select(id_col, "simhash", F.col("b.blk").alias("blk"),
+                           F.col("b.val").alias("val"))
+    left = blocks.select(F.col(id_col).alias("id_a"),
+                         F.col("simhash").alias("sim_a"), "blk", "val")
+    right = blocks.select(F.col(id_col).alias("id_b"),
+                          F.col("simhash").alias("sim_b"), "blk", "val")
+    pairs = (left.join(right, ["blk", "val"])
+             .filter(F.col("id_a") < F.col("id_b"))
+             .select("id_a", "id_b", "sim_a", "sim_b").distinct())
+    dist = F.bit_count(F.col("sim_a").bitwiseXOR(F.col("sim_b")))
+    return (pairs.withColumn("hamming", dist)
+            .filter(F.col("hamming") <= max_hamming)
+            .select("id_a", "id_b", "hamming"))
+
+
+# ------------------------------------------------------- exact jaccard
+def ngram_jaccard_pairs(df: DataFrame, id_col: str, text_col: str,
+                        shingle_n: int = 3,
+                        threshold: float = 0.5) -> DataFrame:
+    """Exact all-pairs Jaccard ≥ threshold via an inverted index.
+
+    explode(shingles) → self-join on shingle → count per pair →
+    |A∩B| / (|A|+|B|−|A∩B|).  The shuffle carries (shingle_hash, id)
+    longs only.  This is the exact verifier for the LSH paths; at
+    10¹² docs you'd run it only on candidate-restricted subsets.
+    """
+    ensure_shipped(df.sparkSession)
+
+    def shingle_kernel(iterator):
+        for batch in iterator:
+            ids, hs = [], []
+            for doc_id, h in zip(batch[id_col],
+                                 _shingle_hashes(batch[text_col].tolist(),
+                                                 shingle_n)):
+                ids.extend([doc_id] * h.size)
+                hs.extend((h >> np.uint64(1)).astype(np.int64))
+            yield pd.DataFrame({id_col: ids, "sh": hs})
+
+    sh = ensure_parallelism(df.select(id_col, text_col)).mapInPandas(
+        shingle_kernel, schema=f"{id_col} long, sh long")
+    sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("sz"))
+    a = sh.select(F.col(id_col).alias("id_a"), "sh")
+    b = sh.select(F.col(id_col).alias("id_b"), "sh")
+    inter = (a.join(b, "sh").filter(F.col("id_a") < F.col("id_b"))
+             .groupBy("id_a", "id_b").agg(F.count(F.lit(1)).alias("inter")))
+    sz_a = sizes.select(F.col(id_col).alias("id_a"), F.col("sz").alias("sz_a"))
+    sz_b = sizes.select(F.col(id_col).alias("id_b"), F.col("sz").alias("sz_b"))
+    return (inter.join(sz_a, "id_a").join(sz_b, "id_b")
+            .withColumn("jaccard",
+                        F.col("inter") /
+                        (F.col("sz_a") + F.col("sz_b") - F.col("inter")))
+            .filter(F.col("jaccard") >= threshold)
+            .select("id_a", "id_b", "jaccard"))

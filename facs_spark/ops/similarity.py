@@ -1,0 +1,216 @@
+"""Similarity search over an embedding column (array<float>).
+
+* ``brute_force_topk`` — exact cosine top-k for a query set: the query
+  matrix broadcasts (small side), every partition computes a local
+  top-k against its rows in one BLAS matmul, and only n_queries·k
+  candidate rows shuffle to the final global top-k (the classic
+  map-side top-k pattern: no full similarity matrix ever exists).
+* ``lsh_bucket_topk`` — the scale path: random-hyperplane LSH
+  (Charikar 2002) assigns each row to 2^bits buckets; queries probe
+  only their own bucket (optionally multi-probe neighbors), so at
+  10¹² rows the scan cost per query drops by the bucket fanout while
+  recall is tunable with tables × bits.
+* ``ivf_topk`` — IVF-style variant: k-means-lite centroids (sampled,
+  seeded, computed driver-side once) define cells; rows are assigned
+  to their nearest centroid at build; queries scan the ``nprobe``
+  nearest cells.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, functions as F
+from pyspark.sql.window import Window
+
+from ..session import ensure_parallelism, ensure_shipped
+
+
+def _matrix(series: pd.Series, dim: int) -> np.ndarray:
+    if len(series) == 0:
+        return np.zeros((0, dim), dtype=np.float32)
+    return np.vstack(series.to_numpy()).astype(np.float32)
+
+
+def _normalize(m: np.ndarray) -> np.ndarray:
+    norms = np.linalg.norm(m, axis=1, keepdims=True)
+    norms[norms == 0] = 1.0
+    return m / norms
+
+
+def brute_force_topk(df: DataFrame, queries: np.ndarray,
+                     query_ids: np.ndarray, id_col: str, vec_col: str,
+                     k: int = 10) -> DataFrame:
+    """Exact cosine top-k of every query against the full table."""
+    spark = df.sparkSession
+    ensure_shipped(spark)
+    dim = queries.shape[1]
+    qn = _normalize(queries.astype(np.float32))
+    bc_q = spark.sparkContext.broadcast(qn)
+    bc_qid = spark.sparkContext.broadcast(np.asarray(query_ids))
+
+    def local_topk(iterator):
+        q = bc_q.value
+        qid = bc_qid.value
+        for batch in iterator:
+            m = _normalize(_matrix(batch[vec_col], dim))
+            ids = batch[id_col].to_numpy()
+            sims = q @ m.T  # (n_q, n_rows) — one BLAS call
+            kk = min(k, sims.shape[1])
+            if kk == 0:
+                continue
+            top = np.argpartition(-sims, kk - 1, axis=1)[:, :kk]
+            out_q, out_id, out_s = [], [], []
+            for qi in range(q.shape[0]):
+                out_q.extend([int(qid[qi])] * kk)
+                out_id.extend(ids[top[qi]].tolist())
+                out_s.extend(sims[qi, top[qi]].astype(float).tolist())
+            yield pd.DataFrame({"query_id": out_q, "neighbor_id": out_id,
+                                "cosine": out_s})
+
+    partial = ensure_parallelism(df.select(id_col, vec_col)).mapInPandas(
+        local_topk, schema="query_id long, neighbor_id long, cosine double")
+    w = F.row_number().over(
+        Window.partitionBy("query_id")
+        .orderBy(F.desc("cosine"), F.asc("neighbor_id")))
+    return (partial.withColumn("rank", w).filter(F.col("rank") <= k)
+            .select("query_id", "neighbor_id", "cosine", "rank"))
+
+
+def hyperplane_buckets(df: DataFrame, id_col: str, vec_col: str,
+                       bits: int = 8, dim: int = 64,
+                       seed: int = 7) -> DataFrame:
+    """Random-hyperplane LSH bucket per row (sign-pattern of ``bits``
+    projections)."""
+    spark = df.sparkSession
+    ensure_shipped(spark)
+    rng = np.random.default_rng(seed)
+    planes = rng.standard_normal((bits, dim)).astype(np.float32)
+    bc_p = spark.sparkContext.broadcast(planes)
+
+    def kernel(iterator):
+        p = bc_p.value
+        weights = (1 << np.arange(bits, dtype=np.int64))
+        for batch in iterator:
+            m = _matrix(batch[vec_col], dim)
+            signs = (m @ p.T) > 0
+            bucket = signs @ weights
+            yield pd.DataFrame({id_col: batch[id_col],
+                                "bucket": bucket.astype(np.int64)})
+
+    return ensure_parallelism(df.select(id_col, vec_col)).mapInPandas(
+        kernel, schema=f"{id_col} long, bucket long")
+
+
+def lsh_bucket_topk(df: DataFrame, id_col: str, vec_col: str,
+                    k: int = 10, bits: int = 6, dim: int = 64,
+                    seed: int = 7, tables: int = 4) -> DataFrame:
+    """Approximate all-pairs top-k: rows only compete within their LSH
+    bucket(s).  ``tables`` independent hash tables union their
+    candidates (standard multi-table LSH recall boost); each table's
+    bucket id is namespaced so the per-bucket kernels never mix
+    tables.  Returns (query_id, neighbor_id, cosine, rank) for every
+    row as its own query — the self-join form of ANN."""
+    all_buckets = None
+    for t in range(tables):
+        b = hyperplane_buckets(df, id_col, vec_col, bits=bits, dim=dim,
+                               seed=seed + 1000 * t)
+        b = b.withColumn("bucket",
+                         F.col("bucket") + F.lit(t * (1 << bits)))
+        all_buckets = b if all_buckets is None else all_buckets.unionByName(b)
+    vecs = df.select(id_col, vec_col).join(all_buckets, id_col)
+
+    def per_bucket(pdf: pd.DataFrame) -> pd.DataFrame:
+        m = _normalize(_matrix(pdf[vec_col], dim))
+        ids = pdf[id_col].to_numpy()
+        sims = m @ m.T
+        np.fill_diagonal(sims, -np.inf)
+        kk = min(k, max(sims.shape[1] - 1, 0))
+        if kk == 0:
+            return pd.DataFrame({"query_id": [], "neighbor_id": [],
+                                 "cosine": [], "rank": []})
+        top = np.argsort(-sims, axis=1)[:, :kk]
+        rows = []
+        for i in range(ids.size):
+            for r, j in enumerate(top[i], start=1):
+                if np.isfinite(sims[i, j]):
+                    rows.append((int(ids[i]), int(ids[j]),
+                                 float(sims[i, j]), r))
+        return pd.DataFrame(rows, columns=["query_id", "neighbor_id",
+                                           "cosine", "rank"])
+
+    partial = vecs.groupBy("bucket").applyInPandas(
+        per_bucket, schema="query_id long, neighbor_id long, cosine double, "
+                           "rank int")
+    # union of table candidates → global re-rank (dedup across tables)
+    w = F.row_number().over(
+        Window.partitionBy("query_id")
+        .orderBy(F.desc("cosine"), F.asc("neighbor_id")))
+    return (partial.select("query_id", "neighbor_id", "cosine").distinct()
+            .withColumn("rank", w).filter(F.col("rank") <= k))
+
+
+def ivf_topk(df: DataFrame, id_col: str, vec_col: str, k: int = 10,
+             n_cells: int = 16, nprobe: int = 2, dim: int = 64,
+             sample: int = 2048, seed: int = 7) -> DataFrame:
+    """IVF: seeded sampled centroids → cell assignment → probe nprobe
+    nearest cells per query (here: every row queries itself)."""
+    spark = df.sparkSession
+    ensure_shipped(spark)
+    samp = _matrix(pd.Series(
+        [r[vec_col] for r in df.select(vec_col).limit(sample).collect()]), dim)
+    rng = np.random.default_rng(seed)
+    cent = samp[rng.choice(samp.shape[0], size=min(n_cells, samp.shape[0]),
+                           replace=False)]
+    for _ in range(5):  # lloyd-lite, driver-side, deterministic
+        d = _normalize(samp) @ _normalize(cent).T
+        assign = d.argmax(axis=1)
+        for c in range(cent.shape[0]):
+            mask = assign == c
+            if mask.any():
+                cent[c] = samp[mask].mean(axis=0)
+    bc_c = spark.sparkContext.broadcast(_normalize(cent))
+
+    def assign_kernel(iterator):
+        c = bc_c.value
+        for batch in iterator:
+            m = _normalize(_matrix(batch[vec_col], dim))
+            sims = m @ c.T
+            order = np.argsort(-sims, axis=1)
+            cells = order[:, 0]
+            probes = order[:, :nprobe]
+            n = len(batch)
+            yield pd.DataFrame({
+                id_col: np.repeat(batch[id_col].to_numpy(), nprobe),
+                "cell": probes.ravel().astype(np.int64),
+                "is_home": (probes == cells[:, None]).ravel(),
+            })
+
+    cells = ensure_parallelism(df.select(id_col, vec_col)).mapInPandas(
+        assign_kernel, schema=f"{id_col} long, cell long, is_home boolean")
+    vecs = df.select(id_col, vec_col).join(cells, id_col)
+
+    def per_cell(pdf: pd.DataFrame) -> pd.DataFrame:
+        m = _normalize(_matrix(pdf[vec_col], dim))
+        ids = pdf[id_col].to_numpy()
+        home = pdf["is_home"].to_numpy()
+        sims = m @ m.T
+        np.fill_diagonal(sims, -np.inf)
+        rows = []
+        kk = min(k, max(ids.size - 1, 0))
+        if kk:
+            top = np.argsort(-sims, axis=1)[:, :kk]
+            for i in np.flatnonzero(home):  # only home rows emit queries
+                for j in top[i]:
+                    if np.isfinite(sims[i, j]):
+                        rows.append((int(ids[i]), int(ids[j]),
+                                     float(sims[i, j])))
+        return pd.DataFrame(rows, columns=["query_id", "neighbor_id",
+                                           "cosine"])
+
+    partial = vecs.groupBy("cell").applyInPandas(
+        per_cell, schema="query_id long, neighbor_id long, cosine double")
+    w = F.row_number().over(Window.partitionBy("query_id")
+                            .orderBy(F.desc("cosine"), F.asc("neighbor_id")))
+    return (partial.distinct().withColumn("rank", w)
+            .filter(F.col("rank") <= k))

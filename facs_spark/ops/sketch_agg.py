@@ -27,7 +27,7 @@ import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame, functions as F
 
-from ..session import ensure_shipped
+from ..session import ensure_parallelism, ensure_shipped
 from ..sketch import (BloomFilter, CountMinSketch, HyperLogLog, KLL, TDigest,
                       sketch_from_bytes)
 
@@ -145,8 +145,8 @@ def partial_sketches(df: DataFrame, spec: SketchSpec) -> DataFrame:
     Arrow boundary.
     """
     ensure_shipped(df.sparkSession)
-    return df.select(spec.column).mapInPandas(_partial_builder(spec),
-                                              schema=PARTIAL_SCHEMA)
+    return ensure_parallelism(df.select(spec.column)).mapInPandas(
+        _partial_builder(spec), schema=PARTIAL_SCHEMA)
 
 
 # ---------------------------------------------------------------- merge

@@ -1,0 +1,155 @@
+"""Text-analysis operators for the training-data pipeline: language
+ID, quality scoring, token counting, document fingerprinting.
+
+Everything is expressed with built-in ``pyspark.sql.functions`` where
+possible (JVM-side, whole-stage codegen) — Python kernels only where
+Spark has no primitive (winnowing fingerprints).  Each op's SQL-
+expressible core has an exact DuckDB oracle in queries.py.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import Column, DataFrame, functions as F
+
+from ..session import ensure_parallelism, ensure_shipped
+from ..sketch.hashing import hash_strings_batch
+
+# Marker-token tables for the n-gram/stopword language heuristic.
+# Deliberately tiny and transparent so the oracle can restate them.
+LANG_MARKERS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "and", "of", "to", "a"),
+    "de": ("der", "die", "und", "das", "ist"),
+    "fr": ("le", "la", "et", "les", "des"),
+    "es": ("el", "los", "que", "y", "en"),
+    "sv": ("och", "att", "det", "som", "en"),
+}
+DEFAULT_LANG = "und"
+
+
+def marker_count(text_col: Column, markers: tuple[str, ...]) -> Column:
+    """# occurrences of any marker token (word-boundary regex, JVM-side)."""
+    pattern = r"\b(" + "|".join(markers) + r")\b"
+    return F.size(F.regexp_extract_all(F.lower(text_col), F.lit(pattern), 1))
+
+
+def lang_id(df: DataFrame, text_col: str = "text",
+            out_col: str = "lang_guess") -> DataFrame:
+    """Heuristic language ID: argmax of marker-token counts.
+
+    Ties break by language code order; all-zero → 'und'.  Kept simple
+    enough to restate exactly in SQL (the oracle), which is the point:
+    the operator under test is the scalable scoring plumbing, not a
+    state-of-the-art classifier.
+    """
+    counts = [marker_count(F.col(text_col), m).alias(f"_c_{code}")
+              for code, m in LANG_MARKERS.items()]
+    tmp = df.select("*", *counts)
+    best = None
+    best_count = F.lit(0)
+    for code in LANG_MARKERS:  # first max wins (dict order = priority)
+        c = F.col(f"_c_{code}")
+        cond = c > best_count
+        best = F.when(cond, F.lit(code)).otherwise(
+            best if best is not None else F.lit(DEFAULT_LANG))
+        best_count = F.when(cond, c).otherwise(best_count)
+    out = tmp.withColumn(out_col, best)
+    return out.drop(*[f"_c_{code}" for code in LANG_MARKERS])
+
+
+def quality_features(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Length / punctuation / stopword-ratio quality features, JVM-side."""
+    t = F.col(text_col)
+    n_chars = F.length(t)
+    tokens = F.split(t, " ")
+    n_tokens = F.size(F.filter(tokens, lambda x: x != F.lit("")))
+    n_alpha = F.length(F.regexp_replace(t, r"[^A-Za-z]", ""))
+    n_punct = F.length(F.regexp_replace(t, r"[^.,;:!?]", ""))
+    n_stop = marker_count(t, LANG_MARKERS["en"])
+    mean_tok_len = F.when(n_tokens > 0,
+                          (n_chars - (n_tokens - 1)) / n_tokens).otherwise(0.0)
+    return df.select(
+        "*",
+        n_chars.alias("q_chars"),
+        n_tokens.alias("q_tokens"),
+        (n_alpha / F.greatest(n_chars, F.lit(1))).alias("q_alpha_ratio"),
+        (n_punct / F.greatest(n_chars, F.lit(1))).alias("q_punct_ratio"),
+        (n_stop / F.greatest(n_tokens, F.lit(1))).alias("q_stopword_ratio"),
+        mean_tok_len.alias("q_mean_token_len"),
+    )
+
+
+def quality_score(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Composite [0,1] quality score from the features (fixed weights)."""
+    feat = quality_features(df, text_col)
+    len_ok = F.when((F.col("q_tokens") >= 10) & (F.col("q_tokens") <= 100000),
+                    F.lit(1.0)).otherwise(F.lit(0.0))
+    score = (0.4 * len_ok
+             + 0.3 * F.least(F.col("q_alpha_ratio") * 1.25, F.lit(1.0))
+             + 0.2 * F.least(F.col("q_stopword_ratio") * 10, F.lit(1.0))
+             + 0.1 * (1.0 - F.least(F.col("q_punct_ratio") * 5, F.lit(1.0))))
+    return feat.withColumn("quality_score", score)
+
+
+def token_counts(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Whitespace + BPE-ish subword token counts (both JVM-side).
+
+    ``tokens_ws``: non-empty whitespace-split tokens.
+    ``tokens_bpe``: matches of a GPT-2-style pre-tokenizer regex
+    (letter runs, digit runs, single punctuation, leading-space
+    variants folded) — a deterministic proxy for BPE token count.
+    """
+    t = F.col(text_col)
+    ws = F.size(F.filter(F.split(t, r"\s+"), lambda x: x != F.lit("")))
+    bpe_pattern = r"([A-Za-z]+|[0-9]|[^A-Za-z0-9\s])"
+    bpe = F.size(F.regexp_extract_all(t, F.lit(bpe_pattern), 1))
+    return df.select("*", ws.alias("tokens_ws"), bpe.alias("tokens_bpe"))
+
+
+# ---------------------------------------------------------- fingerprint
+def winnow_fingerprints(df: DataFrame, id_col: str, text_col: str,
+                        k: int = 8, window: int = 4) -> DataFrame:
+    """Winnowing document fingerprints (Schleimer et al., SIGMOD 2003).
+
+    Rolling k-gram hashes; each sliding window of ``window`` hashes
+    contributes its minimum → a compact, position-robust fingerprint
+    set.  Emits (id, fingerprint) rows; vectorized per batch.
+    """
+    ensure_shipped(df.sparkSession)
+
+    def kernel(iterator):
+        from ..kernels.shingle import shingle_batch
+        from ..sketch.hashing import hash3_matrix
+        for batch in iterator:
+            sb = shingle_batch(batch[text_col].tolist(), k)
+            ids_out, fps_out = [], []
+            if sb.windows.shape[0]:
+                h = hash3_matrix(sb.windows, 0)
+                ids = batch[id_col].to_numpy()
+                for d in range(sb.doc_lengths.size):
+                    mask = sb.doc_idx == d
+                    hd = h[mask]
+                    if hd.size == 0:
+                        continue
+                    if hd.size <= window:
+                        mins = np.array([hd.min()])
+                    else:
+                        from numpy.lib.stride_tricks import sliding_window_view
+                        mins = sliding_window_view(hd, window).min(axis=1)
+                    fps = np.unique(mins)
+                    ids_out.extend([ids[d]] * fps.size)
+                    fps_out.extend((fps >> np.uint64(1)).astype(np.int64))
+            yield pd.DataFrame({id_col: ids_out, "fingerprint": fps_out})
+
+    return ensure_parallelism(df.select(id_col, text_col)).mapInPandas(
+        kernel, schema=f"{id_col} long, fingerprint long")
+
+
+def doc_digests(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Whole-document digests, JVM-side: md5 + crc32 + length."""
+    return df.select(
+        F.col(id_col),
+        F.md5(F.col(text_col)).alias("md5"),
+        F.crc32(F.col(text_col)).alias("crc32"),
+        F.length(F.col(text_col)).alias("text_len"))

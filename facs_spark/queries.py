@@ -377,6 +377,319 @@ LIMIT 50
 
 
 # =====================================================================
+# q10-q12 — deduplication suite (SURVEY training-data ops): MinHash+LSH
+# with exact-Jaccard verify, SimHash Hamming pairs, exact n-gram
+# Jaccard via inverted index.  The synthetic documents table contains
+# planted near-duplicates (pairs at Jaccard ≈ 0.99).
+# =====================================================================
+NEARDUP_THRESHOLD = 0.8
+
+
+def q10_minhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .ops.dedup import minhash_dedup
+    docs = _read(spark, sf_dir, "documents")
+    pairs = minhash_dedup(docs, "doc_id", "text",
+                          threshold=NEARDUP_THRESHOLD,
+                          num_hashes=128, bands=32, shingle_n=3)
+    # at J≥0.8 with 32 bands × 4 rows the miss probability per pair is
+    # (1-0.8^4)^32 ≈ 5e-9 — exact-recall for the oracle comparison
+    return (pairs.select("id_a", "id_b",
+                         F.round("jaccard", 6).alias("jaccard"))
+            .orderBy("id_a", "id_b"))
+
+
+_JACCARD_SQL_CORE = """
+toks AS (SELECT doc_id, string_split(lower(text), ' ') AS tk FROM documents),
+nums AS (SELECT CAST(unnest(range(1, (SELECT MAX(len(tk)) FROM toks) + 1))
+                AS INT) AS i),
+shingles AS (
+  SELECT DISTINCT doc_id,
+         array_to_string(list_slice(tk, n.i, n.i + 2), ' ') AS sh
+  FROM toks JOIN nums n ON n.i <= len(tk) - 2
+),
+sizes AS (SELECT doc_id, COUNT(*) AS sz FROM shingles GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS inter
+  FROM shingles a JOIN shingles b ON a.sh = b.sh AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id
+),
+jac AS (
+  SELECT id_a, id_b,
+         inter * 1.0 / (sa.sz + sb.sz - inter) AS jaccard
+  FROM inter
+  JOIN sizes sa ON sa.doc_id = id_a
+  JOIN sizes sb ON sb.doc_id = id_b
+)
+"""
+
+Q10_SQL = (f"WITH {_JACCARD_SQL_CORE} "
+           f"SELECT id_a, id_b, ROUND(jaccard, 6) AS jaccard FROM jac "
+           f"WHERE jaccard >= {NEARDUP_THRESHOLD} ORDER BY id_a, id_b")
+
+
+def q11_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup pairs (no SQL oracle — the fingerprint is not
+    SQL-expressible; driver records the rows-only check, and pytest
+    verifies recall against exact Jaccard)."""
+    from .ops.dedup import simhash_fingerprints, simhash_near_pairs
+    docs = _read(spark, sf_dir, "documents")
+    fp = simhash_fingerprints(docs, "doc_id", "text", shingle_n=2)
+    return (simhash_near_pairs(fp, "doc_id", max_hamming=3)
+            .orderBy("id_a", "id_b"))
+
+
+def q12_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .ops.dedup import ngram_jaccard_pairs
+    docs = _read(spark, sf_dir, "documents")
+    return (ngram_jaccard_pairs(docs, "doc_id", "text", shingle_n=3,
+                                threshold=0.5)
+            .select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
+            .orderBy("id_a", "id_b"))
+
+
+Q12_SQL = (f"WITH {_JACCARD_SQL_CORE} "
+           f"SELECT id_a, id_b, ROUND(jaccard, 6) AS jaccard FROM jac "
+           f"WHERE jaccard >= 0.5 ORDER BY id_a, id_b")
+
+
+# =====================================================================
+# q13 — similarity search: exact cosine top-k (brute force baseline;
+# LSH/IVF variants are q21, rows-only).
+# =====================================================================
+TOPK_QUERIES = 10
+TOPK_K = 5
+
+
+def q13_embedding_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import numpy as np
+
+    from .ops.similarity import brute_force_topk
+    emb = _read(spark, sf_dir, "embeddings")
+    qrows = (emb.filter(F.col("vec_id") < TOPK_QUERIES)
+             .select("vec_id", "embedding").collect())
+    qids = np.array([r["vec_id"] for r in qrows])
+    qvecs = np.array([r["embedding"] for r in qrows], dtype=np.float64)
+    out = brute_force_topk(emb.filter(F.col("vec_id") >= TOPK_QUERIES),
+                           qvecs, qids, "vec_id", "embedding", k=TOPK_K)
+    return (out.select("query_id", "neighbor_id",
+                       F.round("cosine", 6).alias("cosine"))
+            .orderBy("query_id", "neighbor_id"))
+
+
+Q13_SQL = f"""
+WITH q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
+           FROM embeddings WHERE vec_id < {TOPK_QUERIES}),
+base AS (SELECT vec_id AS neighbor_id, CAST(embedding AS DOUBLE[]) AS bv
+         FROM embeddings WHERE vec_id >= {TOPK_QUERIES}),
+sims AS (
+  SELECT q.query_id, base.neighbor_id,
+         list_cosine_similarity(q.qv, base.bv) AS cosine
+  FROM q CROSS JOIN base
+),
+ranked AS (
+  SELECT query_id, neighbor_id, cosine,
+         ROW_NUMBER() OVER (PARTITION BY query_id
+                            ORDER BY cosine DESC, neighbor_id) AS rk
+  FROM sims
+)
+SELECT query_id, neighbor_id, ROUND(cosine, 6) AS cosine
+FROM ranked WHERE rk <= {TOPK_K} ORDER BY query_id, neighbor_id
+"""
+
+
+# =====================================================================
+# q14-q17 — text analysis: language ID, quality score, token counting,
+# digests (JVM-side expressions; exact SQL oracles).
+# =====================================================================
+def q14_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .ops.textstats import lang_id
+    docs = _read(spark, sf_dir, "documents")
+    return (lang_id(docs).groupBy("lang_guess")
+            .agg(F.count(F.lit(1)).alias("n_docs"))
+            .orderBy("lang_guess"))
+
+
+def _marker_sql(code: str, markers) -> str:
+    pat = r"\b(" + "|".join(markers) + r")\b"
+    return f"len(regexp_extract_all(lower(text), '{pat}', 1)) AS c_{code}"
+
+
+Q14_SQL = """
+WITH counts AS (
+  SELECT doc_id,
+         {markers}
+  FROM documents
+),
+best AS (
+  SELECT doc_id,
+         CASE WHEN GREATEST(c_en, c_de, c_fr, c_es, c_sv) = 0 THEN 'und'
+              WHEN c_en = GREATEST(c_en, c_de, c_fr, c_es, c_sv) THEN 'en'
+              WHEN c_de = GREATEST(c_en, c_de, c_fr, c_es, c_sv) THEN 'de'
+              WHEN c_fr = GREATEST(c_en, c_de, c_fr, c_es, c_sv) THEN 'fr'
+              WHEN c_es = GREATEST(c_en, c_de, c_fr, c_es, c_sv) THEN 'es'
+              ELSE 'sv' END AS lang_guess
+  FROM counts
+)
+SELECT lang_guess, COUNT(*) AS n_docs FROM best
+GROUP BY lang_guess ORDER BY lang_guess
+"""
+
+
+def q15_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .ops.textstats import quality_score
+    docs = _read(spark, sf_dir, "documents")
+    return (quality_score(docs)
+            .select("doc_id", "q_chars", "q_tokens",
+                    F.round("q_alpha_ratio", 6).alias("alpha_ratio"),
+                    F.round("q_stopword_ratio", 6).alias("stopword_ratio"),
+                    F.round("quality_score", 6).alias("quality"))
+            .orderBy("doc_id"))
+
+
+Q15_SQL = r"""
+WITH feat AS (
+  SELECT doc_id,
+         length(text) AS q_chars,
+         len(list_filter(string_split(text, ' '), x -> x <> '')) AS q_tokens,
+         length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS n_alpha,
+         length(regexp_replace(text, '[^.,;:!?]', '', 'g')) AS n_punct,
+         len(regexp_extract_all(lower(text), '\b(the|and|of|to|a)\b', 1))
+           AS n_stop
+  FROM documents
+),
+scored AS (
+  SELECT doc_id, q_chars, q_tokens,
+         n_alpha * 1.0 / GREATEST(q_chars, 1) AS alpha_ratio,
+         n_stop * 1.0 / GREATEST(q_tokens, 1) AS stopword_ratio,
+         0.4 * (CASE WHEN q_tokens BETWEEN 10 AND 100000
+                     THEN 1.0 ELSE 0.0 END)
+         + 0.3 * LEAST(n_alpha * 1.0 / GREATEST(q_chars, 1) * 1.25, 1.0)
+         + 0.2 * LEAST(n_stop * 1.0 / GREATEST(q_tokens, 1) * 10, 1.0)
+         + 0.1 * (1.0 - LEAST(n_punct * 1.0 / GREATEST(q_chars, 1) * 5, 1.0))
+           AS quality
+  FROM feat
+)
+SELECT doc_id, q_chars, q_tokens, ROUND(alpha_ratio, 6) AS alpha_ratio,
+       ROUND(stopword_ratio, 6) AS stopword_ratio,
+       ROUND(quality, 6) AS quality
+FROM scored ORDER BY doc_id
+"""
+
+
+def q16_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .ops.textstats import token_counts
+    docs = _read(spark, sf_dir, "documents")
+    return (token_counts(docs)
+            .groupBy()
+            .agg(F.sum("tokens_ws").alias("total_ws"),
+                 F.sum("tokens_bpe").alias("total_bpe"),
+                 F.count(F.lit(1)).alias("n_docs")))
+
+
+Q16_SQL = r"""
+SELECT SUM(len(list_filter(regexp_split_to_array(text, '\s+'),
+                           x -> x <> ''))) AS total_ws,
+       SUM(len(regexp_extract_all(text,
+               '([A-Za-z]+|[0-9]|[^A-Za-z0-9\s])', 1))) AS total_bpe,
+       COUNT(*) AS n_docs
+FROM documents
+"""
+
+
+def q17_doc_digests(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .ops.textstats import doc_digests
+    docs = _read(spark, sf_dir, "documents")
+    return (doc_digests(docs, "doc_id", "text")
+            .select("doc_id", "md5", "text_len").orderBy("doc_id"))
+
+
+Q17_SQL = """
+SELECT doc_id, md5(text) AS md5, length(text) AS text_len
+FROM documents ORDER BY doc_id
+"""
+
+
+# =====================================================================
+# q18-q19 — multimodal plumbing: binary media columns with typed
+# metadata (decode is stubbed; the Spark-side schema/batching is real
+# and oracle-checked via the deterministic container header).
+# =====================================================================
+def q18_media_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .ops.multimodal import media_metadata, synth_media
+    docs = _read(spark, sf_dir, "documents").select("doc_id")
+    media = synth_media(docs, "doc_id")
+    return (media_metadata(media, "doc_id")
+            .select("doc_id", "mime", "width", "height", "nbytes")
+            .orderBy("doc_id"))
+
+
+Q18_SQL = """
+SELECT doc_id, 'image/x-fake' AS mime,
+       CAST(16 + (doc_id * 7) % 48 AS INT) AS width,
+       CAST(16 + (doc_id * 13) % 48 AS INT) AS height,
+       8 + (16 + (doc_id * 7) % 48) * (16 + (doc_id * 13) % 48) AS nbytes
+FROM documents ORDER BY doc_id
+"""
+
+
+def q19_frame_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .ops.multimodal import frame_sample_plan
+    docs = (_read(spark, sf_dir, "documents")
+            .select("doc_id", (F.col("n_chars") * 10).alias("duration_ms")))
+    plan = frame_sample_plan(docs, "doc_id", "duration_ms", fps=1.0,
+                             max_frames=16)
+    return plan.orderBy("doc_id", "frame_idx")
+
+
+Q19_SQL = """
+SELECT doc_id, CAST(f.i AS INT) AS frame_idx,
+       CAST(f.i * 1000 AS BIGINT) AS frame_ts_ms
+FROM documents d,
+     LATERAL (SELECT unnest(range(0,
+              LEAST(CAST(FLOOR(d.n_chars * 10 / 1000) AS BIGINT) + 1, 16)))
+              AS i) f
+ORDER BY doc_id, frame_idx
+"""
+
+
+# =====================================================================
+# q20 — window function breadth: top-3 events by value per user.
+# =====================================================================
+def q20_window_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+    ev = _read(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(F.desc("value"),
+                                              F.asc("event_id"))
+    return (ev.withColumn("rk", F.row_number().over(w))
+            .filter((F.col("rk") <= 3) & (F.col("user_id") < 50))
+            .select("user_id", "event_id", "rk",
+                    F.round("value", 6).alias("value"))
+            .orderBy("user_id", "rk"))
+
+
+Q20_SQL = """
+SELECT user_id, event_id, rk, ROUND(value, 6) AS value
+FROM (SELECT user_id, event_id, value,
+             ROW_NUMBER() OVER (PARTITION BY user_id
+                                ORDER BY value DESC, event_id) AS rk
+      FROM events) t
+WHERE rk <= 3 AND user_id < 50
+ORDER BY user_id, rk
+"""
+
+
+# =====================================================================
+# q21 — ANN scale paths (LSH buckets / IVF cells); rows-only check —
+# recall vs the exact q13 baseline is asserted in pytest instead.
+# =====================================================================
+def q21_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .ops.similarity import lsh_bucket_topk
+    emb = _read(spark, sf_dir, "embeddings")
+    return (lsh_bucket_topk(emb, "vec_id", "embedding", k=5, bits=4)
+            .orderBy("query_id", "rank"))
+
+
+# =====================================================================
 # registry
 # =====================================================================
 def queries():
@@ -390,6 +703,18 @@ def queries():
         "q07_tdigest_quantiles": q07_tdigest_quantiles,
         "q08_kll_quantiles": q08_kll_quantiles,
         "q09_exact_dedup": q09_exact_dedup,
+        "q10_minhash_neardup": q10_minhash_neardup,
+        "q11_simhash_pairs": q11_simhash_pairs,
+        "q12_ngram_jaccard": q12_ngram_jaccard,
+        "q13_embedding_topk": q13_embedding_topk,
+        "q14_lang_id": q14_lang_id,
+        "q15_quality": q15_quality,
+        "q16_token_counts": q16_token_counts,
+        "q17_doc_digests": q17_doc_digests,
+        "q18_media_metadata": q18_media_metadata,
+        "q19_frame_plan": q19_frame_plan,
+        "q20_window_topk": q20_window_topk,
+        "q21_ann_lsh": q21_ann_lsh,
     }
 
 
@@ -404,6 +729,22 @@ def oracle_sql():
         "q07_tdigest_quantiles": Q07_SQL,
         "q08_kll_quantiles": Q08_SQL,
         "q09_exact_dedup": Q09_SQL,
+        "q10_minhash_neardup": Q10_SQL,
+        # q11 simhash: fingerprint not SQL-expressible → rows-only
+        "q12_ngram_jaccard": Q12_SQL,
+        "q13_embedding_topk": Q13_SQL,
+        "q14_lang_id": Q14_SQL.format(markers=",\n         ".join(
+            _marker_sql(c, m) for c, m in
+            __import__("facs_spark.ops.textstats",
+                       fromlist=["LANG_MARKERS"]).LANG_MARKERS.items())),
+        "q15_quality": Q15_SQL,
+        "q16_token_counts": Q16_SQL,
+        "q17_doc_digests": Q17_SQL,
+        "q18_media_metadata": Q18_SQL,
+        "q19_frame_plan": Q19_SQL,
+        "q20_window_topk": Q20_SQL,
+        # q21 ANN: approximate by design → rows-only; recall asserted
+        # against the exact baseline in tests
     }
 
 

@@ -76,6 +76,42 @@ class BloomFilter:
         return hash5_matrix(keys, FACS_SEEDS[i]) % m
 
     # -- update ------------------------------------------------------
+    @staticmethod
+    def _unique_rows(keys: np.ndarray):
+        """Distinct keys + inverse map.
+
+        Hashing cost scales with *distinct* windows per batch, not raw
+        windows — natural-language k-grams repeat heavily, so this cuts
+        the memory-bound hash passes by the duplication factor while
+        producing identical bits.
+        """
+        n, width = keys.shape
+        if n <= 1 or width == 0:
+            return keys, None
+        if width <= 16:
+            # fast path: pad to 16 bytes → two uint64 sort keys; a
+            # lexsort on integers beats np.unique's memcmp-void argsort
+            # by ~3-4× on the hot k=15 case
+            padded = np.zeros((n, 16), dtype=np.uint8)
+            padded[:, :width] = keys
+            u = padded.view("<u8")
+            hi, lo = u[:, 0], u[:, 1]
+            order = np.lexsort((lo, hi))
+            hs, ls = hi[order], lo[order]
+            new = np.empty(n, dtype=bool)
+            new[0] = True
+            new[1:] = (hs[1:] != hs[:-1]) | (ls[1:] != ls[:-1])
+            group = np.cumsum(new) - 1
+            inv = np.empty(n, dtype=np.int64)
+            inv[order] = group
+            uniq = keys[order[new]]
+            return uniq, inv
+        void = np.ascontiguousarray(keys).view(
+            np.dtype((np.void, width))).ravel()
+        uniq_v, inv = np.unique(void, return_inverse=True)
+        uniq = uniq_v.view(np.uint8).reshape(-1, width)
+        return uniq, inv
+
     def add_batch(self, keys: np.ndarray) -> int:
         """Insert an (n, L) uint8 key matrix; returns # novel keys.
 
@@ -91,6 +127,7 @@ class BloomFilter:
         """
         if keys.shape[0] == 0:
             return 0
+        keys, _inv = self._unique_rows(keys)
         novel = np.zeros(keys.shape[0], dtype=bool)
         byte_idx_all = []
         spot_all = []
@@ -108,17 +145,41 @@ class BloomFilter:
         return n_novel
 
     # -- probe -------------------------------------------------------
-    def contains_batch(self, keys: np.ndarray) -> np.ndarray:
+    def contains_batch(self, keys: np.ndarray,
+                       cache: dict | None = None) -> np.ndarray:
         """Boolean membership for an (n, L) uint8 key matrix.
 
         Early-exits per seed: after each hash round only surviving
         candidates are re-probed (the vectorized analogue of
         ``bloom_test``'s first-unset-bit return, facs/bloom.c:146-157).
+
+        ``cache``: optional cross-batch memo {key bytes: bool}.
+        Membership of an immutable filter is deterministic, so
+        memoizing is semantics-free; web corpora repeat shingles
+        (boilerplate) heavily enough that this removes most hash work.
         """
-        n = keys.shape[0]
+        if cache is not None:
+            uniq, inv = self._unique_rows(keys)
+            key_bytes = [r.tobytes() for r in uniq]
+            missing = [i for i, b in enumerate(key_bytes) if b not in cache]
+            if missing:
+                fresh = self._contains_unique(uniq[np.asarray(missing)])
+                if len(cache) > 4_000_000:  # bound worker memory
+                    cache.clear()
+                for i, v in zip(missing, fresh):
+                    cache[key_bytes[i]] = bool(v)
+            out = np.fromiter((cache[b] for b in key_bytes), dtype=bool,
+                              count=len(key_bytes))
+            return out if inv is None else out[inv]
+        uniq, inv = self._unique_rows(keys)
+        out = self._contains_unique(uniq)
+        return out if inv is None else out[inv]
+
+    def _contains_unique(self, uniq: np.ndarray) -> np.ndarray:
+        n = uniq.shape[0]
         alive = np.arange(n)
         out = np.zeros(n, dtype=bool)
-        sub = keys
+        sub = uniq
         for i in range(self.stat.ideal_hashes):
             idx = self._indices(sub, i)
             byte_idx = (idx >> np.uint64(3)).astype(np.int64)
@@ -126,9 +187,10 @@ class BloomFilter:
             hit = (self.vector[byte_idx] & spot) != 0
             alive = alive[hit]
             if alive.size == 0:
-                return out
-            sub = keys[alive]
-        out[alive] = True
+                break
+            sub = uniq[alive]
+        else:
+            out[alive] = True
         return out
 
     # -- merge -------------------------------------------------------

@@ -58,6 +58,14 @@ def _le64(block: np.ndarray) -> np.ndarray:
     return np.ascontiguousarray(block).view("<u8").ravel().astype(U64, copy=False)
 
 
+def _le64_pad(block: np.ndarray) -> np.ndarray:
+    """Little-endian pack of an (n, <8) uint8 block, zero-padded."""
+    n, w = block.shape
+    padded = np.zeros((n, 8), dtype=np.uint8)
+    padded[:, :w] = block
+    return padded.view("<u8").ravel()
+
+
 def hash3_matrix(keys: np.ndarray, level: int | np.ndarray) -> np.ndarray:
     """Vectorized lookup8 ``hash3`` over an (n, L) uint8 key matrix.
 
@@ -81,17 +89,23 @@ def hash3_matrix(keys: np.ndarray, level: int | np.ndarray) -> np.ndarray:
             pos += 24
             rem -= 24
         c += U64(length)
-        # Tail switch fall-through: byte j of the tail lands in a/b/c
-        # shifted exactly as the reference's 23-case switch places it
-        # (c's low byte reserved for the length).
-        for j in range(rem - 1, -1, -1):
-            byte = keys[:, pos + j].astype(U64)
-            if j >= 16:
-                c += byte << U64(8 * (j - 16) + 8)
-            elif j >= 8:
-                b += byte << U64(8 * (j - 8))
+        # Tail switch fall-through, vectorized: the 23-case switch adds
+        # tail bytes 0..7 to a, 8..15 to b, 16..22 to c<<8 — i.e. one
+        # little-endian pack per lane (c's low byte reserved for the
+        # length).  Zero-pad each lane to 8 bytes and pack once.
+        if rem:
+            tail = keys[:, pos:]
+            if rem >= 8:
+                a += _le64(tail[:, 0:8])
             else:
-                a += byte << U64(8 * j)
+                a += _le64_pad(tail[:, 0:rem])
+            if rem > 8:
+                if rem >= 16:
+                    b += _le64(tail[:, 8:16])
+                else:
+                    b += _le64_pad(tail[:, 8:rem])
+            if rem > 16:
+                c += _le64_pad(tail[:, 16:rem]) << U64(8)
         a, b, c = _mix64(a, b, c)
     return c
 

