@@ -36,6 +36,20 @@ from .shingle import (encode_batch, flat_positions,
                       quick_probe_positions_batch, windows_at)
 
 
+_REVCOMP = str.maketrans("ACGTacgt", "TGCAtgca")
+
+
+def rev_complement_batch(texts):
+    """Reverse-complement canonicalization (rev_trans parity,
+    facs/bloom.c:368-412): reverse + A<->T / C<->G, case preserved."""
+    return [("" if t is None else t).translate(_REVCOMP)[::-1]
+            for t in texts]
+
+
+# named second-pass canonicalizers (picklable by module reference)
+CANONICALIZERS = {"dna_revcomp": rev_complement_batch}
+
+
 @dataclass
 class ClassifyResult:
     """Per-page classification + the global counter contributions."""

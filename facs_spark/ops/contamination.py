@@ -25,7 +25,7 @@ from __future__ import annotations
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
-from ..kernels.classify import classify_batch
+from ..kernels.classify import CANONICALIZERS, classify_batch
 from ..session import ensure_parallelism, ensure_shipped
 from ..sketch import BloomFilter, mco_suggestion, prob_suggestion
 from ..sketch.prob import cdf, get_mu, get_sigma
@@ -66,7 +66,10 @@ _KERNEL_BATCH = 2500  # cache-resident slice; see session.py batch note
 
 
 def _classify_kernel(bc_blob, passthrough: tuple[str, ...], text_col: str,
-                     k: int, tole_rate: float, memoize: bool = False):
+                     k: int, tole_rate: float, memoize: bool = False,
+                     canonicalize: str | None = None):
+    canon_fn = CANONICALIZERS[canonicalize] if canonicalize else None
+
     def run(iterator):
         bloom = BloomFilter.from_bytes(bc_blob.value)
         # optional cross-batch probe memo: wins on boilerplate-heavy
@@ -76,7 +79,8 @@ def _classify_kernel(bc_blob, passthrough: tuple[str, ...], text_col: str,
             for lo in range(0, len(batch), _KERNEL_BATCH):
                 sub = batch.iloc[lo:lo + _KERNEL_BATCH]
                 res = classify_batch(sub[text_col].tolist(), bloom, k,
-                                     tole_rate, cache=memo)
+                                     tole_rate, cache=memo,
+                                     canonicalize=canon_fn)
                 out = {c: sub[c] for c in passthrough}
                 out["contaminated"] = res.contaminated
                 out["match_score"] = res.score
@@ -93,7 +97,8 @@ def classify_pages(df: DataFrame, bloom: BloomFilter,
                    passthrough: tuple[str, ...] = (),
                    tole_rate: float | None = None,
                    sample_fraction: float | None = None,
-                   seed: int = 42, memoize: bool = False) -> DataFrame:
+                   seed: int = 42, memoize: bool = False,
+                   canonicalize: str | None = None) -> DataFrame:
     """Classify pages against a broadcast Bloom filter.
 
     ``sample_fraction`` is the reference's ``-s`` Bernoulli sampling
@@ -115,7 +120,8 @@ def classify_pages(df: DataFrame, bloom: BloomFilter,
     pass_schema = ", ".join(f"{c} {dtypes[c]}" for c in cols)
     schema = (pass_schema + ", " if pass_schema else "") + CLASSIFY_COLS
     return sel.mapInPandas(
-        _classify_kernel(bc, cols, text_col, k, tole, memoize=memoize),
+        _classify_kernel(bc, cols, text_col, k, tole, memoize=memoize,
+                         canonicalize=canonicalize),
         schema=schema)
 
 

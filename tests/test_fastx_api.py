@@ -1,0 +1,153 @@
+"""FASTA/FASTQ source + facs facade e2e — the reference's own test
+shape (tests/test_basic.py / test_simngs.py / test_remove.py): build a
+filter from a reference FASTA, query a synthetic FASTQ with known
+ground truth, check the JSON report, and check remove's artifacts."""
+
+import glob
+import gzip
+import json
+import os
+
+import numpy as np
+import pytest
+
+import facs_spark.api as facs
+from facs_spark.io.fastx import read_fastx, sniff_format
+from facs_spark.kernels.classify import rev_complement_batch
+from facs_spark.session import get_spark
+
+BASES = np.array(list("ACGT"))
+
+
+def _seq(rng, n):
+    return "".join(rng.choice(BASES, size=n))
+
+
+@pytest.fixture(scope="module")
+def spark():
+    yield get_spark("facs_fastx_tests", cpus=4, shuffle_partitions=4)
+
+
+@pytest.fixture(scope="module")
+def fixtures(tmp_path_factory):
+    """Reference genome FASTA (+ gz), mixed query FASTQ with known
+    contamination (the simNGS mixed-dataset analogue,
+    tests/test_simngs.py:113-149)."""
+    rng = np.random.default_rng(6666520666)
+    d = tmp_path_factory.mktemp("fastx")
+    genome = _seq(rng, 5000)
+    ref = d / "ecoli.fasta"
+    # multi-line FASTA (fa_count newline-strip path, facs/tool.c:359-376)
+    lines = [genome[i:i + 70] for i in range(0, len(genome), 70)]
+    ref.write_text(">chr1 test genome\n" + "\n".join(lines) + "\n")
+    with gzip.open(str(d / "ecoli.fasta.gz"), "wt") as gz:
+        gz.write(">chr1 test genome\n" + "\n".join(lines) + "\n")
+
+    # 60 contaminated reads (substrings of the genome, some reverse-
+    # complemented, some case-mangled) + 140 clean random reads
+    reads = []
+    for i in range(60):
+        start = int(rng.integers(0, len(genome) - 120))
+        r = genome[start:start + 100]
+        if i % 3 == 1:
+            r = rev_complement_batch([r])[0]  # hits via revcomp retry
+        if i % 5 == 2:
+            r = "".join(c.lower() if rng.random() < 0.5 else c for c in r)
+        reads.append(("contam%d" % i, r))
+    for i in range(140):
+        reads.append(("clean%d" % i, _seq(rng, 100)))
+    fq = d / "sample.fastq"
+    fq.write_text("".join(f"@{rid}\n{seq}\n+\n{'I' * len(seq)}\n"
+                          for rid, seq in reads))
+    with gzip.open(str(d / "sample.fastq.gz"), "wt") as gz:
+        gz.write("".join(f"@{rid}\n{seq}\n+\n{'I' * len(seq)}\n"
+                         for rid, seq in reads))
+    return {"dir": str(d), "ref": str(ref), "fq": str(fq),
+            "genome": genome, "n_contam": 60, "n_total": 200}
+
+
+def test_sniff_format():
+    assert sniff_format("x.fastq") == "fastq"
+    assert sniff_format("x.fq.gz") == "fastq"
+    assert sniff_format("x.fasta") == "fasta"
+    assert sniff_format("weird.dat", b"@") == "fastq"
+    assert sniff_format("weird.dat", b">") == "fasta"
+
+
+def test_read_fastx_and_split_alignment(spark, fixtures):
+    reads = read_fastx(spark, fixtures["fq"]).collect()
+    assert len(reads) == fixtures["n_total"]
+    by_id = {r["read_id"]: r for r in reads}
+    assert len(by_id["contam0"]["seq"]) == 100
+    assert by_id["contam0"]["qual"] == "I" * 100
+    # tiny splits force the FASTQ realignment path — same multiset
+    tiny = read_fastx(spark, fixtures["fq"], split_bytes=1500).collect()
+    assert sorted(r["read_id"] for r in tiny) == sorted(by_id)
+    assert {r["read_id"]: r["seq"] for r in tiny} == {
+        k: v["seq"] for k, v in by_id.items()}
+
+
+def test_read_fasta_multiline_and_gzip(spark, fixtures):
+    fa = read_fastx(spark, fixtures["ref"]).collect()
+    assert len(fa) == 1
+    assert fa[0]["seq"] == fixtures["genome"]  # newlines stripped
+    assert fa[0]["qual"] is None
+    gz = read_fastx(spark, fixtures["ref"] + ".gz").collect()
+    assert gz[0]["seq"] == fixtures["genome"]
+    fqgz = read_fastx(spark, fixtures["fq"] + ".gz").collect()
+    assert len(fqgz) == fixtures["n_total"]
+
+
+def test_build_query_report(spark, fixtures):
+    bloom_path = os.path.join(fixtures["dir"], "ecoli.bloom")
+    assert facs.build(fixtures["ref"], bloom_path, k_mer=16,
+                      error_rate=0.0005, spark=spark) == 0
+    report = json.loads(facs.query(fixtures["fq"], bloom_path,
+                                   spark=spark))
+    assert report["total_read_count"] == fixtures["n_total"]
+    # all planted contaminated reads found (incl. revcomp + case
+    # variants); random 100-mers never match 16-gram membership
+    assert report["contaminated_reads"] == fixtures["n_contam"]
+    assert abs(report["contamination_rate"]
+               - fixtures["n_contam"] / fixtures["n_total"]) < 1e-9
+    assert 0.0 <= report["p_value"] <= 1.0
+    assert report["begin_timestamp"] <= report["end_timestamp"]
+    # tsv variant
+    tsv = facs.query(fixtures["fq"], bloom_path, report_fmt="tsv",
+                     spark=spark)
+    assert tsv.startswith("sample\t") and str(fixtures["n_contam"]) in tsv
+
+
+def test_query_sampling(spark, fixtures):
+    bloom_path = os.path.join(fixtures["dir"], "ecoli.bloom")
+    report = json.loads(facs.query(fixtures["fq"], bloom_path,
+                                   sampling_rate=0.5, spark=spark))
+    assert 0 < report["total_read_count"] < fixtures["n_total"]
+
+
+def test_remove_artifacts(spark, fixtures):
+    """Clean + contam outputs exist and partition the input
+    (tests/test_remove.py:22-31 artifact assertions)."""
+    bloom_path = os.path.join(fixtures["dir"], "ecoli.bloom")
+    facs.remove(fixtures["fq"], bloom_path, spark=spark)
+    clean_dir = os.path.join(fixtures["dir"], "sample_ecoli_clean.fastq")
+    contam_dir = os.path.join(fixtures["dir"], "sample_ecoli_contam.fastq")
+    assert os.path.isdir(clean_dir) and os.path.isdir(contam_dir)
+
+    def read_ids(d):
+        ids = []
+        for part in glob.glob(os.path.join(d, "part-*")):
+            with open(part) as fh:
+                ids.extend(l.strip()[1:] for l in fh
+                           if l.startswith("@"))
+        return ids
+
+    clean_ids, contam_ids = read_ids(clean_dir), read_ids(contam_dir)
+    assert len(clean_ids) + len(contam_ids) == fixtures["n_total"]
+    assert all(i.startswith("contam") for i in contam_ids)
+    assert len(contam_ids) == fixtures["n_contam"]
+
+
+def test_bloom_extension_guard(spark, fixtures):
+    with pytest.raises(ValueError, match=".bloom extension"):
+        facs.query(fixtures["fq"], fixtures["ref"], spark=spark)
