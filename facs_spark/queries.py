@@ -690,6 +690,68 @@ def q21_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # =====================================================================
+# q22 — grouped quantile sketches (KLL per lang) with rank-error gate:
+# the groupBy("lang") generalization of the reference's single global
+# aggregate (SURVEY §2.10).
+# =====================================================================
+def q22_grouped_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import pandas as pd
+
+    from .ops.sketch_agg import SketchSpec, grouped_sketches
+    docs = _read(spark, sf_dir, "documents")
+    g = grouped_sketches(docs, ["lang"], SketchSpec.make("kll", "n_chars",
+                                                         k=200)).collect()
+    rows = []
+    for r in g:
+        sk = sketch_from_bytes(bytes(r["sketch"]))
+        grp = docs.filter(F.col("lang") == r["lang"])
+        n = grp.count()
+        for q in (0.25, 0.5, 0.75):
+            est = float(sk.quantile(q))
+            rank = grp.filter(F.col("n_chars") <= est).count() / n
+            # ≤ 1/n slack: quantile of a discrete sample can't land
+            # closer than one observation
+            rows.append({"lang": r["lang"], "q": q,
+                         "within_bound": bool(abs(rank - q)
+                                              <= sk.rank_error + 1.0 / n)})
+    return (spark.createDataFrame(pd.DataFrame(rows))
+            .select("lang", "q", "within_bound").orderBy("lang", "q"))
+
+
+Q22_SQL = """
+SELECT lang, q, TRUE AS within_bound
+FROM (SELECT DISTINCT lang FROM documents) l
+CROSS JOIN (VALUES (CAST(0.25 AS DOUBLE)), (CAST(0.5 AS DOUBLE)),
+                   (CAST(0.75 AS DOUBLE))) t(q)
+ORDER BY lang, q
+"""
+
+
+# =====================================================================
+# q23 — skew-safe salted join ≡ plain join (ops/skew.py): the salted
+# path must produce byte-identical aggregates to the unsalted plan.
+# =====================================================================
+def q23_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .ops.skew import salted_join
+    li = _read(spark, sf_dir, "lineitem")
+    part = _read(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    joined = salted_join(li.withColumnRenamed("l_partkey", "p_partkey"),
+                         part, "p_partkey", nsalt=8)
+    return (joined.groupBy("p_brand")
+            .agg(F.count(F.lit(1)).alias("n_items"),
+                 F.sum("l_quantity").cast("long").alias("sum_qty"))
+            .orderBy("p_brand"))
+
+
+Q23_SQL = """
+SELECT p.p_brand, COUNT(*) AS n_items,
+       CAST(SUM(l.l_quantity) AS BIGINT) AS sum_qty
+FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+GROUP BY p.p_brand ORDER BY p.p_brand
+"""
+
+
+# =====================================================================
 # registry
 # =====================================================================
 def queries():
@@ -715,6 +777,8 @@ def queries():
         "q19_frame_plan": q19_frame_plan,
         "q20_window_topk": q20_window_topk,
         "q21_ann_lsh": q21_ann_lsh,
+        "q22_grouped_quantiles": q22_grouped_quantiles,
+        "q23_salted_join": q23_salted_join,
     }
 
 
@@ -745,6 +809,8 @@ def oracle_sql():
         "q20_window_topk": Q20_SQL,
         # q21 ANN: approximate by design → rows-only; recall asserted
         # against the exact baseline in tests
+        "q22_grouped_quantiles": Q22_SQL,
+        "q23_salted_join": Q23_SQL,
     }
 
 
