@@ -161,3 +161,22 @@ def remove(src: str, ref: str, tole_rate: float = 0,
     threads = spark.sparkContext.defaultParallelism
     return _report_json(row, src, ref, bloom.k_mer, begin, report_fmt,
                         threads)
+
+
+def info(bloom_filter: str) -> dict:
+    """facs info: filter metadata (print_bloom_info, facs/info.c:13-33)."""
+    return _load_bloom(bloom_filter).info()
+
+
+def query_multi(qry: str, bloom_filters: list[str], tole_rate: float = 0,
+                spark=None):
+    """Screen one sample against many filters in a single input pass
+    (the reference's -l list mode / fastq_screen comparison)."""
+    from .ops.contamination import classify_multi, screen_report
+    spark = spark or get_spark("facs_query_multi")
+    blooms = {os.path.basename(p): _load_bloom(p) for p in bloom_filters}
+    reads = read_fastx(spark, qry)
+    cm = classify_multi(reads, blooms, text_col="seq",
+                        tole_rate=tole_rate if tole_rate > 0 else None,
+                        canonicalize="dna_revcomp")
+    return screen_report(cm)

@@ -71,7 +71,9 @@ def _classify_kernel(bc_blob, passthrough: tuple[str, ...], text_col: str,
     canon_fn = CANONICALIZERS[canonicalize] if canonicalize else None
 
     def run(iterator):
-        bloom = BloomFilter.from_bytes(bc_blob.value)
+        blob = bc_blob.value
+        bloom = (BloomFilter.from_banks([bytes(b) for b in blob])
+                 if isinstance(blob, list) else BloomFilter.from_bytes(blob))
         # optional cross-batch probe memo: wins on boilerplate-heavy
         # corpora with large k; per-batch dedup already covers the rest
         memo: dict | None = {} if memoize else None
@@ -98,7 +100,8 @@ def classify_pages(df: DataFrame, bloom: BloomFilter,
                    tole_rate: float | None = None,
                    sample_fraction: float | None = None,
                    seed: int = 42, memoize: bool = False,
-                   canonicalize: str | None = None) -> DataFrame:
+                   canonicalize: str | None = None,
+                   max_bank_bytes: int | None = None) -> DataFrame:
     """Classify pages against a broadcast Bloom filter.
 
     ``sample_fraction`` is the reference's ``-s`` Bernoulli sampling
@@ -112,7 +115,15 @@ def classify_pages(df: DataFrame, bloom: BloomFilter,
     tole = mco_suggestion(k) if tole_rate is None else tole_rate
     if sample_fraction is not None and sample_fraction < 1.0:
         df = df.sample(fraction=sample_fraction, seed=seed)
-    bc = spark.sparkContext.broadcast(bloom.to_bytes())
+    blob = bloom.to_bytes()
+    # Oversized filters ship as banked blobs (JVM arrays cap at 2 GB;
+    # SURVEY §4 physical notes).  Auto-banks past 1 GiB, or force with
+    # max_bank_bytes for testing.
+    if max_bank_bytes or len(blob) > (1 << 30):
+        bc = spark.sparkContext.broadcast(
+            bloom.split_banks(max_bank_bytes or (1 << 30)))
+    else:
+        bc = spark.sparkContext.broadcast(blob)
     cols = tuple(passthrough)
     select_cols = list(dict.fromkeys(cols + (text_col,)))
     sel = ensure_parallelism(df.select(*select_cols))
@@ -178,3 +189,73 @@ def remove_split(df: DataFrame, bloom: BloomFilter, text_col: str = "text",
     clean = classified.filter(~F.col("contaminated"))
     contam = classified.filter(F.col("contaminated"))
     return clean, contam
+
+
+# --------------------------------------------------------------- multi
+def _multi_kernel(bc_blobs, names: tuple[str, ...],
+                  passthrough: tuple[str, ...], text_col: str,
+                  toles: tuple[float, ...], canonicalize: str | None = None):
+    canon_fn = CANONICALIZERS[canonicalize] if canonicalize else None
+
+    def run(iterator):
+        blooms = [BloomFilter.from_bytes(b) for b in bc_blobs.value]
+        for batch in iterator:
+            for lo in range(0, len(batch), _KERNEL_BATCH):
+                sub = batch.iloc[lo:lo + _KERNEL_BATCH]
+                texts = sub[text_col].tolist()
+                for name, bloom, tole in zip(names, blooms, toles):
+                    res = classify_batch(texts, bloom,
+                                         bloom.k_mer or 15, tole,
+                                         canonicalize=canon_fn)
+                    out = {c: sub[c] for c in passthrough}
+                    out["filter_name"] = name
+                    out["contaminated"] = res.contaminated
+                    out["match_score"] = res.score
+                    out["match_time"] = res.match_time
+                    out["text_len"] = res.lengths
+                    out["escalated"] = res.escalated
+                    yield pd.DataFrame(out)
+
+    return run
+
+
+def classify_multi(df: DataFrame, blooms: dict[str, BloomFilter],
+                   text_col: str = "text",
+                   passthrough: tuple[str, ...] = (),
+                   tole_rate: float | None = None,
+                   canonicalize: str | None = None) -> DataFrame:
+    """Screen pages against MANY filters in one pass (long format).
+
+    The reference's fastq_screen-style multi-filter screening loops
+    query() per `.bloom` file (facs/file_dir.c:104-129); here every
+    filter broadcasts once and each Arrow batch is probed against all
+    of them without rescanning the input (SURVEY §2.5).  Output: one
+    row per (page, filter_name).
+    """
+    spark = df.sparkSession
+    ensure_shipped(spark)
+    names = tuple(blooms)
+    toles = tuple((mco_suggestion(blooms[n].k_mer or 15)
+                   if tole_rate is None else tole_rate) for n in names)
+    bc = spark.sparkContext.broadcast([blooms[n].to_bytes() for n in names])
+    cols = tuple(passthrough)
+    select_cols = list(dict.fromkeys(cols + (text_col,)))
+    sel = ensure_parallelism(df.select(*select_cols))
+    dtypes = {f.name: f.dataType.simpleString() for f in sel.schema.fields}
+    pass_schema = ", ".join(f"{c} {dtypes[c]}" for c in cols)
+    schema = ((pass_schema + ", " if pass_schema else "")
+              + "filter_name string, " + CLASSIFY_COLS)
+    return sel.mapInPandas(
+        _multi_kernel(bc, names, cols, text_col, toles,
+                      canonicalize=canonicalize), schema=schema)
+
+
+def screen_report(classified_multi: DataFrame) -> DataFrame:
+    """Per-filter report rows (the fastq_screen comparison table)."""
+    return (classified_multi.groupBy("filter_name").agg(
+        F.count(F.lit(1)).alias("total_read_count"),
+        F.sum(F.col("contaminated").cast("long")).alias("contaminated_reads"),
+        F.sum("match_time").alias("total_hits"))
+        .withColumn("contamination_rate",
+                    F.col("contaminated_reads") / F.col("total_read_count"))
+        .orderBy("filter_name"))

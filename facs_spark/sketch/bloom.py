@@ -225,6 +225,37 @@ class BloomFilter:
         return cls(stat=BloomStat(m, k, cap, e), k_mer=k_mer,
                    inserts=inserts, vector=vec)
 
+    # -- banked serialization ------------------------------------------
+    def split_banks(self, max_bank_bytes: int = 1 << 30) -> list[bytes]:
+        """Serialize as N blobs whose payloads each fit a broadcast cap.
+
+        Oversized filters (the reference handles >4 GB files via
+        chunked IO, facs/bloom.c:261-277) ship as multiple broadcast
+        values — JVM byte arrays cap at 2 GB, so one giant blob is not
+        an option at 10¹²-key capacity.  Bank 0 carries the header;
+        banks are plain slices of the bit array (bit semantics
+        unchanged).
+        """
+        hdr = _STAT.pack(self.stat.elements, self.stat.ideal_hashes,
+                         self.stat.capacity, self.stat.e, self.k_mer,
+                         self.inserts)
+        raw = self.vector.tobytes()
+        banks = [raw[i:i + max_bank_bytes]
+                 for i in range(0, max(len(raw), 1), max_bank_bytes)]
+        return [frame(_MAGIC, _VERSION, hdr + struct.pack("<I", len(banks)))
+                ] + banks
+
+    @classmethod
+    def from_banks(cls, banks: list[bytes]) -> "BloomFilter":
+        _, payload = unframe(_MAGIC, banks[0])
+        m, k, cap, e, k_mer, inserts = _STAT.unpack_from(payload)
+        (n_banks,) = struct.unpack_from("<I", payload, _STAT.size)
+        if n_banks != len(banks) - 1:
+            raise ValueError("bank count mismatch")
+        vec = np.frombuffer(b"".join(banks[1:]), dtype=np.uint8).copy()
+        return cls(stat=BloomStat(m, k, cap, e), k_mer=k_mer,
+                   inserts=inserts, vector=vec)
+
     # -- stats -------------------------------------------------------
     @property
     def expected_fpr(self) -> float:

@@ -151,3 +151,102 @@ def test_remove_artifacts(spark, fixtures):
 def test_bloom_extension_guard(spark, fixtures):
     with pytest.raises(ValueError, match=".bloom extension"):
         facs.query(fixtures["fq"], fixtures["ref"], spark=spark)
+
+
+def test_query_multi_screen(spark, fixtures, tmp_path):
+    """fastq_screen-style multi-filter screening: one pass, per-filter
+    contamination rates match ground truth (tests/test_fastqscreen.py
+    concordance idea)."""
+    rng = np.random.default_rng(77)
+    other = tmp_path / "dm3.fasta"
+    other.write_text(">chrX\n" + _seq(rng, 4000) + "\n")
+    b1 = os.path.join(fixtures["dir"], "ecoli.bloom")
+    b2 = str(tmp_path / "dm3.bloom")
+    facs.build(str(other), b2, k_mer=16, error_rate=0.0005, spark=spark)
+    rep = {r["filter_name"]: r for r in
+           facs.query_multi(fixtures["fq"], [b1, b2], spark=spark).collect()}
+    assert rep["ecoli.bloom"]["contaminated_reads"] == fixtures["n_contam"]
+    assert rep["dm3.bloom"]["contaminated_reads"] == 0
+    assert rep["ecoli.bloom"]["total_read_count"] == fixtures["n_total"]
+
+
+def test_info(spark, fixtures):
+    meta = facs.info(os.path.join(fixtures["dir"], "ecoli.bloom"))
+    assert meta["k_mer"] == 16
+    assert meta["inserts"] > 0
+    assert 0 < meta["expected_fpr"] < 0.01
+
+
+def test_banked_broadcast_classify(spark, fixtures):
+    """Forcing tiny banks must not change classification (the >2GB
+    broadcast path, SURVEY §4)."""
+    from facs_spark.io.fastx import read_fastx
+    from facs_spark.ops.contamination import classify_pages
+    from facs_spark.sketch import BloomFilter
+    bloom_path = os.path.join(fixtures["dir"], "ecoli.bloom")
+    with open(bloom_path, "rb") as fh:
+        bloom = BloomFilter.from_bytes(fh.read())
+    banks = bloom.split_banks(max_bank_bytes=1024)
+    assert len(banks) > 3
+    rt = BloomFilter.from_banks(banks)
+    assert (rt.vector == bloom.vector).all()
+    reads = read_fastx(spark, fixtures["fq"])
+    plain = classify_pages(reads, bloom, text_col="seq",
+                           passthrough=("read_id",), tole_rate=0.3,
+                           canonicalize="dna_revcomp")
+    banked = classify_pages(reads, bloom, text_col="seq",
+                            passthrough=("read_id",), tole_rate=0.3,
+                            canonicalize="dna_revcomp",
+                            max_bank_bytes=1024)
+    a = {r["read_id"]: r["contaminated"] for r in plain.collect()}
+    b = {r["read_id"]: r["contaminated"] for r in banked.collect()}
+    assert a == b
+
+
+def test_threshold_sweep_roc(spark, fixtures):
+    """ROC-style tole_rate sweep (doc/ROC.m protocol): TPR stays 1.0
+    up to a threshold, FPR 0 at all thresholds on disjoint vocab."""
+    from facs_spark.io.fastx import read_fastx
+    from facs_spark.ops.contamination import classify_pages
+    from facs_spark.sketch import BloomFilter
+    bloom_path = os.path.join(fixtures["dir"], "ecoli.bloom")
+    with open(bloom_path, "rb") as fh:
+        bloom = BloomFilter.from_bytes(fh.read())
+    reads = read_fastx(spark, fixtures["fq"])
+    prev_tp = None
+    for tole in (0.1, 0.3, 0.5, 0.9):
+        cls = classify_pages(reads, bloom, text_col="seq",
+                             passthrough=("read_id",), tole_rate=tole,
+                             canonicalize="dna_revcomp")
+        rows = cls.collect()
+        tp = sum(1 for r in rows
+                 if r["contaminated"] and r["read_id"].startswith("contam"))
+        fp = sum(1 for r in rows
+                 if r["contaminated"] and r["read_id"].startswith("clean"))
+        assert fp == 0, f"tole={tole}: false positives"
+        if prev_tp is not None:
+            assert tp <= prev_tp, "TPR must be monotone in the threshold"
+        prev_tp = tp
+    # full-overlap reads score ~1.0 → still caught at tole 0.9
+    assert prev_tp > 0
+
+
+def test_partitioning_determinism(spark, fixtures):
+    """Same classification output for different partition counts (the
+    repartition-invariance side of the scaling protocol)."""
+    from facs_spark.io.fastx import read_fastx
+    from facs_spark.ops.contamination import classify_pages
+    from facs_spark.sketch import BloomFilter
+    bloom_path = os.path.join(fixtures["dir"], "ecoli.bloom")
+    with open(bloom_path, "rb") as fh:
+        bloom = BloomFilter.from_bytes(fh.read())
+    reads = read_fastx(spark, fixtures["fq"])
+    outs = []
+    for nparts in (1, 7):
+        cls = classify_pages(reads.repartition(nparts), bloom,
+                             text_col="seq", passthrough=("read_id",),
+                             tole_rate=0.3, canonicalize="dna_revcomp")
+        outs.append(sorted((r["read_id"], r["contaminated"],
+                            r["match_time"], round(r["match_score"], 12))
+                           for r in cls.collect()))
+    assert outs[0] == outs[1]
