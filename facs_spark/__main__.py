@@ -1,0 +1,70 @@
+"""CLI mirroring the reference's command surface:
+
+    python -m facs_spark build  -r ref.fasta -o ref.bloom [-k K] [-e E]
+    python -m facs_spark query  -r ref.bloom -q sample.fastq [-t TOLE]
+                                [-s RATE] [-f json|tsv]
+    python -m facs_spark remove -r ref.bloom -q sample.fastq [-t TOLE]
+    python -m facs_spark info   -r ref.bloom
+
+Dispatch parity: the reference routes build|query|remove|info the same
+way (main.c:44-52); flags follow bq_main's getopt (-t threshold,
+-s sampling, -f format — facs/query.c:46-109).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+from . import api
+
+
+def main(argv=None) -> int:
+    top = argparse.ArgumentParser(prog="facs_spark")
+    sub = top.add_subparsers(dest="cmd", required=True)
+
+    b = sub.add_parser("build")
+    b.add_argument("-r", "--reference", required=True)
+    b.add_argument("-o", "--output", required=True)
+    b.add_argument("-k", "--k-mer", type=int, default=0)
+    b.add_argument("-e", "--error-rate", type=float, default=0.0005)
+
+    for name in ("query", "remove"):
+        p = sub.add_parser(name)
+        p.add_argument("-r", "--reference", required=True,
+                       help=".bloom filter file")
+        p.add_argument("-q", "--query", required=True)
+        p.add_argument("-t", "--tole-rate", type=float, default=0)
+        if name == "query":
+            p.add_argument("-s", "--sampling-rate", type=float, default=1.0)
+            p.add_argument("-f", "--format", default="json",
+                           choices=("json", "tsv"))
+        else:
+            p.add_argument("-p", "--prefix", default=None)
+
+    i = sub.add_parser("info")
+    i.add_argument("-r", "--reference", required=True)
+
+    args = top.parse_args(argv)
+    if args.cmd == "build":
+        return api.build(args.reference, args.output, k_mer=args.k_mer,
+                         error_rate=args.error_rate)
+    if args.cmd == "query":
+        print(api.query(args.query, args.reference,
+                        tole_rate=args.tole_rate,
+                        sampling_rate=args.sampling_rate,
+                        report_fmt=args.format))
+        return 0
+    if args.cmd == "remove":
+        print(api.remove(args.query, args.reference,
+                         tole_rate=args.tole_rate, prefix=args.prefix))
+        return 0
+    if args.cmd == "info":
+        print(json.dumps(api.info(args.reference), indent=2))
+        return 0
+    return 2
+
+
+if __name__ == "__main__":
+    sys.exit(main())

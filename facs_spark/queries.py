@@ -752,6 +752,32 @@ GROUP BY p.p_brand ORDER BY p.p_brand
 
 
 # =====================================================================
+# q24 — JSON scalar functions over the events stream table (breadth:
+# the reference's report JSON is a format string, facs/query.c:486-499;
+# the engine gets real from_json/get_json parsing).
+# =====================================================================
+def q24_json_props(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _read(spark, sf_dir, "events")
+    k = F.get_json_object(F.col("props"), "$.k").cast("long")
+    return (ev.select("event_type", k.alias("k"))
+            .groupBy("event_type")
+            .agg(F.count(F.lit(1)).alias("n"),
+                 F.sum("k").alias("sum_k"),
+                 F.min("k").alias("min_k"),
+                 F.max("k").alias("max_k"))
+            .orderBy("event_type"))
+
+
+Q24_SQL = """
+SELECT event_type, COUNT(*) AS n,
+       SUM(CAST(json_extract(props, '$.k') AS BIGINT)) AS sum_k,
+       MIN(CAST(json_extract(props, '$.k') AS BIGINT)) AS min_k,
+       MAX(CAST(json_extract(props, '$.k') AS BIGINT)) AS max_k
+FROM events GROUP BY event_type ORDER BY event_type
+"""
+
+
+# =====================================================================
 # registry
 # =====================================================================
 def queries():
@@ -779,6 +805,7 @@ def queries():
         "q21_ann_lsh": q21_ann_lsh,
         "q22_grouped_quantiles": q22_grouped_quantiles,
         "q23_salted_join": q23_salted_join,
+        "q24_json_props": q24_json_props,
     }
 
 
@@ -811,6 +838,7 @@ def oracle_sql():
         # against the exact baseline in tests
         "q22_grouped_quantiles": Q22_SQL,
         "q23_salted_join": Q23_SQL,
+        "q24_json_props": Q24_SQL,
     }
 
 

@@ -1,0 +1,71 @@
+"""Hypothesis property tests: hash parity on arbitrary bytes, sketch
+merge laws under arbitrary splits (SURVEY §5 property-test plan)."""
+
+import numpy as np
+from hypothesis import given, settings, strategies as st
+
+from facs_spark.sketch import BloomFilter, CountMinSketch, HyperLogLog
+from facs_spark.sketch.hashing import hash3_matrix, hash3_scalar
+
+
+@settings(max_examples=60, deadline=None)
+@given(st.binary(min_size=0, max_size=200),
+       st.integers(min_value=0, max_value=2**31 - 1))
+def test_hash3_vector_matches_scalar_any_bytes(key, seed):
+    mat = np.frombuffer(key, dtype=np.uint8).reshape(1, len(key))
+    assert int(hash3_matrix(mat, seed)[0]) == hash3_scalar(key, seed)
+
+
+@settings(max_examples=25, deadline=None)
+@given(st.lists(st.integers(min_value=0, max_value=10**6),
+                min_size=1, max_size=2000),
+       st.integers(min_value=1, max_value=7))
+def test_hll_merge_equals_single_any_split(values, n_parts):
+    vals = np.array(values, dtype=np.int64)
+    whole = HyperLogLog(p=10)
+    whole.update_batch(vals)
+    merged = None
+    for chunk in np.array_split(vals, n_parts):
+        part = HyperLogLog(p=10)
+        if chunk.size:
+            part.update_batch(chunk)
+        merged = part if merged is None else merged.merge(part)
+    assert (merged.registers == whole.registers).all()
+
+
+@settings(max_examples=25, deadline=None)
+@given(st.lists(st.integers(min_value=-100, max_value=100),
+                min_size=1, max_size=1000),
+       st.integers(min_value=1, max_value=5))
+def test_cms_merge_equals_single_any_split(values, n_parts):
+    vals = np.array(values, dtype=np.int64)
+    whole = CountMinSketch(epsilon=0.01, delta=0.1)
+    whole.update_batch(vals)
+    merged = None
+    for chunk in np.array_split(vals, n_parts):
+        part = CountMinSketch(epsilon=0.01, delta=0.1)
+        if chunk.size:
+            part.update_batch(chunk)
+        merged = part if merged is None else merged.merge(part)
+    assert (merged.table == whole.table).all()
+    assert merged.total == whole.total
+
+
+@settings(max_examples=20, deadline=None)
+@given(st.lists(st.binary(min_size=4, max_size=4), min_size=1,
+                max_size=500),
+       st.integers(min_value=1, max_value=5))
+def test_bloom_bits_order_independent(keys, n_parts):
+    mats = np.frombuffer(b"".join(keys), dtype=np.uint8).reshape(-1, 4)
+    whole = BloomFilter.create(capacity=1000, error_rate=0.01, k_mer=4)
+    whole.add_batch(mats)
+    merged = None
+    rng = np.random.default_rng(0)
+    perm = rng.permutation(mats.shape[0])
+    for chunk in np.array_split(perm, n_parts):
+        part = BloomFilter.create(capacity=1000, error_rate=0.01, k_mer=4)
+        if chunk.size:
+            part.add_batch(mats[chunk])
+        merged = part if merged is None else merged.merge(part)
+    assert (merged.vector == whole.vector).all()
+    assert merged.contains_batch(mats).all()
