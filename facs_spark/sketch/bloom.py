@@ -89,14 +89,21 @@ class BloomFilter:
         if n <= 1 or width == 0:
             return keys, None
         if width <= 16:
-            # fast path: pad to 16 bytes → two uint64 sort keys; a
-            # lexsort on integers beats np.unique's memcmp-void argsort
-            # by ~3-4× on the hot k=15 case
+            # fast path: pad to 16 bytes → two uint64 lanes, SORT BY A
+            # SINGLE mixed 64-bit key (grouping needs clustering, not
+            # lexicographic order), then split groups by comparing the
+            # actual lanes — a 64-bit collision can only *fragment* a
+            # duplicate group (same bits either way), never merge two
+            # distinct keys.  ~2.3× faster than lexsort, ~5× than
+            # np.unique's void-memcmp argsort on the hot k=15 case.
+            from .hashing import splitmix64
             padded = np.zeros((n, 16), dtype=np.uint8)
             padded[:, :width] = keys
             u = padded.view("<u8")
             hi, lo = u[:, 0], u[:, 1]
-            order = np.lexsort((lo, hi))
+            with np.errstate(over="ignore"):
+                ck = splitmix64(hi ^ splitmix64(lo))
+            order = np.argsort(ck)
             hs, ls = hi[order], lo[order]
             new = np.empty(n, dtype=bool)
             new[0] = True
