@@ -114,3 +114,62 @@ def test_spark_builtin_crosschecks(spark, docs):
     kll, _ = build_sketch(docs, SketchSpec.make("kll", "n_chars", k=200))
     [approx] = docs.agg(F.percentile_approx("n_chars", 0.5).alias("p")).collect()
     assert abs(kll.quantile(0.5) - approx["p"]) <= 0.05 * approx["p"] + 5
+
+
+def test_sql_registered_sketch_functions(spark, docs):
+    """SQL users can consume sketch blobs via registered UDFs."""
+    from facs_spark.functions import register_sql_functions
+    from facs_spark.ops.sketch_agg import SketchSpec, grouped_sketches
+    register_sql_functions(spark)
+    g = grouped_sketches(docs, ["lang"], SketchSpec.make("hll", "doc_id", p=12))
+    g.createOrReplaceTempView("lang_sketches")
+    rows = spark.sql(
+        "SELECT lang, hll_estimate(sketch) AS est, rows_seen "
+        "FROM lang_sketches ORDER BY lang").collect()
+    assert rows
+    for r in rows:
+        assert abs(r["est"] - r["rows_seen"]) <= 0.05 * r["rows_seen"] + 2
+    k = grouped_sketches(docs, ["lang"], SketchSpec.make("kll", "n_chars", k=200))
+    k.createOrReplaceTempView("len_sketches")
+    med = spark.sql("SELECT lang, kll_quantile(sketch, 0.5) AS p50 "
+                    "FROM len_sketches").collect()
+    assert all(40 <= r["p50"] <= 600 for r in med)
+    # bloom_contains over a blob column
+    from facs_spark.ops.contamination import build_reference_bloom
+    bloom = build_reference_bloom(docs.limit(5), k=15, error_rate=1e-6)
+    text0 = docs.limit(5).collect()[0]["text"].lower()
+    bdf = spark.createDataFrame([(bytearray(bloom.to_bytes()),)], "sketch binary")
+    bdf.createOrReplaceTempView("bloomtab")
+    hit = spark.sql(
+        f"SELECT bloom_contains(sketch, '{text0[:15]}') AS h FROM bloomtab"
+    ).collect()[0]["h"]
+    miss = spark.sql(
+        "SELECT bloom_contains(sketch, 'zzzzzzzzzzzzzzz') AS h FROM bloomtab"
+    ).collect()[0]["h"]
+    assert hit is True and miss is False
+
+
+def test_run_pipeline_job(spark, tmp_path):
+    """The spark-submit job driver: split checkpoints, resume, output."""
+    import subprocess, sys, json, os
+    ck = str(tmp_path / "ckpt")
+    out = str(tmp_path / "sketch.bloom")
+    cmd = [sys.executable, "tools/run_pipeline.py",
+           "--input", f"{SF}/documents.parquet", "--column", "text",
+           "--sketch", "bloom", "--k", "15", "--capacity", "200000",
+           "--checkpoint", ck, "--splits", "3", "--output", out]
+    env = dict(os.environ, SPARK_GRAFT_CPUS="4")
+    r1 = subprocess.run(cmd, capture_output=True, text=True, env=env,
+                        cwd="/root/repo", check=True)
+    lines = [json.loads(l) for l in r1.stdout.strip().splitlines()
+             if l.startswith("{")]
+    assert lines[-1]["sketch"]["inserts"] > 0
+    assert lines[-1]["lineage"]["partials"] >= 3
+    assert os.path.exists(out)
+    # resume: second run re-processes nothing but yields the same sketch
+    r2 = subprocess.run(cmd, capture_output=True, text=True, env=env,
+                        cwd="/root/repo", check=True)
+    lines2 = [json.loads(l) for l in r2.stdout.strip().splitlines()
+              if l.startswith("{")]
+    assert lines2[-1]["sketch"]["inserts"] == lines[-1]["sketch"]["inserts"]
+    assert lines2[-1]["lineage"]["partials"] == lines[-1]["lineage"]["partials"]
