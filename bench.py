@@ -26,7 +26,7 @@ sys.path.insert(0, REPO)
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
-BENCH_PAGES = int(os.environ.get("BENCH_PAGES", "300000"))
+BENCH_PAGES = int(os.environ.get("BENCH_PAGES", "1000000"))
 
 
 def _sf_from_dir(d: str) -> float:

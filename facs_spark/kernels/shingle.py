@@ -37,13 +37,22 @@ class ShingleBatch:
 
 
 def encode_batch(texts, lowercase: bool = True) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
-    """Normalize + UTF-8 encode a batch into (buffer, offsets, lengths)."""
-    enc = [(("" if t is None else t).lower() if lowercase else ("" if t is None else t)).encode("utf-8")
-           for t in texts]
+    """Normalize + UTF-8 encode a batch into (buffer, offsets, lengths).
+
+    Lowercasing is ASCII-only, applied as one vectorized pass over the
+    shared byte buffer — exactly the reference's per-byte C ``tolower``
+    (``normal_lower``, facs/bloom.c:111-119), and cheaper than
+    allocating a lowered copy of every string.
+    """
+    enc = [("" if t is None else t).encode("utf-8") for t in texts]
     lengths = np.fromiter((len(b) for b in enc), dtype=np.int64, count=len(enc))
     offsets = np.zeros(len(enc) + 1, dtype=np.int64)
     np.cumsum(lengths, out=offsets[1:])
     buf = np.frombuffer(b"".join(enc), dtype=np.uint8)
+    if lowercase and buf.size:
+        buf = buf.copy()
+        upper = (buf >= 65) & (buf <= 90)  # 'A'..'Z'
+        buf[upper] += 32
     return buf, offsets, lengths
 
 

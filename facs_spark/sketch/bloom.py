@@ -102,7 +102,7 @@ class BloomFilter:
             u = padded.view("<u8")
             hi, lo = u[:, 0], u[:, 1]
             with np.errstate(over="ignore"):
-                ck = splitmix64(hi ^ splitmix64(lo))
+                ck = splitmix64(hi ^ (lo * np.uint64(0xC2B2AE3D27D4EB4F)))
             order = np.argsort(ck)
             hs, ls = hi[order], lo[order]
             new = np.empty(n, dtype=bool)

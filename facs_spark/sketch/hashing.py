@@ -159,13 +159,23 @@ def hash5_matrix(keys: np.ndarray, seed: int) -> np.ndarray:
 
 
 def splitmix64(x: np.ndarray) -> np.ndarray:
-    """SplitMix64 finalizer over uint64 lanes (public constants)."""
+    """SplitMix64 finalizer over uint64 lanes (public constants).
+
+    In-place temporaries: one working copy + one shift buffer, reused
+    across the three mix rounds (this runs on multi-million-lane
+    arrays in the dedup hot path).
+    """
     with np.errstate(over="ignore"):
         z = x.astype(U64, copy=True)
         z += U64(0x9E3779B97F4A7C15)
-        z = (z ^ (z >> U64(30))) * U64(0xBF58476D1CE4E5B9)
-        z = (z ^ (z >> U64(27))) * U64(0x94D049BB133111EB)
-        z ^= z >> U64(31)
+        t = z >> U64(30)
+        z ^= t
+        z *= U64(0xBF58476D1CE4E5B9)
+        np.right_shift(z, U64(27), out=t)
+        z ^= t
+        z *= U64(0x94D049BB133111EB)
+        np.right_shift(z, U64(31), out=t)
+        z ^= t
     return z
 
 
