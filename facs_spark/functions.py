@@ -64,13 +64,16 @@ def register_sql_functions(spark: SparkSession) -> None:
 
     @pandas_udf("boolean")
     def bloom_contains(blobs: pd.Series, keys: pd.Series) -> pd.Series:
-        from facs_spark.sketch.hashing import length_group_matrices
-        import numpy as np
+        from facs_spark.sketch.hashing import (ascii_lower,
+                                               length_group_matrices)
         cache: dict = {}
         out = []
         for b, k in zip(blobs, keys):
             sk = _sketch_of(b, cache)
-            enc = [("" if k is None else str(k)).lower().encode("utf-8")]
+            # SAME normalization as the build side: byte-level ASCII
+            # tolower, never unicode str.lower()
+            enc = [ascii_lower(("" if k is None else str(k))
+                               .encode("utf-8"))]
             hit = False
             for _idx, mat in length_group_matrices(enc):
                 hit = bool(sk.contains_batch(mat)[0])

@@ -48,9 +48,10 @@ def encode_batch(texts, lowercase: bool = True) -> tuple[np.ndarray, np.ndarray,
     lengths = np.fromiter((len(b) for b in enc), dtype=np.int64, count=len(enc))
     offsets = np.zeros(len(enc) + 1, dtype=np.int64)
     np.cumsum(lengths, out=offsets[1:])
-    buf = np.frombuffer(b"".join(enc), dtype=np.uint8)
+    # bytearray join → writable buffer in ONE allocation (np.frombuffer
+    # over bytes would be read-only and force a second full copy)
+    buf = np.frombuffer(bytearray().join(enc), dtype=np.uint8)
     if lowercase and buf.size:
-        buf = buf.copy()
         upper = (buf >= 65) & (buf <= 90)  # 'A'..'Z'
         buf[upper] += 32
     return buf, offsets, lengths

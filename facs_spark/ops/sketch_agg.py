@@ -90,13 +90,14 @@ class SketchSpec:
         elif self.kind == "bloom":
             # raw keys into a Bloom: int64s become 8-byte keys,
             # strings are lowercased + length-grouped byte matrices
-            from ..sketch.hashing import int64_key_matrix, length_group_matrices
+            from ..sketch.hashing import (ascii_lower, int64_key_matrix,
+                                          length_group_matrices)
             vals = series.to_numpy()
             if vals.dtype.kind in "iuf":
                 sketch.add_batch(int64_key_matrix(vals.astype(np.int64)))
             else:
-                enc = [("" if v is None else str(v)).lower().encode("utf-8")
-                       for v in series]
+                enc = [ascii_lower(("" if v is None else str(v))
+                                   .encode("utf-8")) for v in series]
                 for _idx, mat in length_group_matrices(enc):
                     sketch.add_batch(mat)
         elif self.prep == "tokens":

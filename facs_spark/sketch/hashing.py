@@ -185,6 +185,19 @@ def int64_key_matrix(values: np.ndarray) -> np.ndarray:
     return v.view(np.uint8).reshape(-1, 8)
 
 
+_ASCII_LOWER = bytes(c + 32 if 65 <= c <= 90 else c for c in range(256))
+
+
+def ascii_lower(b: bytes) -> bytes:
+    """Byte-level ASCII tolower — THE key normalization for Bloom keys
+    (parity with the reference's per-byte C ``tolower``,
+    facs/bloom.c:111-119).  Every code path that builds or probes
+    string Bloom keys must use this, never unicode ``str.lower()``,
+    or non-ASCII uppercase would hash differently on the two sides.
+    """
+    return b.translate(_ASCII_LOWER)
+
+
 def length_group_matrices(values):
     """Group variable-length byte strings by length → key matrices.
 

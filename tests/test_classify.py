@@ -158,3 +158,27 @@ def test_prob_parity_values():
     assert get_sigma(1000, 0.1) == 1000 * 0.1 * 0.9
     # monotone in x
     assert cdf(90.0, 100.0, 10.0) < cdf(110.0, 100.0, 10.0)
+
+
+def test_nonascii_lower_build_probe_symmetry():
+    """Build and probe must normalize identically for non-ASCII text:
+    byte-level ASCII tolower on BOTH sides (no unicode str.lower) —
+    otherwise 'Ångström' would false-negative, violating the Bloom
+    no-false-negative guarantee."""
+    from facs_spark.kernels.shingle import encode_batch
+    from facs_spark.sketch.hashing import ascii_lower
+    text = "Ångström UNITS mixed ÅÄÖ tail"
+    k = 6
+    bf = BloomFilter.create(capacity=1000, error_rate=1e-6, k_mer=k)
+    bf.add_batch(shingle_batch([text], k).windows)
+    res = classify_batch([text, text.upper()], bf, k, 0.1)
+    assert bool(res.contaminated[0]), "identical text must match itself"
+    # ASCII-uppercased variant differs ONLY in ASCII letters → must hit
+    ascii_upper = "".join(c.upper() if c.isascii() else c for c in text)
+    res2 = classify_batch([ascii_upper], bf, k, 0.1)
+    assert bool(res2.contaminated[0])
+    # normalization helper: å stays å, A→a
+    assert ascii_lower("ÅA".encode()) == "Å".encode() + b"a"
+    # encode_batch buffer equals ascii_lower of the raw encoding
+    buf, _off, _len = encode_batch([text])
+    assert bytes(buf) == ascii_lower(text.encode())
