@@ -778,6 +778,64 @@ FROM events GROUP BY event_type ORDER BY event_type
 
 
 # =====================================================================
+# q25 — rollup/grouping-sets breadth (beyond the reference's scope,
+# SURVEY §2.10 notes the natural generalization).
+# =====================================================================
+def q25_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _read(spark, sf_dir, "lineitem")
+    return (li.rollup("l_returnflag", "l_linestatus")
+            .agg(F.count(F.lit(1)).alias("n"),
+                 F.sum("l_quantity").cast("long").alias("sum_qty"))
+            .select(F.coalesce("l_returnflag", F.lit("ALL")).alias("flag"),
+                    F.coalesce("l_linestatus", F.lit("ALL")).alias("status"),
+                    "n", "sum_qty")
+            .orderBy("flag", "status"))
+
+
+Q25_SQL = """
+SELECT COALESCE(l_returnflag, 'ALL') AS flag,
+       COALESCE(l_linestatus, 'ALL') AS status,
+       COUNT(*) AS n, CAST(SUM(l_quantity) AS BIGINT) AS sum_qty
+FROM lineitem
+GROUP BY ROLLUP (l_returnflag, l_linestatus)
+ORDER BY flag, status
+"""
+
+
+# =====================================================================
+# q26 — set operations (intersect / except) on customer key sets.
+# =====================================================================
+def q26_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _read(spark, sf_dir, "orders")
+    cust = _read(spark, sf_dir, "customer")
+    with_orders = orders.select(F.col("o_custkey").alias("c_custkey")).distinct()
+    all_cust = cust.select("c_custkey").distinct()
+    n_both = all_cust.intersect(with_orders).count()
+    n_without = all_cust.exceptAll(with_orders).count()
+    n_union = all_cust.union(with_orders).distinct().count()
+    import pandas as pd
+    return spark.createDataFrame(pd.DataFrame([{
+        "n_with_orders": n_both,
+        "n_without_orders": n_without,
+        "n_union": n_union,
+    }]))
+
+
+Q26_SQL = """
+SELECT
+  (SELECT COUNT(*) FROM (SELECT DISTINCT c_custkey FROM customer
+                         INTERSECT SELECT DISTINCT o_custkey FROM orders))
+    AS n_with_orders,
+  (SELECT COUNT(*) FROM (SELECT DISTINCT c_custkey FROM customer
+                         EXCEPT SELECT DISTINCT o_custkey FROM orders))
+    AS n_without_orders,
+  (SELECT COUNT(*) FROM (SELECT DISTINCT c_custkey FROM customer
+                         UNION SELECT DISTINCT o_custkey FROM orders))
+    AS n_union
+"""
+
+
+# =====================================================================
 # registry
 # =====================================================================
 def queries():
@@ -806,6 +864,8 @@ def queries():
         "q22_grouped_quantiles": q22_grouped_quantiles,
         "q23_salted_join": q23_salted_join,
         "q24_json_props": q24_json_props,
+        "q25_rollup": q25_rollup,
+        "q26_set_ops": q26_set_ops,
     }
 
 
@@ -839,6 +899,8 @@ def oracle_sql():
         "q22_grouped_quantiles": Q22_SQL,
         "q23_salted_join": Q23_SQL,
         "q24_json_props": Q24_SQL,
+        "q25_rollup": Q25_SQL,
+        "q26_set_ops": Q26_SQL,
     }
 
 
