@@ -23,13 +23,15 @@ from .session import ensure_shipped
 
 
 def _sketch_of(blob: bytes, cache: dict):
-    key = bytes(blob[:64]) + len(blob).to_bytes(8, "little")
+    # key on the FULL blob — a prefix key collides for sketches whose
+    # headers + leading registers agree (e.g. low-cardinality HLLs)
+    key = bytes(blob)
     sk = cache.get(key)
     if sk is None:
         from facs_spark.sketch import sketch_from_bytes
         if len(cache) > 64:
             cache.clear()
-        sk = cache[key] = sketch_from_bytes(bytes(blob))
+        sk = cache[key] = sketch_from_bytes(key)
     return sk
 
 

@@ -77,8 +77,13 @@ def classify_batch(texts, bloom: BloomFilter, k: int, tole_rate: float,
             texts_arr = np.asarray(texts, dtype=object)
             res2 = _classify_once(canonicalize(texts_arr[clean]), bloom, k,
                                   tole_rate, lowercase, cache)
-            # merge: a clean page flips if its canonical form scores
+            # merge: a clean page flips if its canonical form scores;
+            # per-page score is the best of the two passes (the
+            # reference returns the passing check's result), match_time
+            # adds both passes' hits (hits-counter parity,
+            # facs/tool.c:174-175)
             res.contaminated[clean] |= res2.contaminated
+            res.score[clean] = np.maximum(res.score[clean], res2.score)
             res.match_time[clean] += res2.match_time
             res.escalated[clean] |= res2.escalated
     return res

@@ -208,6 +208,10 @@ def simhash_near_pairs(fp: DataFrame, id_col: str,
     ≈ 0.97-0.99 on 2-gram shingles) land at Hamming 2-6 empirically,
     hence the ≤6 default.
     """
+    if max_hamming > 7:
+        raise ValueError(
+            "8-block bucketing only guarantees recall for Hamming ≤ 7; "
+            f"got max_hamming={max_hamming}")
     blocks = fp.select(
         id_col, "simhash",
         F.explode(F.array(*[

@@ -101,10 +101,13 @@ class SketchSpec:
                 for _idx, mat in length_group_matrices(enc):
                     sketch.add_batch(mat)
         elif self.prep == "tokens":
+            # single-space split (not str.split()) so the token multiset
+            # matches the exact verifiers (F.split(text, ' ') in Spark,
+            # string_split in the DuckDB oracle) on any whitespace
             toks: list[str] = []
             for t in series:
                 if t:
-                    toks.extend(t.split())
+                    toks.extend(x for x in t.split(" ") if x)
             sketch.update_batch(toks)
         elif self.kind in ("tdigest", "kll"):
             sketch.update_batch(series.to_numpy(dtype=np.float64, na_value=np.nan))
@@ -176,16 +179,23 @@ def tree_merge(partials: DataFrame, fanin: int = 64) -> tuple[object, int]:
     This is the banked, driver-OOM-safe reduction for wide sketches
     (SURVEY §4 physical notes).  Returns (sketch, total_rows).
     """
-    level = partials
+    # persist so count() does not re-execute the full input scan that
+    # produced the partials (and each merge level likewise)
+    level = partials.persist()
+    cached = [level]
     n = level.count()
     while n > fanin:
         ngroups = math.ceil(n / fanin)
         level = (level
                  .withColumn("grp", F.pmod(F.col("partition_id"), F.lit(ngroups)))
                  .groupBy("grp")
-                 .applyInPandas(_merge_group, schema=PARTIAL_SCHEMA))
+                 .applyInPandas(_merge_group, schema=PARTIAL_SCHEMA)
+                 .persist())
+        cached.append(level)
         n = level.count()
     rows = level.collect()
+    for df_ in cached:
+        df_.unpersist()
     merged = None
     total = 0
     for r in sorted(rows, key=lambda r: r["partition_id"]):

@@ -35,7 +35,13 @@ def salted_join(big: DataFrame, small: DataFrame, key: str,
     The hot key's rows spread over ``nsalt`` reducers instead of one.
     Use when the small side is too big to broadcast but the key
     distribution is hot enough to straggle.
+
+    Only inner/left are supported: the small side is replicated per
+    salt, so right/full outer would emit ``nsalt`` copies of every
+    unmatched small-side row.
     """
+    if how not in ("inner", "left", "leftouter", "left_outer"):
+        raise ValueError(f"salted_join supports inner/left only, got {how!r}")
     big_s = big.withColumn("_salt", F.pmod(F.monotonically_increasing_id(),
                                            F.lit(nsalt)))
     salts = big.sparkSession.range(nsalt).select(

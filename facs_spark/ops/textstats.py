@@ -127,9 +127,13 @@ def winnow_fingerprints(df: DataFrame, id_col: str, text_col: str,
             if sb.windows.shape[0]:
                 h = hash3_matrix(sb.windows, 0)
                 ids = batch[id_col].to_numpy()
+                # doc_idx is sorted — per-doc slices via cumulative
+                # window counts (O(windows), not O(docs × windows))
+                n_wins = np.maximum(sb.doc_lengths - k + 1, 0)
+                starts = np.zeros(sb.doc_lengths.size + 1, dtype=np.int64)
+                np.cumsum(n_wins, out=starts[1:])
                 for d in range(sb.doc_lengths.size):
-                    mask = sb.doc_idx == d
-                    hd = h[mask]
+                    hd = h[starts[d]:starts[d + 1]]
                     if hd.size == 0:
                         continue
                     if hd.size <= window:

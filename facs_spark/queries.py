@@ -356,10 +356,9 @@ Q08_SQL = _QUANTILE_SQL
 # duplicate (user_id, event_type) groups with the kept representative.
 # =====================================================================
 def q09_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .ops.dedup import exact_dedup
     ev = _read(spark, sf_dir, "events")
-    return (ev.groupBy("user_id", "event_type")
-            .agg(F.count(F.lit(1)).alias("dup_count"),
-                 F.min("event_id").alias("keep_event_id"))
+    return (exact_dedup(ev, ["user_id", "event_type"], "event_id")
             .filter(F.col("dup_count") > 1)
             .orderBy(F.desc("dup_count"), "user_id", "event_type")
             .limit(50))

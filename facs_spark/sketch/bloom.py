@@ -73,6 +73,12 @@ class BloomFilter:
     # -- hashing -----------------------------------------------------
     def _indices(self, keys: np.ndarray, i: int) -> np.ndarray:
         m = np.uint64(self.stat.elements)
+        if self.stat.elements > (1 << 36):
+            # the reference's 36-bit hash5 mask cannot address filters
+            # beyond 2^36 bits (its own scale ceiling); huge filters
+            # use the full 64-bit hash3 so every bit stays reachable
+            from .hashing import hash3_matrix
+            return hash3_matrix(keys, FACS_SEEDS[i]) % m
         return hash5_matrix(keys, FACS_SEEDS[i]) % m
 
     # -- update ------------------------------------------------------
@@ -168,15 +174,23 @@ class BloomFilter:
         if cache is not None:
             uniq, inv = self._unique_rows(keys)
             key_bytes = [r.tobytes() for r in uniq]
-            missing = [i for i, b in enumerate(key_bytes) if b not in cache]
+            out = np.empty(len(key_bytes), dtype=bool)
+            missing = []
+            for i, b in enumerate(key_bytes):
+                v = cache.get(b)
+                if v is None:
+                    missing.append(i)
+                else:
+                    out[i] = v
             if missing:
                 fresh = self._contains_unique(uniq[np.asarray(missing)])
-                if len(cache) > 4_000_000:  # bound worker memory
-                    cache.clear()
-                for i, v in zip(missing, fresh):
-                    cache[key_bytes[i]] = bool(v)
-            out = np.fromiter((cache[b] for b in key_bytes), dtype=bool,
-                              count=len(key_bytes))
+                out[np.asarray(missing)] = fresh
+            # evict AFTER this batch's answers are assembled, then
+            # repopulate with the current working set
+            if len(cache) > 4_000_000:  # bound worker memory
+                cache.clear()
+            for i, b in enumerate(key_bytes):
+                cache[b] = bool(out[i])
             return out if inv is None else out[inv]
         uniq, inv = self._unique_rows(keys)
         out = self._contains_unique(uniq)
