@@ -272,3 +272,48 @@ def ngram_jaccard_pairs(df: DataFrame, id_col: str, text_col: str,
                         (F.col("sz_a") + F.col("sz_b") - F.col("inter")))
             .filter(F.col("jaccard") >= threshold)
             .select("id_a", "id_b", "jaccard"))
+
+
+# ----------------------------------------------------------- clusters
+def dedup_clusters(pairs: DataFrame, max_iters: int = 20) -> DataFrame:
+    """Connected components over near-dup pairs → (id, cluster_rep).
+
+    Iterative min-label propagation: every node starts as its own
+    representative; each round propagates the minimum representative
+    across edges until fixpoint (bounded by ``max_iters`` ≥ graph
+    diameter; near-dup clusters are tiny, so 3-4 rounds suffice).
+    Each round is two shuffles on long keys — no raw text moves.
+    """
+    edges = (pairs.select(F.col("id_a").alias("src"),
+                          F.col("id_b").alias("dst"))
+             .union(pairs.select(F.col("id_b").alias("src"),
+                                 F.col("id_a").alias("dst")))
+             .distinct())
+    labels = (edges.select(F.col("src").alias("id"))
+              .distinct()
+              .withColumn("rep", F.col("id")))
+    for _ in range(max_iters):
+        neighbor_min = (edges.join(labels, edges.dst == labels.id)
+                        .groupBy("src").agg(F.min("rep").alias("nbr_rep")))
+        new_labels = (labels.join(neighbor_min,
+                                  labels.id == neighbor_min.src, "left")
+                      .select(labels.id,
+                              F.least(F.col("rep"),
+                                      F.coalesce(F.col("nbr_rep"),
+                                                 F.col("rep"))).alias("rep")))
+        changed = (new_labels.alias("n")
+                   .join(labels.alias("o"), "id")
+                   .filter(F.col("n.rep") != F.col("o.rep")).limit(1).count())
+        labels = new_labels.persist()
+        if changed == 0:
+            break
+    return labels.select("id", F.col("rep").alias("cluster_rep"))
+
+
+def drop_near_duplicates(df: DataFrame, id_col: str, pairs: DataFrame) -> DataFrame:
+    """Keep one row per near-dup cluster (the minimum id), plus every
+    row that has no near-duplicate — the end-to-end dedup filter."""
+    clusters = dedup_clusters(pairs)
+    losers = clusters.filter(F.col("id") != F.col("cluster_rep")) \
+                     .select(F.col("id").alias(id_col))
+    return df.join(losers, id_col, "left_anti")

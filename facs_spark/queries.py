@@ -834,6 +834,38 @@ SELECT
 """
 
 
+
+
+# =====================================================================
+# q27 — near-dup clustering + canonical keep (the end of the dedup
+# pipeline): connected components over J≥0.8 pairs, keep min doc_id.
+# Oracle: DuckDB recursive CTE reachability → min reachable id.
+# =====================================================================
+def q27_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .ops.dedup import dedup_clusters, minhash_dedup
+    docs = _read(spark, sf_dir, "documents")
+    pairs = minhash_dedup(docs, "doc_id", "text", threshold=0.8)
+    return (dedup_clusters(pairs)
+            .select(F.col("id").alias("doc_id"), "cluster_rep")
+            .orderBy("doc_id"))
+
+
+Q27_SQL = (f"WITH RECURSIVE {_JACCARD_SQL_CORE},"
+           """
+pairs AS (SELECT id_a, id_b FROM jac WHERE jaccard >= 0.8),
+edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
+          UNION SELECT id_b, id_a FROM pairs),
+reach(src, dst) AS (
+  SELECT src, dst FROM edges
+  UNION
+  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src
+)
+SELECT src AS doc_id,
+       LEAST(src, MIN(dst)) AS cluster_rep
+FROM reach GROUP BY src ORDER BY doc_id
+""")
+
+
 # =====================================================================
 # registry
 # =====================================================================
@@ -865,6 +897,7 @@ def queries():
         "q24_json_props": q24_json_props,
         "q25_rollup": q25_rollup,
         "q26_set_ops": q26_set_ops,
+        "q27_dedup_clusters": q27_dedup_clusters,
     }
 
 
@@ -900,6 +933,7 @@ def oracle_sql():
         "q24_json_props": Q24_SQL,
         "q25_rollup": Q25_SQL,
         "q26_set_ops": Q26_SQL,
+        "q27_dedup_clusters": Q27_SQL,
     }
 
 

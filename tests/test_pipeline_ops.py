@@ -146,3 +146,26 @@ def test_decode_stub_contract():
     assert img.shape == (8, 16, 3)
     with pytest.raises(NotImplementedError):
         decode_image(b"\x89PNG\r\n\x1a\nnotreal")
+
+
+def test_dedup_clusters_and_drop(spark, docs):
+    """Connected components + canonical-keep over near-dup pairs."""
+    from facs_spark.ops.dedup import (dedup_clusters, drop_near_duplicates,
+                                      minhash_dedup)
+    pairs = minhash_dedup(docs, "doc_id", "text", threshold=0.8).cache()
+    n_pairs = pairs.count()
+    assert n_pairs > 0
+    clusters = dedup_clusters(pairs).collect()
+    by_id = {r["id"]: r["cluster_rep"] for r in clusters}
+    # every edge endpoint has a rep; both ends of an edge share it
+    for r in pairs.collect():
+        assert by_id[r["id_a"]] == by_id[r["id_b"]]
+        assert by_id[r["id_a"]] <= min(r["id_a"], r["id_b"])
+    # rep is a member of its own cluster
+    assert all(by_id[rep] == rep for rep in set(by_id.values()))
+    kept = drop_near_duplicates(docs, "doc_id", pairs)
+    n_docs = docs.count()
+    n_lost = len([i for i, rep in by_id.items() if i != rep])
+    assert kept.count() == n_docs - n_lost
+    kept_ids = {r["doc_id"] for r in kept.select("doc_id").collect()}
+    assert set(by_id.values()) <= kept_ids
