@@ -146,6 +146,7 @@ def main() -> None:
     spark = get_spark("bench", cpus=CPUS, shuffle_partitions=CPUS)
     t_all = time.perf_counter()
     timings = run_queries(spark)
+    spark.catalog.clearCache()  # drop query-phase cached frames
     tp = throughput_job(spark, BENCH_PAGES)
     total = round(time.perf_counter() - t_all, 3)
     spark.stop()

@@ -275,15 +275,42 @@ def ngram_jaccard_pairs(df: DataFrame, id_col: str, text_col: str,
 
 
 # ----------------------------------------------------------- clusters
-def dedup_clusters(pairs: DataFrame, max_iters: int = 20) -> DataFrame:
+def dedup_clusters(pairs: DataFrame, max_iters: int = 20,
+                   driver_threshold: int = 2_000_000) -> DataFrame:
     """Connected components over near-dup pairs → (id, cluster_rep).
 
-    Iterative min-label propagation: every node starts as its own
-    representative; each round propagates the minimum representative
-    across edges until fixpoint (bounded by ``max_iters`` ≥ graph
-    diameter; near-dup clusters are tiny, so 3-4 rounds suffice).
+    The verified near-dup pair set is tiny relative to the corpus
+    (LSH candidates → exact-Jaccard filter), so up to
+    ``driver_threshold`` pairs a driver-side union–find resolves
+    components in one pass — no iterative jobs.  Beyond that, the
+    distributed min-label propagation kicks in: every node starts as
+    its own representative; each round propagates the minimum across
+    edges until fixpoint (near-dup clusters are shallow, 3-4 rounds).
     Each round is two shuffles on long keys — no raw text moves.
     """
+    spark = pairs.sparkSession
+    n_pairs = pairs.limit(driver_threshold + 1).count()
+    if n_pairs <= driver_threshold:
+        parent: dict = {}
+
+        def find(x):
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        for r in pairs.select("id_a", "id_b").collect():
+            a, b = r["id_a"], r["id_b"]
+            parent.setdefault(a, a)
+            parent.setdefault(b, b)
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                # union by min so the representative is the min id
+                lo, hi = min(ra, rb), max(ra, rb)
+                parent[hi] = lo
+        rows = [(i, find(i)) for i in parent]
+        return spark.createDataFrame(rows, "id long, cluster_rep long")
+
     edges = (pairs.select(F.col("id_a").alias("src"),
                           F.col("id_b").alias("dst"))
              .union(pairs.select(F.col("id_b").alias("src"),
@@ -291,7 +318,8 @@ def dedup_clusters(pairs: DataFrame, max_iters: int = 20) -> DataFrame:
              .distinct())
     labels = (edges.select(F.col("src").alias("id"))
               .distinct()
-              .withColumn("rep", F.col("id")))
+              .withColumn("rep", F.col("id"))
+              .persist())
     for _ in range(max_iters):
         neighbor_min = (edges.join(labels, edges.dst == labels.id)
                         .groupBy("src").agg(F.min("rep").alias("nbr_rep")))
@@ -301,10 +329,12 @@ def dedup_clusters(pairs: DataFrame, max_iters: int = 20) -> DataFrame:
                               F.least(F.col("rep"),
                                       F.coalesce(F.col("nbr_rep"),
                                                  F.col("rep"))).alias("rep")))
+        new_labels = new_labels.persist()
         changed = (new_labels.alias("n")
                    .join(labels.alias("o"), "id")
                    .filter(F.col("n.rep") != F.col("o.rep")).limit(1).count())
-        labels = new_labels.persist()
+        labels.unpersist()
+        labels = new_labels
         if changed == 0:
             break
     return labels.select("id", F.col("rep").alias("cluster_rep"))
