@@ -250,3 +250,15 @@ def test_partitioning_determinism(spark, fixtures):
                             r["match_time"], round(r["match_score"], 12))
                            for r in cls.collect()))
     assert outs[0] == outs[1]
+
+
+def test_write_fastx_fasta_roundtrip(spark, fixtures, tmp_path):
+    """write_fastx(fasta) output re-reads to the same records."""
+    from facs_spark.io.fastx import read_fastx, write_fastx
+    reads = read_fastx(spark, fixtures["fq"])
+    out = str(tmp_path / "roundtrip.fasta")
+    write_fastx(reads, out, fmt="fasta")
+    back = read_fastx(spark, os.path.join(out, "part-*"), fmt="fasta")
+    a = {(r["read_id"], r["seq"]) for r in reads.collect()}
+    b = {(r["read_id"], r["seq"]) for r in back.collect()}
+    assert a == b
