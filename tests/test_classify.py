@@ -182,3 +182,13 @@ def test_nonascii_lower_build_probe_symmetry():
     # encode_batch buffer equals ascii_lower of the raw encoding
     buf, _off, _len = encode_batch([text])
     assert bytes(buf) == ascii_lower(text.encode())
+
+
+def test_erf_as_approximation_quality():
+    """A&S 7.1.26 has max absolute error 1.5e-7 on x >= 0 — our erf_as
+    must stay within that of math.erf."""
+    import math
+    xs = np.linspace(0.0, 5.0, 2001)
+    ours = erf_as(xs)
+    errs = [abs(float(o) - math.erf(float(x))) for x, o in zip(xs, ours)]
+    assert max(errs) < 1.5e-7
