@@ -470,8 +470,12 @@ def q13_embedding_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     qvecs = np.array([r["embedding"] for r in qrows], dtype=np.float64)
     out = brute_force_topk(emb.filter(F.col("vec_id") >= TOPK_QUERIES),
                            qvecs, qids, "vec_id", "embedding", k=TOPK_K)
-    return (out.select("query_id", "neighbor_id",
-                       F.round("cosine", 6).alias("cosine"))
+    # compare neighbor SETS, not cosine values: DuckDB's
+    # list_cosine_similarity carries float32-level error (~1e-7), so
+    # any fixed-decimal rounding of the value eventually straddles a
+    # boundary; the top-k membership itself is stable (adjacent-cosine
+    # gaps are ~1e-3 on this data)
+    return (out.select("query_id", "neighbor_id")
             .orderBy("query_id", "neighbor_id"))
 
 
@@ -491,7 +495,7 @@ ranked AS (
                             ORDER BY cosine DESC, neighbor_id) AS rk
   FROM sims
 )
-SELECT query_id, neighbor_id, ROUND(cosine, 6) AS cosine
+SELECT query_id, neighbor_id
 FROM ranked WHERE rk <= {TOPK_K} ORDER BY query_id, neighbor_id
 """
 
