@@ -1,0 +1,88 @@
+"""Capstone composition: the end-to-end training-data cleaning
+pipeline, chaining every operator family in the engine.
+
+    raw pages
+      → quality scoring (drop low-quality)        [textstats]
+      → language filter                            [textstats]
+      → exact dedup on text digest                 [dedup]
+      → near-dup drop (MinHash→verify→cluster)     [dedup]
+      → contamination screen vs reference corpus   [contamination]
+      → cleaned pages + a one-row stats report
+
+Everything stays DataFrame-lazy until the two actions (near-dup pair
+collection and the final counts); raw text shuffles exactly once (the
+exact-dedup groupBy) — candidates, signatures, and classification are
+map-side / broadcast.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+from .contamination import build_reference_bloom, classify_pages
+from .dedup import drop_near_duplicates, minhash_dedup
+from .textstats import lang_id, quality_score
+
+
+def clean_corpus(docs: DataFrame, ref_corpus: DataFrame,
+                 id_col: str = "doc_id", text_col: str = "text",
+                 min_quality: float = 0.5,
+                 keep_langs: tuple[str, ...] | None = None,
+                 neardup_threshold: float = 0.8,
+                 contamination_tole: float = 0.4,
+                 k: int = 15,
+                 error_rate: float = 1e-6) -> tuple[DataFrame, DataFrame]:
+    """Returns (cleaned_docs, stats_row).
+
+    ``stats_row``: one-row DataFrame with counts surviving each stage
+    (the pipeline's funnel — the observability a 10¹²-page run needs).
+    """
+    spark = docs.sparkSession
+    n_input = docs.count()
+
+    scored = quality_score(docs, text_col)
+    good = scored.filter(F.col("quality_score") >= min_quality)
+    if keep_langs:
+        good = lang_id(good, text_col).filter(
+            F.col("lang_guess").isin(*keep_langs))
+    good = good.select(*docs.columns).cache()
+    n_quality = good.count()
+
+    # exact dedup: keep min id per identical text
+    keep_exact = (good.groupBy(text_col)
+                  .agg(F.min(id_col).alias(id_col))
+                  .select(id_col))
+    exact = good.join(keep_exact, id_col, "left_semi").cache()
+    n_exact = exact.count()
+
+    # near-dup drop: LSH candidates → exact-Jaccard verify → clusters
+    pairs = minhash_dedup(exact, id_col, text_col,
+                          threshold=neardup_threshold)
+    deduped = drop_near_duplicates(exact, id_col, pairs).cache()
+    n_neardup = deduped.count()
+
+    # contamination screen: drop pages matching the reference corpus
+    bloom = build_reference_bloom(ref_corpus, text_col=text_col, k=k,
+                                  error_rate=error_rate)
+    classified = classify_pages(deduped, bloom, text_col=text_col,
+                                passthrough=tuple(docs.columns),
+                                tole_rate=contamination_tole)
+    cleaned = (classified.filter(~F.col("contaminated"))
+               .select(*docs.columns).cache())
+    n_clean = cleaned.count()
+
+    import pandas as pd
+    stats = spark.createDataFrame(pd.DataFrame([{
+        "n_input": n_input,
+        "n_after_quality": n_quality,
+        "n_after_exact_dedup": n_exact,
+        "n_after_neardup": n_neardup,
+        "n_after_contamination": n_clean,
+        "dropped_quality": n_input - n_quality,
+        "dropped_exact_dup": n_quality - n_exact,
+        "dropped_neardup": n_exact - n_neardup,
+        "dropped_contaminated": n_neardup - n_clean,
+    }]))
+    good.unpersist()
+    exact.unpersist()
+    return cleaned, stats

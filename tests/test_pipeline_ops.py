@@ -169,3 +169,22 @@ def test_dedup_clusters_and_drop(spark, docs):
     assert kept.count() == n_docs - n_lost
     kept_ids = {r["doc_id"] for r in kept.select("doc_id").collect()}
     assert set(by_id.values()) <= kept_ids
+
+
+def test_clean_corpus_capstone(spark, docs):
+    """The full cleaning pipeline: funnel counts are monotone, stages
+    drop what ground truth says they should."""
+    from facs_spark.ops.pipeline import clean_corpus
+    ref = docs.filter(F.col("source") == "src0")
+    cleaned, stats = clean_corpus(
+        docs, ref, min_quality=0.3, neardup_threshold=0.8,
+        contamination_tole=0.4)
+    s = stats.collect()[0]
+    assert (s["n_input"] >= s["n_after_quality"] >= s["n_after_exact_dedup"]
+            >= s["n_after_neardup"] >= s["n_after_contamination"])
+    assert s["n_input"] == docs.count()
+    assert s["dropped_neardup"] > 0, "planted near-dups must be dropped"
+    assert s["dropped_contaminated"] > 0, "src0-like pages must be screened"
+    n_clean = cleaned.count()
+    assert n_clean == s["n_after_contamination"] > 0
+    assert set(cleaned.columns) == set(docs.columns)
