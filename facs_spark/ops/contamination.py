@@ -23,7 +23,7 @@
 from __future__ import annotations
 
 import pandas as pd
-from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql import DataFrame, functions as F
 
 from ..kernels.classify import CANONICALIZERS, classify_batch
 from ..session import ensure_parallelism, ensure_shipped

@@ -14,7 +14,6 @@ import pandas as pd
 from pyspark.sql import Column, DataFrame, functions as F
 
 from ..session import ensure_parallelism, ensure_shipped
-from ..sketch.hashing import hash_strings_batch
 
 # Marker-token tables for the n-gram/stopword language heuristic.
 # Deliberately tiny and transparent so the oracle can restate them.

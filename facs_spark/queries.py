@@ -19,7 +19,6 @@ from .ops.contamination import (build_reference_bloom, classify_pages,
                                 contamination_counters)
 from .ops.sketch_agg import SketchSpec, build_sketch, grouped_sketches
 from .sketch import sketch_from_bytes
-from .sketch.hashing import int64_key_matrix
 
 # Flagship parameters (k per kmer_suggestion for small inputs,
 # tole per mco_suggestion(15) — facs/suggestions.c:35-82).
