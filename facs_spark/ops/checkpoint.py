@@ -46,11 +46,13 @@ def checkpoint_build(df: DataFrame, spec: SketchSpec, path: str,
 def resume(spark: SparkSession, path: str, fanin: int = 64):
     """Merge every checkpointed partial at ``path`` into one sketch."""
     partials = spark.read.parquet(path)
-    # re-key partition ids uniquely across splits for the tree merge
+    # re-key partition ids uniquely across splits for the tree merge;
+    # checkpoint rows are NOT one-per-partition, so pass the true count
     keyed = partials.select(
         F.monotonically_increasing_id().alias("partition_id"),
         "rows_seen", "wall_ms", "sketch")
-    return tree_merge(keyed, fanin=fanin)
+    return tree_merge(keyed, fanin=fanin,
+                      n_partials=partials.count())
 
 
 def lineage(spark: SparkSession, path: str) -> DataFrame:
