@@ -1,0 +1,92 @@
+"""Unit coverage for small helpers: spec blob-size estimates, split
+planning, suggestion tables, banked serialization math."""
+
+import gzip
+import os
+
+import numpy as np
+import pytest
+
+from facs_spark.io.fastx import _plan_splits, sniff_format
+from facs_spark.ops.sketch_agg import SketchSpec
+from facs_spark.sketch import (BloomFilter, CountMinSketch, HyperLogLog, KLL,
+                               TDigest, kmer_suggestion, mco_suggestion)
+
+MB = 1 << 20
+
+
+def test_blob_bytes_estimates_match_reality():
+    specs = [
+        SketchSpec.make("bloom", "t", prep="kgram", k=15, capacity=100_000,
+                        error_rate=0.0005),
+        SketchSpec.make("hll", "x", p=12),
+        SketchSpec.make("cms", "x", epsilon=1e-3, delta=0.05),
+        SketchSpec.make("tdigest", "x"),
+        SketchSpec.make("kll", "x"),
+    ]
+    for spec in specs:
+        est = spec.blob_bytes()
+        real = len(spec.new_sketch().to_bytes())
+        assert est >= real * 0.5, f"{spec.kind}: est {est} < half of {real}"
+        # bloom/hll/cms estimates should be tight
+        if spec.kind in ("bloom", "hll", "cms"):
+            assert abs(est - real) <= real * 0.1 + 128
+
+
+def test_suggestion_tables_reference_values():
+    assert kmer_suggestion(5 * MB) == 15
+    assert kmer_suggestion(15 * MB) == 16
+    assert kmer_suggestion(600 * MB) == 20
+    assert mco_suggestion(15) == 0.4
+    assert mco_suggestion(16) == 0.3
+    assert mco_suggestion(99) == 0.4  # default branch
+
+
+def test_plan_splits_boundaries(tmp_path):
+    p = tmp_path / "reads.fastq"
+    p.write_text("@r\nACGT\n+\nIIII\n" * 1000)  # 15 KB
+    tasks = _plan_splits([str(p)], split_bytes=4096)
+    assert len(tasks) == 4  # ceil(15000/4096)
+    assert tasks[0][2] == 0
+    ends = [t[3] for t in tasks]
+    starts = [t[2] for t in tasks]
+    assert starts[1:] == ends[:-1], "splits must tile the file"
+    assert ends[-1] == os.path.getsize(p)
+    # gzip: single whole-file task
+    gz = tmp_path / "reads.fastq.gz"
+    with gzip.open(gz, "wt") as fh:
+        fh.write("@r\nACGT\n+\nIIII\n")
+    gtasks = _plan_splits([str(gz)], split_bytes=4096)
+    assert gtasks == [(str(gz), "fastq", -1, -1)]
+    # empty file: one empty task, no infinite loop
+    empty = tmp_path / "empty.fasta"
+    empty.write_text("")
+    etasks = _plan_splits([str(empty)], split_bytes=4096)
+    assert etasks == [(str(empty), "fasta", 0, 0)]
+
+
+def test_split_banks_counts():
+    bf = BloomFilter.create(capacity=10_000, error_rate=0.01, k_mer=8)
+    raw = bf.vector.nbytes
+    for bank_size in (1024, 4096, raw + 10):
+        banks = bf.split_banks(max_bank_bytes=bank_size)
+        assert len(banks) == 1 + -(-raw // bank_size)
+        rt = BloomFilter.from_banks(banks)
+        assert (rt.vector == bf.vector).all()
+    with pytest.raises(ValueError, match="bank count"):
+        BloomFilter.from_banks(banks[:-1])
+
+
+def test_sketch_roundtrip_empty_states():
+    """Serialization of never-updated sketches round-trips."""
+    for sk in (HyperLogLog(p=10), CountMinSketch(epsilon=0.01, delta=0.1),
+               TDigest(), KLL()):
+        blob = sk.to_bytes()
+        back = type(sk).from_bytes(blob)
+        assert back.to_bytes() == blob
+
+
+def test_sniff_binary_head_precedence(tmp_path):
+    # extension wins over head; head only used for unknown extensions
+    assert sniff_format("a.fasta", b"@") == "fasta"
+    assert sniff_format("a.fq", b">") == "fastq"
