@@ -198,33 +198,70 @@ def simhash_fingerprints(df: DataFrame, id_col: str, text_col: str,
         kernel, schema=f"{id_col} long, simhash long")
 
 
-def simhash_near_pairs(fp: DataFrame, id_col: str,
-                       max_hamming: int = 6) -> DataFrame:
-    """Pairs within a Hamming ball via 8-block bucketing.
+def _simhash_block_tables(fp: DataFrame, id_col: str,
+                          max_hamming: int) -> DataFrame:
+    """(blk, val, id, simhash) rows — one per doc per LSH table.
 
-    Pigeonhole: two 64-bit prints within distance ≤7 share at least
-    one identical 8-bit block of 8 — bucket on (block_idx, block),
-    then verify the true distance.  Near-identical documents (Jaccard
-    ≈ 0.97-0.99 on 2-gram shingles) land at Hamming 2-6 empirically,
-    hence the ≤6 default.
+    Pigeonhole over 64-bit prints:
+
+    * ``max_hamming ≤ 3``: split into 4 blocks of 16 bits; ≤3 flipped
+      bits leave ≥1 block untouched.  4 tables × 2¹⁶ cells.
+    * ``4 ≤ max_hamming ≤ 6``: split into 8 blocks of 8 bits and key
+      each table by a *pair* of blocks (C(8,2)=28 tables, 16-bit
+      keys); ≤6 flips leave ≥2 of 8 blocks untouched, so some pair is
+      clean.  28 tables × 2¹⁶ cells.
+
+    Both give 2¹⁶ cells per table (vs 2⁸ for single 8-bit blocks whose
+    2,048 global cells made candidates ≈ n²/32) — expected candidates
+    ≈ T·n²/2¹⁷, and the per-cell cap in ``simhash_near_pairs`` bounds
+    the worst case when similar docs pile into one cell.
     """
-    if max_hamming > 7:
-        raise ValueError(
-            "8-block bucketing only guarantees recall for Hamming ≤ 7; "
-            f"got max_hamming={max_hamming}")
-    blocks = fp.select(
-        id_col, "simhash",
-        F.explode(F.array(*[
+    if max_hamming <= 3:
+        structs = [
             F.struct(F.lit(i).alias("blk"),
-                     F.shiftright(F.col("simhash"), 8 * i)
-                      .bitwiseAND(F.lit(0xFF)).alias("val"))
-            for i in range(8)])).alias("b"))
-    blocks = blocks.select(id_col, "simhash", F.col("b.blk").alias("blk"),
-                           F.col("b.val").alias("val"))
-    left = blocks.select(F.col(id_col).alias("id_a"),
-                         F.col("simhash").alias("sim_a"), "blk", "val")
-    right = blocks.select(F.col(id_col).alias("id_b"),
-                          F.col("simhash").alias("sim_b"), "blk", "val")
+                     F.shiftrightunsigned(F.col("simhash"), 16 * i)
+                      .bitwiseAND(F.lit(0xFFFF)).alias("val"))
+            for i in range(4)]
+    elif max_hamming <= 6:
+        byte = [F.shiftrightunsigned(F.col("simhash"), 8 * i)
+                 .bitwiseAND(F.lit(0xFF)) for i in range(8)]
+        structs = [
+            F.struct(F.lit(i * 8 + j).alias("blk"),
+                     (byte[i] * 256 + byte[j]).alias("val"))
+            for i in range(8) for j in range(i + 1, 8)]
+    else:
+        raise ValueError(
+            "block-pair bucketing only guarantees recall for Hamming ≤ 6; "
+            f"got max_hamming={max_hamming}")
+    return (fp.select(id_col, "simhash",
+                      F.explode(F.array(*structs)).alias("b"))
+            .select(id_col, "simhash", F.col("b.blk").alias("blk"),
+                    F.col("b.val").alias("val")))
+
+
+def simhash_near_pairs(fp: DataFrame, id_col: str, max_hamming: int = 6,
+                       max_bucket: int = 200) -> DataFrame:
+    """Pairs within a Hamming ball via multi-table 16-bit-key LSH.
+
+    Bucket on (table, 16-bit key) per ``_simhash_block_tables``
+    (recall guaranteed by pigeonhole for the requested ball), cap
+    degenerate cells at ``max_bucket`` docs (boilerplate skew — same
+    guard as ``minhash_candidates``), then verify the true Hamming
+    distance.  Only (blk, val, id, simhash) longs shuffle.
+
+    Near-identical documents (Jaccard ≈ 0.97-0.99 on 2-gram shingles)
+    land at Hamming 2-6 empirically, hence the ≤6 default.
+    """
+    blocks = _simhash_block_tables(fp, id_col, max_hamming)
+    ok_cells = (blocks.groupBy("blk", "val")
+                .agg(F.count(F.lit(1)).alias("n"))
+                .filter((F.col("n") >= 2) & (F.col("n") <= max_bucket))
+                .select("blk", "val"))
+    kept = blocks.join(ok_cells, ["blk", "val"])
+    left = kept.select(F.col(id_col).alias("id_a"),
+                       F.col("simhash").alias("sim_a"), "blk", "val")
+    right = kept.select(F.col(id_col).alias("id_b"),
+                        F.col("simhash").alias("sim_b"), "blk", "val")
     pairs = (left.join(right, ["blk", "val"])
              .filter(F.col("id_a") < F.col("id_b"))
              .select("id_a", "id_b", "sim_a", "sim_b").distinct())
@@ -236,14 +273,23 @@ def simhash_near_pairs(fp: DataFrame, id_col: str,
 
 # ------------------------------------------------------- exact jaccard
 def ngram_jaccard_pairs(df: DataFrame, id_col: str, text_col: str,
-                        shingle_n: int = 3,
-                        threshold: float = 0.5) -> DataFrame:
-    """Exact all-pairs Jaccard ≥ threshold via an inverted index.
+                        shingle_n: int = 3, threshold: float = 0.5,
+                        max_df: int | None = 1000) -> DataFrame:
+    """All-pairs Jaccard ≥ threshold via an inverted index.
 
     explode(shingles) → self-join on shingle → count per pair →
     |A∩B| / (|A|+|B|−|A∩B|).  The shuffle carries (shingle_hash, id)
     longs only.  This is the exact verifier for the LSH paths; at
     10¹² docs you'd run it only on candidate-restricted subsets.
+
+    ``max_df`` is the stop-shingle cap: a shingle present in B docs
+    contributes B²/2 rows to the self-join, so one viral boilerplate
+    shingle melts the shuffle.  Postings with document frequency >
+    ``max_df`` are dropped *before* the join, and sizes are computed
+    over the same filtered universe — the result is the exact Jaccard
+    over non-stop shingles (df ≤ max_df).  Stop shingles are shared
+    boilerplate, so for genuine near-dup pairs this barely moves J;
+    pass ``max_df=None`` for unrestricted exact semantics.
     """
     ensure_shipped(df.sparkSession)
 
@@ -259,6 +305,10 @@ def ngram_jaccard_pairs(df: DataFrame, id_col: str, text_col: str,
 
     sh = ensure_parallelism(df.select(id_col, text_col)).mapInPandas(
         shingle_kernel, schema=f"{id_col} long, sh long")
+    if max_df is not None:
+        ok_sh = (sh.groupBy("sh").agg(F.count(F.lit(1)).alias("df_count"))
+                 .filter(F.col("df_count") <= max_df).select("sh"))
+        sh = sh.join(ok_sh, "sh")
     sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("sz"))
     a = sh.select(F.col(id_col).alias("id_a"), "sh")
     b = sh.select(F.col(id_col).alias("id_b"), "sh")
@@ -275,7 +325,35 @@ def ngram_jaccard_pairs(df: DataFrame, id_col: str, text_col: str,
 
 
 # ----------------------------------------------------------- clusters
-def dedup_clusters(pairs: DataFrame, max_iters: int = 20,
+def _large_star(edges: DataFrame) -> DataFrame:
+    """Large-star round (Kiveris et al., "Connected Components in
+    MapReduce and Beyond", SoCC 2014): for each node u, connect every
+    strictly-larger neighbor to min(Γ(u) ∪ {u})."""
+    both = edges.union(edges.select(F.col("v").alias("u"),
+                                    F.col("u").alias("v")))
+    mins = (both.groupBy("u").agg(F.min("v").alias("mn"))
+            .select("u", F.least("u", F.col("mn")).alias("m")))
+    return (both.join(mins, "u")
+            .filter(F.col("v") > F.col("u"))
+            .select(F.col("v").alias("u"), F.col("m").alias("v"))
+            .filter(F.col("u") != F.col("v"))
+            .distinct())
+
+
+def _small_star(edges: DataFrame) -> DataFrame:
+    """Small-star round: key each edge by its larger endpoint u, then
+    connect u and all smaller neighbors to min(Γ⁻(u) ∪ {u})."""
+    keyed = edges.select(F.greatest("u", "v").alias("u"),
+                         F.least("u", "v").alias("v"))
+    mins = keyed.groupBy("u").agg(F.min("v").alias("m"))
+    relinked = (keyed.join(mins, "u")
+                .select(F.col("v").alias("u"), F.col("m").alias("v"))
+                .filter(F.col("u") != F.col("v")))
+    own = mins.select("u", F.col("m").alias("v"))
+    return relinked.union(own).distinct()
+
+
+def dedup_clusters(pairs: DataFrame, max_iters: int = 50,
                    driver_threshold: int = 2_000_000) -> DataFrame:
     """Connected components over near-dup pairs → (id, cluster_rep).
 
@@ -283,10 +361,13 @@ def dedup_clusters(pairs: DataFrame, max_iters: int = 20,
     (LSH candidates → exact-Jaccard filter), so up to
     ``driver_threshold`` pairs a driver-side union–find resolves
     components in one pass — no iterative jobs.  Beyond that, the
-    distributed min-label propagation kicks in: every node starts as
-    its own representative; each round propagates the minimum across
-    edges until fixpoint (near-dup clusters are shallow, 3-4 rounds).
-    Each round is two shuffles on long keys — no raw text moves.
+    alternating large-star/small-star algorithm (Kiveris et al. 2014)
+    runs distributed: each round is two shuffles on long keys (no raw
+    text moves) and the edge set contracts toward per-component stars
+    rooted at the min id in O(log n) rounds even on deep chains —
+    unlike min-label propagation, whose round count is the component
+    diameter.  Raises if ``max_iters`` rounds don't reach the fixpoint
+    (silent non-convergence would split clusters and keep near-dups).
     """
     spark = pairs.sparkSession
     n_pairs = pairs.limit(driver_threshold + 1).count()
@@ -311,33 +392,39 @@ def dedup_clusters(pairs: DataFrame, max_iters: int = 20,
         rows = [(i, find(i)) for i in parent]
         return spark.createDataFrame(rows, "id long, cluster_rep long")
 
-    edges = (pairs.select(F.col("id_a").alias("src"),
-                          F.col("id_b").alias("dst"))
-             .union(pairs.select(F.col("id_b").alias("src"),
-                                 F.col("id_a").alias("dst")))
-             .distinct())
-    labels = (edges.select(F.col("src").alias("id"))
-              .distinct()
-              .withColumn("rep", F.col("id"))
-              .persist())
+    # localCheckpoint each round: star rounds reference the previous
+    # edge set several times, so without lineage truncation the logical
+    # plan grows exponentially and the driver OOMs around round ~10.
+    # Superseded rounds' blocks are freed by the ContextCleaner once
+    # the driver reference is dropped.
+    edges = (pairs.select(F.least("id_a", "id_b").alias("u"),
+                          F.greatest("id_a", "id_b").alias("v"))
+             .filter(F.col("u") != F.col("v"))
+             .distinct().localCheckpoint(eager=True))
+    converged = False
     for _ in range(max_iters):
-        neighbor_min = (edges.join(labels, edges.dst == labels.id)
-                        .groupBy("src").agg(F.min("rep").alias("nbr_rep")))
-        new_labels = (labels.join(neighbor_min,
-                                  labels.id == neighbor_min.src, "left")
-                      .select(labels.id,
-                              F.least(F.col("rep"),
-                                      F.coalesce(F.col("nbr_rep"),
-                                                 F.col("rep"))).alias("rep")))
-        new_labels = new_labels.persist()
-        changed = (new_labels.alias("n")
-                   .join(labels.alias("o"), "id")
-                   .filter(F.col("n.rep") != F.col("o.rep")).limit(1).count())
-        labels.unpersist()
-        labels = new_labels
+        new_edges = _small_star(_large_star(edges)).localCheckpoint(eager=True)
+        canon_old = edges.select(F.greatest("u", "v").alias("u"),
+                                 F.least("u", "v").alias("v"))
+        canon_new = new_edges.select(F.greatest("u", "v").alias("u"),
+                                     F.least("u", "v").alias("v"))
+        changed = (canon_new.exceptAll(canon_old)
+                   .union(canon_old.exceptAll(canon_new))
+                   .limit(1).count())
+        edges = new_edges
         if changed == 0:
+            converged = True
             break
-    return labels.select("id", F.col("rep").alias("cluster_rep"))
+    if not converged:
+        raise RuntimeError(
+            f"dedup_clusters star algorithm did not converge in "
+            f"{max_iters} rounds — refusing to return split clusters")
+    # at the fixpoint every component is a star rooted at its min id
+    stars = edges.select(F.greatest("u", "v").alias("id"),
+                         F.least("u", "v").alias("cluster_rep"))
+    roots = (stars.select(F.col("cluster_rep").alias("id"),
+                          F.col("cluster_rep")).distinct())
+    return stars.union(roots).distinct()
 
 
 def drop_near_duplicates(df: DataFrame, id_col: str, pairs: DataFrame) -> DataFrame:

@@ -102,15 +102,69 @@ def hyperplane_buckets(df: DataFrame, id_col: str, vec_col: str,
         kernel, schema=f"{id_col} long, bucket long")
 
 
+def _bucket_topk_rows(ids: np.ndarray, m: np.ndarray, k: int,
+                      query_mask: np.ndarray | None = None,
+                      max_pool: int = 8192, chunk: int = 1024) -> list:
+    """Chunked local top-k inside one bucket/cell — the memory-safe
+    kernel shared by the LSH and IVF paths.
+
+    Never materializes a B×B matrix: the neighbor pool is capped at
+    ``max_pool`` rows (deterministic — lowest ids kept, documented
+    recall contract for degenerate hot buckets) and queries run in
+    ``chunk``-row blocks, so peak memory is chunk × pool floats.
+    ``argpartition`` (O(pool)) replaces full argsort per row."""
+    n = ids.size
+    if n < 2:
+        return []
+    if n > max_pool:
+        pool_idx = np.argsort(ids, kind="stable")[:max_pool]
+    else:
+        pool_idx = np.arange(n)
+    pool_m = m[pool_idx]
+    pool_ids = ids[pool_idx]
+    queries = (np.flatnonzero(query_mask) if query_mask is not None
+               else np.arange(n))
+    rows = []
+    for start in range(0, queries.size, chunk):
+        qs = queries[start:start + chunk]
+        sims = m[qs] @ pool_m.T
+        sims[ids[qs][:, None] == pool_ids[None, :]] = -np.inf  # self
+        kk = min(k, sims.shape[1])
+        top = np.argpartition(-sims, kk - 1, axis=1)[:, :kk]
+        for row_i, qi in enumerate(qs):
+            for j in top[row_i]:
+                s = sims[row_i, j]
+                if np.isfinite(s):
+                    rows.append((int(ids[qi]), int(pool_ids[j]), float(s)))
+    return rows
+
+
+def auto_lsh_bits(n_rows: int, target_bucket: int = 2048) -> int:
+    """bits so the expected bucket holds ≈ ``target_bucket`` rows —
+    the scale knob the round-1 fixed ``bits=4`` lacked (cost within a
+    bucket is ~B·pool, so B must track n/2^bits, not n)."""
+    import math
+    if n_rows <= target_bucket:
+        return 1
+    return min(24, max(1, round(math.log2(n_rows / target_bucket))))
+
+
 def lsh_bucket_topk(df: DataFrame, id_col: str, vec_col: str,
-                    k: int = 10, bits: int = 6, dim: int = 64,
-                    seed: int = 7, tables: int = 4) -> DataFrame:
+                    k: int = 10, bits: int | None = None, dim: int = 64,
+                    seed: int = 7, tables: int = 4,
+                    target_bucket: int = 2048,
+                    max_pool: int = 8192) -> DataFrame:
     """Approximate all-pairs top-k: rows only compete within their LSH
     bucket(s).  ``tables`` independent hash tables union their
     candidates (standard multi-table LSH recall boost); each table's
     bucket id is namespaced so the per-bucket kernels never mix
-    tables.  Returns (query_id, neighbor_id, cosine, rank) for every
-    row as its own query — the self-join form of ANN."""
+    tables.  ``bits=None`` derives the table resolution from the row
+    count so expected buckets stay ≈ ``target_bucket`` rows at any
+    scale; hot buckets are additionally capped at ``max_pool`` pool
+    rows inside the kernel.  Returns (query_id, neighbor_id, cosine,
+    rank) for every row as its own query — the self-join form of ANN."""
+    if bits is None:
+        bits = auto_lsh_bits(df.count(), target_bucket)
     all_buckets = None
     for t in range(tables):
         b = hyperplane_buckets(df, id_col, vec_col, bits=bits, dim=dim,
@@ -123,31 +177,21 @@ def lsh_bucket_topk(df: DataFrame, id_col: str, vec_col: str,
     def per_bucket(pdf: pd.DataFrame) -> pd.DataFrame:
         m = _normalize(_matrix(pdf[vec_col], dim))
         ids = pdf[id_col].to_numpy()
-        sims = m @ m.T
-        np.fill_diagonal(sims, -np.inf)
-        kk = min(k, max(sims.shape[1] - 1, 0))
-        if kk == 0:
-            return pd.DataFrame({"query_id": [], "neighbor_id": [],
-                                 "cosine": [], "rank": []})
-        top = np.argsort(-sims, axis=1)[:, :kk]
-        rows = []
-        for i in range(ids.size):
-            for r, j in enumerate(top[i], start=1):
-                if np.isfinite(sims[i, j]):
-                    rows.append((int(ids[i]), int(ids[j]),
-                                 float(sims[i, j]), r))
+        rows = _bucket_topk_rows(ids, m, k, max_pool=max_pool)
         return pd.DataFrame(rows, columns=["query_id", "neighbor_id",
-                                           "cosine", "rank"])
+                                           "cosine"])
 
     partial = vecs.groupBy("bucket").applyInPandas(
-        per_bucket, schema="query_id long, neighbor_id long, cosine double, "
-                           "rank int")
-    # union of table candidates → global re-rank (dedup across tables)
+        per_bucket, schema="query_id long, neighbor_id long, cosine double")
+    # dedup across tables on the (query, neighbor) long pair — the
+    # cosine is recomputed identically per table, so MAX just picks it
+    # without shuffling distinct float triples
+    deduped = (partial.groupBy("query_id", "neighbor_id")
+               .agg(F.max("cosine").alias("cosine")))
     w = F.row_number().over(
         Window.partitionBy("query_id")
         .orderBy(F.desc("cosine"), F.asc("neighbor_id")))
-    return (partial.select("query_id", "neighbor_id", "cosine").distinct()
-            .withColumn("rank", w).filter(F.col("rank") <= k))
+    return deduped.withColumn("rank", w).filter(F.col("rank") <= k)
 
 
 def ivf_topk(df: DataFrame, id_col: str, vec_col: str, k: int = 10,
@@ -193,24 +237,16 @@ def ivf_topk(df: DataFrame, id_col: str, vec_col: str, k: int = 10,
     def per_cell(pdf: pd.DataFrame) -> pd.DataFrame:
         m = _normalize(_matrix(pdf[vec_col], dim))
         ids = pdf[id_col].to_numpy()
-        home = pdf["is_home"].to_numpy()
-        sims = m @ m.T
-        np.fill_diagonal(sims, -np.inf)
-        rows = []
-        kk = min(k, max(ids.size - 1, 0))
-        if kk:
-            top = np.argsort(-sims, axis=1)[:, :kk]
-            for i in np.flatnonzero(home):  # only home rows emit queries
-                for j in top[i]:
-                    if np.isfinite(sims[i, j]):
-                        rows.append((int(ids[i]), int(ids[j]),
-                                     float(sims[i, j])))
+        # only home rows emit queries; probe rows only serve as pool
+        rows = _bucket_topk_rows(ids, m, k,
+                                 query_mask=pdf["is_home"].to_numpy())
         return pd.DataFrame(rows, columns=["query_id", "neighbor_id",
                                            "cosine"])
 
     partial = vecs.groupBy("cell").applyInPandas(
         per_cell, schema="query_id long, neighbor_id long, cosine double")
+    deduped = (partial.groupBy("query_id", "neighbor_id")
+               .agg(F.max("cosine").alias("cosine")))
     w = F.row_number().over(Window.partitionBy("query_id")
                             .orderBy(F.desc("cosine"), F.asc("neighbor_id")))
-    return (partial.distinct().withColumn("rank", w)
-            .filter(F.col("rank") <= k))
+    return deduped.withColumn("rank", w).filter(F.col("rank") <= k)

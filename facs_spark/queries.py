@@ -55,7 +55,8 @@ def q01_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
 Q01_SQL = """
 SELECT l_returnflag, l_linestatus,
        CAST(SUM(l_quantity) AS BIGINT) AS sum_qty,
-       SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)) AS sum_base_price_cents,
+       CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT))
+            AS BIGINT) AS sum_base_price_cents,
        COUNT(*) AS count_order
 FROM lineitem
 WHERE l_shipdate <= TIMESTAMP '1998-09-02'
@@ -115,8 +116,8 @@ probes AS (
 )
 SELECT l_returnflag,
        COUNT(*) AS n_probed,
-       SUM(CASE WHEN probe_key IN (SELECT p_partkey FROM part)
-                THEN 1 ELSE 0 END) AS n_member
+       CAST(SUM(CASE WHEN probe_key IN (SELECT p_partkey FROM part)
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_member
 FROM probes
 GROUP BY l_returnflag
 ORDER BY l_returnflag
@@ -177,8 +178,8 @@ runs AS (
 ),
 per_doc AS (
   SELECT doc_id, ANY_VALUE(len) AS len,
-         SUM(CASE WHEN hit THEN 1 ELSE 0 END) AS mt,
-         SUM(run_start) AS run_starts,
+         CAST(SUM(CASE WHEN hit THEN 1 ELSE 0 END) AS BIGINT) AS mt,
+         CAST(SUM(run_start) AS BIGINT) AS run_starts,
          MAX(quick_hit) AS escalated
   FROM runs GROUP BY doc_id
 ),
@@ -199,9 +200,9 @@ docs_all AS (
   FROM documents d LEFT JOIN scored s ON d.doc_id = s.doc_id
 )
 SELECT COUNT(*) AS total_read_count,
-       SUM(CASE WHEN escalated = 1 AND score >= (SELECT tol FROM p)
-                THEN 1 ELSE 0 END) AS contaminated_reads,
-       SUM(match_time) AS total_hits,
+       CAST(SUM(CASE WHEN escalated = 1 AND score >= (SELECT tol FROM p)
+                     THEN 1 ELSE 0 END) AS BIGINT) AS contaminated_reads,
+       CAST(SUM(match_time) AS BIGINT) AS total_hits,
        SUM(CASE WHEN escalated = 1 AND score >= (SELECT tol FROM p)
                 THEN 1 ELSE 0 END) * 1.0 / COUNT(*) AS contamination_rate
 FROM docs_all
@@ -226,9 +227,9 @@ def q04_classify_pages(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 Q04_SQL = Q03_SQL.replace(
     """SELECT COUNT(*) AS total_read_count,
-       SUM(CASE WHEN escalated = 1 AND score >= (SELECT tol FROM p)
-                THEN 1 ELSE 0 END) AS contaminated_reads,
-       SUM(match_time) AS total_hits,
+       CAST(SUM(CASE WHEN escalated = 1 AND score >= (SELECT tol FROM p)
+                     THEN 1 ELSE 0 END) AS BIGINT) AS contaminated_reads,
+       CAST(SUM(match_time) AS BIGINT) AS total_hits,
        SUM(CASE WHEN escalated = 1 AND score >= (SELECT tol FROM p)
                 THEN 1 ELSE 0 END) * 1.0 / COUNT(*) AS contamination_rate
 FROM docs_all""",
@@ -589,10 +590,10 @@ def q16_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 Q16_SQL = r"""
-SELECT SUM(len(list_filter(regexp_split_to_array(text, '\s+'),
-                           x -> x <> ''))) AS total_ws,
-       SUM(len(regexp_extract_all(text,
-               '([A-Za-z]+|[0-9]|[^A-Za-z0-9\s])', 1))) AS total_bpe,
+SELECT CAST(SUM(len(list_filter(regexp_split_to_array(text, '\s+'),
+                                x -> x <> ''))) AS BIGINT) AS total_ws,
+       CAST(SUM(len(regexp_extract_all(text,
+            '([A-Za-z]+|[0-9]|[^A-Za-z0-9\s])', 1))) AS BIGINT) AS total_bpe,
        COUNT(*) AS n_docs
 FROM documents
 """
@@ -687,7 +688,9 @@ ORDER BY user_id, rk
 def q21_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .ops.similarity import lsh_bucket_topk
     emb = _read(spark, sf_dir, "embeddings")
-    return (lsh_bucket_topk(emb, "vec_id", "embedding", k=5, bits=4)
+    # bits=None → resolution derived from the row count (expected
+    # bucket ≈ target_bucket rows at any scale)
+    return (lsh_bucket_topk(emb, "vec_id", "embedding", k=5)
             .orderBy("query_id", "rank"))
 
 
@@ -772,7 +775,8 @@ def q24_json_props(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 Q24_SQL = """
 SELECT event_type, COUNT(*) AS n,
-       SUM(CAST(json_extract(props, '$.k') AS BIGINT)) AS sum_k,
+       CAST(SUM(CAST(json_extract(props, '$.k') AS BIGINT))
+            AS BIGINT) AS sum_k,
        MIN(CAST(json_extract(props, '$.k') AS BIGINT)) AS min_k,
        MAX(CAST(json_extract(props, '$.k') AS BIGINT)) AS max_k
 FROM events GROUP BY event_type ORDER BY event_type

@@ -64,6 +64,69 @@ def test_simhash_finds_planted_dups(spark, docs):
     assert recall >= 0.8, f"simhash recall {recall} on planted dups"
 
 
+def test_simhash_candidate_ratio_bounded(spark, docs):
+    """16-bit-key LSH tables must generate near-linear candidates —
+    the round-1 8-bit blocks gave ≈ n²/32 (quadratic at 100×)."""
+    from facs_spark.ops.dedup import _simhash_block_tables
+    fp = simhash_fingerprints(docs, "doc_id", "text", shingle_n=2).cache()
+    n = fp.count()
+    blocks = _simhash_block_tables(fp, "doc_id", max_hamming=3)
+    left = blocks.select(F.col("doc_id").alias("id_a"), "blk", "val")
+    right = blocks.select(F.col("doc_id").alias("id_b"), "blk", "val")
+    candidates = (left.join(right, ["blk", "val"])
+                  .filter(F.col("id_a") < F.col("id_b"))
+                  .select("id_a", "id_b").distinct().count())
+    fp.unpersist()
+    # 4 tables × 2^16 cells: random collisions ≈ 4·n²/2^17 ≪ n; the
+    # remainder is true near-dups, so candidates stay O(planted pairs)
+    assert candidates <= 5 * n, (
+        f"{candidates} candidates for {n} docs — bucketing is quadratic")
+    assert candidates < n * (n - 1) / 64, "worse than the old 8-bit blocks"
+
+
+def test_star_cc_deep_chain(spark):
+    """A 2k-node path graph (diameter ≫ round budget for plain label
+    propagation) must converge via large-star/small-star in O(log n)
+    rounds on the distributed path."""
+    from facs_spark.ops.dedup import dedup_clusters
+    n = 2000
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(n - 1)], "id_a long, id_b long")
+    labels = dedup_clusters(pairs, max_iters=25, driver_threshold=0)
+    rows = labels.collect()
+    assert len(rows) == n
+    assert all(r["cluster_rep"] == 0 for r in rows)
+
+
+def test_ngram_jaccard_stop_shingle_cap(spark):
+    """A viral boilerplate shingle shared by every doc must be dropped
+    by the df cap without losing the genuine near-dup pair."""
+    boiler = "copyright acme corp all rights reserved"
+    rows = [(i, f"{boiler} unique{i} filler{i} tail{i} pad{i} end{i}")
+            for i in range(50)]
+    rows.append((100, boiler + " alpha beta gamma delta epsilon zeta"))
+    rows.append((101, boiler + " alpha beta gamma delta epsilon eta"))
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    got = ngram_jaccard_pairs(docs, "doc_id", "text", shingle_n=3,
+                              threshold=0.5, max_df=10).collect()
+    assert {(r["id_a"], r["id_b"]) for r in got} == {(100, 101)}
+    # over the non-stop universe the pair's J is computed exactly
+    assert all(0.5 <= r["jaccard"] <= 1.0 for r in got)
+
+
+def test_ngram_jaccard_default_cap_is_noop(spark, docs):
+    """The default max_df=1000 must not change results on the test
+    corpus (max shingle df ≈ 25 at sf0.1) — oracle safety."""
+    capped = {(r["id_a"], r["id_b"], round(r["jaccard"], 9))
+              for r in ngram_jaccard_pairs(docs, "doc_id", "text",
+                                           threshold=0.8).collect()}
+    exact = {(r["id_a"], r["id_b"], round(r["jaccard"], 9))
+             for r in ngram_jaccard_pairs(docs, "doc_id", "text",
+                                          threshold=0.8,
+                                          max_df=None).collect()}
+    assert capped == exact and capped
+
+
 def test_exact_jaccard_verify_stage(spark, docs):
     pairs = spark.createDataFrame([(285, 301), (0, 1)], ["id_a", "id_b"])
     out = {(r["id_a"], r["id_b"]): r["jaccard"]
@@ -99,6 +162,37 @@ def test_ann_recall_vs_brute_force(spark, emb):
     recalls_ivf = [len((ivf_map.get(q, set()) - {q}) & (e - {q})) / len(e - {q})
                    for q, e in exact_map.items() if e - {q}]
     assert np.mean(recalls_ivf) >= 0.5, f"IVF recall too low: {np.mean(recalls_ivf)}"
+
+
+def test_ann_recall_at_10x_scale(spark):
+    """Auto-derived bits must hold recall at 10× the fixture's
+    embedding count (clustered synthetic corpus, deterministic)."""
+    import pandas as pd
+
+    from facs_spark.ops.similarity import auto_lsh_bits
+    rng = np.random.default_rng(42)
+    centers = rng.standard_normal((250, 64))
+    pts = (np.repeat(centers, 20, axis=0)
+           + 0.05 * rng.standard_normal((5000, 64)))
+    emb = spark.createDataFrame(pd.DataFrame(
+        {"vec_id": np.arange(5000), "embedding": [v.tolist() for v in pts]}))
+    qids = np.arange(20)
+    qvecs = pts[:20]
+    exact_map = {}
+    for r in brute_force_topk(emb, qvecs, qids, "vec_id", "embedding",
+                              k=6).collect():
+        exact_map.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+    approx_map = {}
+    for r in lsh_bucket_topk(emb, "vec_id", "embedding", k=6).collect():
+        approx_map.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+    recalls = [len((approx_map.get(q, set()) - {q}) & (e - {q}))
+               / len(e - {q})
+               for q, e in exact_map.items() if e - {q}]
+    assert np.mean(recalls) >= 0.5, f"LSH recall at 10×: {np.mean(recalls)}"
+    # the resolution scaling law itself: expected bucket ≈ target
+    assert auto_lsh_bits(500) == 1
+    assert auto_lsh_bits(2_000_000) == 10
+    assert auto_lsh_bits(10 ** 12) == 24  # capped
 
 
 # ------------------------------------------------------------ checkpoint
