@@ -10,9 +10,10 @@ three with the same argument conventions, executed on Spark:
     print(facs.query("sample.fastq", "ref.bloom"))
     facs.remove("sample.fastq", "ref.bloom")
 
-Differences, stated: the ``.bloom`` file is this engine's serialized
-sketch frame (not the reference's raw C-struct dump — the reference's
-format embeds pointer-width struct padding, ``facs/bloom.c:253``);
+Differences, stated: ``build`` writes this engine's serialized sketch
+frame, but every loader auto-detects the reference's raw C-struct
+dump too (``facs/bloom.c:217-337``) — a facs user's existing filters
+load directly, and ``BloomFilter.to_facs_bytes`` exports back;
 ``remove`` writes directories of part files, not single files; reads
 are classified with DNA reverse-complement retry ON (matching query
 mode 'n' semantics, ``facs/tool.c:80-102``).
@@ -75,10 +76,13 @@ def build(source: str, bloom_filter: str, k_mer: int = 0,
 
 
 def _load_bloom(path: str) -> BloomFilter:
+    """Load either this engine's framed format or a filter written by
+    the reference's ``save_bloom`` (raw C-struct header + bit vector,
+    facs/bloom.c:217-337) — auto-detected by magic."""
     if not path.endswith(".bloom"):  # extension guard (facs/query.c:97-101)
         raise ValueError("bloom filter file must have a .bloom extension")
     with open(path, "rb") as fh:
-        return BloomFilter.from_bytes(fh.read())
+        return BloomFilter.from_any_bytes(fh.read())
 
 
 def _classified(spark, qry: str, bloom: BloomFilter, tole_rate: float,
@@ -139,9 +143,12 @@ def query(qry: str, bloom_filter: str, tole_rate: float = 0,
 
 def remove(src: str, ref: str, tole_rate: float = 0,
            report_fmt: str = "json", prefix: str | None = None,
-           spark=None) -> str:
-    """facs.remove: split reads into clean/contam outputs
-    (naming per facs/remove.c:89-151) and return the report."""
+           single_file: bool = True, spark=None) -> str:
+    """facs.remove: split reads into clean/contam outputs and return
+    the report.  Defaults to the reference's exact two-file contract —
+    ``<sample>_<ref>_{clean,contam}.{fastq,fasta}`` plain files
+    (facs/remove.c:89-151); pass ``single_file=False`` for part-file
+    directories at cluster scale."""
     spark = spark or get_spark("facs_remove")
     begin = _isodate()
     bloom = _load_bloom(ref)
@@ -153,10 +160,10 @@ def remove(src: str, ref: str, tole_rate: float = 0,
     from pyspark.sql import functions as F
     write_fastx(classified.filter(~F.col("contaminated")),
                 os.path.join(base, f"{sample}_{refname}_clean.{fmt}"),
-                fmt=fmt, seq_col="seq")
+                fmt=fmt, seq_col="seq", single_file=single_file)
     write_fastx(classified.filter(F.col("contaminated")),
                 os.path.join(base, f"{sample}_{refname}_contam.{fmt}"),
-                fmt=fmt, seq_col="seq")
+                fmt=fmt, seq_col="seq", single_file=single_file)
     row = contamination_counters(classified).collect()[0]
     threads = spark.sparkContext.defaultParallelism
     return _report_json(row, src, ref, bloom.k_mer, begin, report_fmt,

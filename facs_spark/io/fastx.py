@@ -210,9 +210,15 @@ def read_fastx(spark: SparkSession, paths, fmt: str | None = None,
 
 def write_fastx(df: DataFrame, path: str, fmt: str = "fastq",
                 seq_col: str = "seq", id_col: str = "read_id",
-                qual_col: str = "qual") -> None:
+                qual_col: str = "qual", single_file: bool = False) -> None:
     """Write reads back out (the clean/contam sinks of `facs remove`,
-    facs/remove.c:89-151) as a directory of text parts."""
+    facs/remove.c:89-151).
+
+    Default is a directory of text parts (the cluster-scale sink).
+    ``single_file=True`` matches the reference exactly — one plain
+    file at ``path`` — by coalescing to one task and renaming the part
+    file; use it for tool-parity outputs, not 100-TB ones.
+    """
     from pyspark.sql import functions as F
     if fmt == "fastq":
         rec = F.concat_ws("\n", F.concat(F.lit("@"), F.col(id_col)),
@@ -223,4 +229,16 @@ def write_fastx(df: DataFrame, path: str, fmt: str = "fastq",
     else:
         rec = F.concat_ws("\n", F.concat(F.lit(">"), F.col(id_col)),
                           F.col(seq_col))
-    df.select(rec.alias("value")).write.mode("overwrite").text(path)
+    out = df.select(rec.alias("value"))
+    if not single_file:
+        out.write.mode("overwrite").text(path)
+        return
+    import shutil
+    tmp = path + "._spark_tmp"
+    out.coalesce(1).write.mode("overwrite").text(tmp)
+    parts = sorted(_glob.glob(os.path.join(tmp, "part-*")))
+    if parts:
+        shutil.move(parts[0], path)
+    else:  # empty dataset still yields the (empty) reference file
+        open(path, "w").close()
+    shutil.rmtree(tmp, ignore_errors=True)

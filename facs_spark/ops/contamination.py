@@ -198,7 +198,9 @@ def _multi_kernel(bc_blobs, names: tuple[str, ...],
     canon_fn = CANONICALIZERS[canonicalize] if canonicalize else None
 
     def run(iterator):
-        blooms = [BloomFilter.from_bytes(b) for b in bc_blobs.value]
+        blooms = [BloomFilter.from_banks([bytes(x) for x in b])
+                  if isinstance(b, list) else BloomFilter.from_bytes(b)
+                  for b in bc_blobs.value]
         for batch in iterator:
             for lo in range(0, len(batch), _KERNEL_BATCH):
                 sub = batch.iloc[lo:lo + _KERNEL_BATCH]
@@ -223,7 +225,8 @@ def classify_multi(df: DataFrame, blooms: dict[str, BloomFilter],
                    text_col: str = "text",
                    passthrough: tuple[str, ...] = (),
                    tole_rate: float | None = None,
-                   canonicalize: str | None = None) -> DataFrame:
+                   canonicalize: str | None = None,
+                   max_bank_bytes: int | None = None) -> DataFrame:
     """Screen pages against MANY filters in one pass (long format).
 
     The reference's fastq_screen-style multi-filter screening loops
@@ -237,7 +240,18 @@ def classify_multi(df: DataFrame, blooms: dict[str, BloomFilter],
     names = tuple(blooms)
     toles = tuple((mco_suggestion(blooms[n].k_mer or 15)
                    if tole_rate is None else tole_rate) for n in names)
-    bc = spark.sparkContext.broadcast([blooms[n].to_bytes() for n in names])
+    # same banked path as classify_pages: any filter whose blob tops
+    # 1 GiB ships as bank slices (JVM byte arrays cap at 2 GB), so a
+    # wide filter that works single-filter also works in a screen
+    payloads = []
+    for n in names:
+        blob = blooms[n].to_bytes()
+        if max_bank_bytes or len(blob) > (1 << 30):
+            payloads.append(blooms[n].split_banks(
+                max_bank_bytes or (1 << 30)))
+        else:
+            payloads.append(blob)
+    bc = spark.sparkContext.broadcast(payloads)
     cols = tuple(passthrough)
     select_cols = list(dict.fromkeys(cols + (text_col,)))
     sel = ensure_parallelism(df.select(*select_cols))

@@ -105,6 +105,24 @@ class SketchSpec:
             from ..kernels.shingle import shingle_batch
             sb = shingle_batch(series.tolist(), self.param("k", 15))
             sketch.add_batch(sb.windows)
+        elif self.prep == "tokens":
+            # prep dispatch must precede the kind dispatch: a bloom
+            # spec with prep="tokens" previously fell into the raw-key
+            # branch and silently hashed whole column values
+            # single-space split (not str.split()) so the token multiset
+            # matches the exact verifiers (F.split(text, ' ') in Spark,
+            # string_split in the DuckDB oracle) on any whitespace
+            toks: list[str] = []
+            for t in series:
+                if t:
+                    toks.extend(x for x in t.split(" ") if x)
+            if self.kind == "bloom":
+                from ..sketch.hashing import ascii_lower, length_group_matrices
+                enc = [ascii_lower(t.encode("utf-8")) for t in toks]
+                for _idx, mat in length_group_matrices(enc):
+                    sketch.add_batch(mat)
+            else:
+                sketch.update_batch(toks)
         elif self.kind == "bloom":
             # raw keys into a Bloom: int64s become 8-byte keys,
             # strings are lowercased + length-grouped byte matrices
@@ -118,15 +136,6 @@ class SketchSpec:
                                    .encode("utf-8")) for v in series]
                 for _idx, mat in length_group_matrices(enc):
                     sketch.add_batch(mat)
-        elif self.prep == "tokens":
-            # single-space split (not str.split()) so the token multiset
-            # matches the exact verifiers (F.split(text, ' ') in Spark,
-            # string_split in the DuckDB oracle) on any whitespace
-            toks: list[str] = []
-            for t in series:
-                if t:
-                    toks.extend(x for x in t.split(" ") if x)
-            sketch.update_batch(toks)
         elif self.kind in ("tdigest", "kll"):
             sketch.update_batch(series.to_numpy(dtype=np.float64, na_value=np.nan))
         else:

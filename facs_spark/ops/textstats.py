@@ -118,31 +118,54 @@ def winnow_fingerprints(df: DataFrame, id_col: str, text_col: str,
     ensure_shipped(df.sparkSession)
 
     def kernel(iterator):
+        from numpy.lib.stride_tricks import sliding_window_view
+
         from ..kernels.shingle import shingle_batch
         from ..sketch.hashing import hash3_matrix
         for batch in iterator:
             sb = shingle_batch(batch[text_col].tolist(), k)
-            ids_out, fps_out = [], []
+            ids_out = np.zeros(0, dtype=np.int64)
+            fps_out = np.zeros(0, dtype=np.int64)
             if sb.windows.shape[0]:
                 h = hash3_matrix(sb.windows, 0)
                 ids = batch[id_col].to_numpy()
-                # doc_idx is sorted — per-doc slices via cumulative
-                # window counts (O(windows), not O(docs × windows))
                 n_wins = np.maximum(sb.doc_lengths - k + 1, 0)
                 starts = np.zeros(sb.doc_lengths.size + 1, dtype=np.int64)
                 np.cumsum(n_wins, out=starts[1:])
-                for d in range(sb.doc_lengths.size):
-                    hd = h[starts[d]:starts[d + 1]]
-                    if hd.size == 0:
-                        continue
-                    if hd.size <= window:
-                        mins = np.array([hd.min()])
-                    else:
-                        from numpy.lib.stride_tricks import sliding_window_view
-                        mins = sliding_window_view(hd, window).min(axis=1)
-                    fps = np.unique(mins)
-                    ids_out.extend([ids[d]] * fps.size)
-                    fps_out.extend((fps >> np.uint64(1)).astype(np.int64))
+                # ONE sliding-window min over the whole batch's hash
+                # stream with doc-boundary masking (no per-doc loop):
+                # a global window starting at p belongs to doc d =
+                # searchsorted(starts, p) and is valid iff it ends
+                # inside the same doc.
+                w = window
+                if h.size >= w:
+                    sw_min = sliding_window_view(h, w).min(axis=1)
+                    pos = np.arange(h.size - w + 1)
+                    d_of = np.searchsorted(starts, pos, "right") - 1
+                    valid = pos + w <= starts[d_of + 1]
+                    docs_full = d_of[valid]
+                    mins_full = sw_min[valid]
+                else:
+                    docs_full = np.zeros(0, dtype=np.int64)
+                    mins_full = np.zeros(0, dtype=h.dtype)
+                # docs too short for a full window contribute their
+                # whole-slice min; docs are contiguous in h, so one
+                # reduceat over every nonempty doc start yields all
+                # whole-doc mins in a single pass
+                has = np.flatnonzero(n_wins > 0)
+                doc_mins = (np.minimum.reduceat(h, starts[has])
+                            if has.size else np.zeros(0, dtype=h.dtype))
+                short = (n_wins[has] > 0) & (n_wins[has] < w)
+                docs_all = np.concatenate([docs_full, has[short]])
+                mins_all = np.concatenate([mins_full, doc_mins[short]])
+                if docs_all.size:
+                    # per-doc unique: lexsort (doc, value), keep run heads
+                    order = np.lexsort((mins_all, docs_all))
+                    dv, vv = docs_all[order], mins_all[order]
+                    keep = np.ones(dv.size, dtype=bool)
+                    keep[1:] = (dv[1:] != dv[:-1]) | (vv[1:] != vv[:-1])
+                    ids_out = ids[dv[keep]]
+                    fps_out = (vv[keep] >> np.uint64(1)).astype(np.int64)
             yield pd.DataFrame({id_col: ids_out, "fingerprint": fps_out})
 
     return ensure_parallelism(df.select(id_col, text_col)).mapInPandas(

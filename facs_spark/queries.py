@@ -706,17 +706,27 @@ def q22_grouped_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _read(spark, sf_dir, "documents")
     g = grouped_sketches(docs, ["lang"], SketchSpec.make("kll", "n_chars",
                                                          k=200)).collect()
+    # one aggregation job measures every (lang, q) estimate's exact
+    # rank at once — conditional sums instead of a per-combo
+    # filter+count loop (~2 jobs total, not 2·langs·quantiles)
+    qs = (0.25, 0.5, 0.75)
+    sketches = {r["lang"]: sketch_from_bytes(bytes(r["sketch"])) for r in g}
+    ests = {(lang, q): float(sk.quantile(q))
+            for lang, sk in sketches.items() for q in qs}
+    conds = [F.sum(((F.col("lang") == lang) &
+                    (F.col("n_chars") <= ests[(lang, q)])).cast("long"))
+             .alias(f"r|{lang}|{q}") for lang in sketches for q in qs]
+    conds += [F.sum((F.col("lang") == lang).cast("long"))
+              .alias(f"n|{lang}") for lang in sketches]
+    row = docs.agg(*conds).collect()[0].asDict()
     rows = []
-    for r in g:
-        sk = sketch_from_bytes(bytes(r["sketch"]))
-        grp = docs.filter(F.col("lang") == r["lang"])
-        n = grp.count()
-        for q in (0.25, 0.5, 0.75):
-            est = float(sk.quantile(q))
-            rank = grp.filter(F.col("n_chars") <= est).count() / n
+    for lang, sk in sketches.items():
+        n = row[f"n|{lang}"]
+        for q in qs:
+            rank = row[f"r|{lang}|{q}"] / n
             # ≤ 1/n slack: quantile of a discrete sample can't land
             # closer than one observation
-            rows.append({"lang": r["lang"], "q": q,
+            rows.append({"lang": lang, "q": q,
                          "within_bound": bool(abs(rank - q)
                                               <= sk.rank_error + 1.0 / n)})
     return (spark.createDataFrame(pd.DataFrame(rows))
@@ -812,19 +822,22 @@ ORDER BY flag, status
 # q26 — set operations (intersect / except) on customer key sets.
 # =====================================================================
 def q26_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # intersect/except/union cardinalities of the two key sets in ONE
+    # job: a full-outer join of the distinct sides tags membership, a
+    # single agg counts all three (vs three separate count() actions)
     orders = _read(spark, sf_dir, "orders")
     cust = _read(spark, sf_dir, "customer")
-    with_orders = orders.select(F.col("o_custkey").alias("c_custkey")).distinct()
-    all_cust = cust.select("c_custkey").distinct()
-    n_both = all_cust.intersect(with_orders).count()
-    n_without = all_cust.exceptAll(with_orders).count()
-    n_union = all_cust.union(with_orders).distinct().count()
-    import pandas as pd
-    return spark.createDataFrame(pd.DataFrame([{
-        "n_with_orders": n_both,
-        "n_without_orders": n_without,
-        "n_union": n_union,
-    }]))
+    c = (cust.select("c_custkey").distinct()
+         .withColumn("in_c", F.lit(1)))
+    o = (orders.select(F.col("o_custkey").alias("c_custkey")).distinct()
+         .withColumn("in_o", F.lit(1)))
+    joined = c.join(o, "c_custkey", "full_outer")
+    return joined.agg(
+        F.sum(((F.col("in_c") == 1) & (F.col("in_o") == 1)).cast("long"))
+         .alias("n_with_orders"),
+        F.sum(((F.col("in_c") == 1) & F.col("in_o").isNull()).cast("long"))
+         .alias("n_without_orders"),
+        F.count(F.lit(1)).alias("n_union"))
 
 
 Q26_SQL = """

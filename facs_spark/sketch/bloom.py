@@ -246,6 +246,56 @@ class BloomFilter:
         return cls(stat=BloomStat(m, k, cap, e), k_mer=k_mer,
                    inserts=inserts, vector=vec)
 
+    # -- reference binary-format interop -------------------------------
+    # The reference dumps its in-memory struct verbatim: two pointer
+    # fields (garbage on disk), inserts u64, bloomstat {elements u64,
+    # ideal_hashes i32 + 4 pad, capacity u64, e f64}, k_mer i32, dx
+    # i32, mcf f32 + 4 tail pad = 72 bytes on LP64, then the bit
+    # vector of (elements>>3)+1 bytes (facs/bloom.c:217-287 write,
+    # :289-337 read; struct at facs/bloom.h:42-59).  The bit layout
+    # and hashing already match bit-exactly, so interop is pure header
+    # translation.
+    _FACS_HEADER = struct.Struct("<8x8xQQi4xQdiif4x")
+
+    @classmethod
+    def from_facs_bytes(cls, blob: bytes) -> "BloomFilter":
+        """Load a filter written by the reference's ``save_bloom``."""
+        hdr = cls._FACS_HEADER
+        if len(blob) < hdr.size:
+            raise ValueError("not a facs .bloom file: too short")
+        inserts, elements, k, capacity, e, k_mer, _dx, _mcf = \
+            hdr.unpack_from(blob)
+        nbytes = (elements >> 3) + 1
+        if not (0 < elements and 0 < k <= 64
+                and len(blob) >= hdr.size + nbytes):
+            raise ValueError("not a facs .bloom file: implausible header")
+        vec = np.frombuffer(blob, dtype=np.uint8, count=nbytes,
+                            offset=hdr.size).copy()
+        return cls(stat=BloomStat(elements, k, capacity, e),
+                   k_mer=k_mer, inserts=inserts, vector=vec)
+
+    def to_facs_bytes(self) -> bytes:
+        """Serialize in the reference's raw-struct layout (pointers
+        zeroed; dx = k_mer², mcf = the reference's load-time default 0
+        — it recomputes mcf from the CLI tolerance).  The trailing
+        ``4·(ideal_hashes+1)`` zero bytes mirror the reference's
+        ftruncate size (facs/bloom.c:238) so files byte-count-match."""
+        hdr = self._FACS_HEADER.pack(
+            self.inserts, self.stat.elements, self.stat.ideal_hashes,
+            self.stat.capacity, self.stat.e, self.k_mer,
+            self.k_mer * self.k_mer, 0.0)
+        tail = b"\x00" * (4 * (self.stat.ideal_hashes + 1))
+        return hdr + self.vector.tobytes() + tail
+
+    @classmethod
+    def from_any_bytes(cls, blob: bytes) -> "BloomFilter":
+        """Auto-detect this engine's framed format vs the reference's
+        raw-struct dump (the latter starts with a disk-meaningless
+        pointer, so the 4-byte magic disambiguates)."""
+        if blob[:4] == _MAGIC:
+            return cls.from_bytes(blob)
+        return cls.from_facs_bytes(blob)
+
     # -- banked serialization ------------------------------------------
     def split_banks(self, max_bank_bytes: int = 1 << 30) -> list[bytes]:
         """Serialize as N blobs whose payloads each fit a broadcast cap.

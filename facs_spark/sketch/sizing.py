@@ -64,7 +64,11 @@ def facs_sizing(capacity: int, error_rate: float) -> BloomStat:
         raise ValueError("capacity must be >= 1")
     if not (0.0 < error_rate < 1.0):
         raise ValueError("error_rate must be in (0, 1)")
-    k = int(math.log(error_rate) / math.log(0.5))
+    # the reference truncates log(e) BEFORE dividing — the C cast in
+    # `(int) log (stat->e) / log (0.5)` binds to log(e) only
+    # (facs/suggestions.c:112), so e.g. e=0.01 gives k=5, not 6
+    k = int(math.trunc(math.log(error_rate)) / math.log(0.5))
+    k = max(1, k)  # e ≥ 1/e truncates to 0 hashes; floor at 1
     m = find_close_prime(13 * capacity * k // 9)
     k = 9 * m // (13 * capacity)
     k = max(1, min(k, 20))  # 20 salt seeds available (facs/bloom.c:25)

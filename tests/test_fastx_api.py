@@ -126,26 +126,30 @@ def test_query_sampling(spark, fixtures):
 
 
 def test_remove_artifacts(spark, fixtures):
-    """Clean + contam outputs exist and partition the input
-    (tests/test_remove.py:22-31 artifact assertions)."""
+    """Clean + contam outputs are the reference's exact two plain
+    files and partition the input (tests/test_remove.py:22-31 artifact
+    assertions; naming per facs/remove.c:89-151)."""
     bloom_path = os.path.join(fixtures["dir"], "ecoli.bloom")
     facs.remove(fixtures["fq"], bloom_path, spark=spark)
-    clean_dir = os.path.join(fixtures["dir"], "sample_ecoli_clean.fastq")
-    contam_dir = os.path.join(fixtures["dir"], "sample_ecoli_contam.fastq")
-    assert os.path.isdir(clean_dir) and os.path.isdir(contam_dir)
+    clean = os.path.join(fixtures["dir"], "sample_ecoli_clean.fastq")
+    contam = os.path.join(fixtures["dir"], "sample_ecoli_contam.fastq")
+    assert os.path.isfile(clean) and os.path.isfile(contam)
 
-    def read_ids(d):
-        ids = []
-        for part in glob.glob(os.path.join(d, "part-*")):
-            with open(part) as fh:
-                ids.extend(l.strip()[1:] for l in fh
-                           if l.startswith("@"))
-        return ids
+    def read_ids(f):
+        with open(f) as fh:
+            lines = fh.read().splitlines()
+        # strict 4-line FASTQ records: header is every 4th line
+        return [l[1:] for l in lines[::4]]
 
-    clean_ids, contam_ids = read_ids(clean_dir), read_ids(contam_dir)
+    clean_ids, contam_ids = read_ids(clean), read_ids(contam)
     assert len(clean_ids) + len(contam_ids) == fixtures["n_total"]
     assert all(i.startswith("contam") for i in contam_ids)
     assert len(contam_ids) == fixtures["n_contam"]
+
+    # cluster-scale sink still available: part-file directories
+    facs.remove(fixtures["fq"], bloom_path, single_file=False, spark=spark)
+    assert os.path.isdir(clean) and os.path.isdir(contam)
+    assert glob.glob(os.path.join(clean, "part-*"))
 
 
 def test_bloom_extension_guard(spark, fixtures):
@@ -201,6 +205,19 @@ def test_banked_broadcast_classify(spark, fixtures):
     a = {r["read_id"]: r["contaminated"] for r in plain.collect()}
     b = {r["read_id"]: r["contaminated"] for r in banked.collect()}
     assert a == b
+
+    # multi-filter screening takes the same banked path
+    from facs_spark.ops.contamination import classify_multi
+    cm_plain = classify_multi(reads, {"eco": bloom}, text_col="seq",
+                              passthrough=("read_id",), tole_rate=0.3,
+                              canonicalize="dna_revcomp")
+    cm_banked = classify_multi(reads, {"eco": bloom}, text_col="seq",
+                               passthrough=("read_id",), tole_rate=0.3,
+                               canonicalize="dna_revcomp",
+                               max_bank_bytes=1024)
+    ma = {r["read_id"]: r["contaminated"] for r in cm_plain.collect()}
+    mb = {r["read_id"]: r["contaminated"] for r in cm_banked.collect()}
+    assert ma == mb == a
 
 
 def test_threshold_sweep_roc(spark, fixtures):

@@ -90,3 +90,38 @@ def test_sniff_binary_head_precedence(tmp_path):
     # extension wins over head; head only used for unknown extensions
     assert sniff_format("a.fasta", b"@") == "fasta"
     assert sniff_format("a.fq", b">") == "fastq"
+
+
+def test_facs_sizing_truncation_order_matches_reference():
+    """get_rec casts log(e) to int BEFORE dividing by log(0.5)
+    (facs/suggestions.c:112), so e=0.01 seeds k=5 (not 6); the repo
+    must reproduce the reference's resulting (m, k) exactly."""
+    import math
+
+    from facs_spark.sketch import facs_sizing, find_close_prime
+    for n in (1_000, 10_000, 123_457):
+        for e in (0.01, 0.001, 0.0005, 0.0001):
+            k0 = int(math.trunc(math.log(e)) / math.log(0.5))
+            m = find_close_prime(13 * n * k0 // 9)
+            k = max(1, min(9 * m // (13 * n), 20))
+            st = facs_sizing(n, e)
+            assert (st.elements, st.ideal_hashes) == (m, k), (n, e)
+
+
+def test_bloom_tokens_spec_tokenizes():
+    """A bloom spec with prep='tokens' must insert tokens, not whole
+    column values (prep dispatch precedes kind dispatch)."""
+    import pandas as pd
+
+    from facs_spark.sketch.hashing import ascii_lower, length_group_matrices
+    spec = SketchSpec.make("bloom", "text", prep="tokens", capacity=1000,
+                           error_rate=1e-6)
+    sk = spec.new_sketch()
+    spec.update(sk, pd.Series(["foo bar", "baz"]))
+
+    def member(tok: str) -> bool:
+        mats = list(length_group_matrices([ascii_lower(tok.encode())]))
+        return bool(sk.contains_batch(mats[0][1])[0])
+
+    assert member("foo") and member("bar") and member("baz")
+    assert not member("foo bar")  # the whole value was never a key

@@ -195,6 +195,36 @@ def test_ann_recall_at_10x_scale(spark):
     assert auto_lsh_bits(10 ** 12) == 24  # capped
 
 
+def test_winnow_fingerprints_match_per_doc_reference(spark, docs):
+    """The batched masked sliding-window kernel must equal the
+    transparent per-doc winnowing definition (Schleimer et al. 2003),
+    including docs shorter than k and shorter than the window."""
+    from numpy.lib.stride_tricks import sliding_window_view
+
+    from facs_spark.kernels.shingle import shingle_batch
+    from facs_spark.ops.textstats import winnow_fingerprints
+    from facs_spark.sketch.hashing import hash3_matrix
+    k, w = 8, 4
+    sample = docs.limit(40).collect()
+    rows = [(r["doc_id"], r["text"]) for r in sample]
+    rows += [(9001, "tiny"), (9002, "exactly8c"), (9003, "")]
+    expected = {}
+    for doc_id, text in rows:
+        sb = shingle_batch([text], k)
+        if sb.windows.shape[0] == 0:
+            continue
+        h = hash3_matrix(sb.windows, 0)
+        mins = (np.array([h.min()]) if h.size <= w
+                else sliding_window_view(h, w).min(axis=1))
+        expected[doc_id] = set(
+            (np.unique(mins) >> np.uint64(1)).astype(np.int64).tolist())
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {}
+    for r in winnow_fingerprints(df, "doc_id", "text", k=k, window=w).collect():
+        got.setdefault(r["doc_id"], set()).add(r["fingerprint"])
+    assert got == expected
+
+
 # ------------------------------------------------------------ checkpoint
 def test_checkpoint_build_and_resume(spark, docs):
     spec = SketchSpec.make("hll", "doc_id", p=12)
