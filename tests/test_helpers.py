@@ -125,3 +125,37 @@ def test_bloom_tokens_spec_tokenizes():
 
     assert member("foo") and member("bar") and member("baz")
     assert not member("foo bar")  # the whole value was never a key
+
+
+def test_pages_source_contract(tmp_path):
+    """read_pages/write_pages: parquet path roundtrip with day
+    partitioning; schema contract enforced; Iceberg branch fails loud
+    without the runtime jar (this container ships none)."""
+    import pandas as pd
+
+    from facs_spark.io.pages import read_pages, write_pages
+    from facs_spark.session import get_spark
+    spark = get_spark("pages_test", cpus=2, shuffle_partitions=2)
+    pdf = pd.DataFrame({
+        "url": [f"https://ex.com/{i}" for i in range(10)],
+        "warc_ts": pd.to_datetime("2026-01-01") + pd.to_timedelta(
+            np.arange(10) * 12, unit="h"),
+        "html": [f"<p>doc {i}</p>".encode() for i in range(10)],
+        "text": [f"doc {i}" for i in range(10)],
+        "lang": ["en"] * 10,
+    })
+    df = spark.createDataFrame(pdf)
+    tgt = str(tmp_path / "pages")
+    write_pages(df, tgt, mode="overwrite")
+    back = read_pages(spark, tgt)
+    assert back.count() == 10
+    assert {r["text"] for r in back.select("text").collect()} \
+        == set(pdf["text"])
+    # day partitioning materialized → partition pruning is available
+    assert any("warc_day=" in p for p in os.listdir(tgt))
+    with pytest.raises(ValueError, match="missing columns"):
+        write_pages(df.drop("html"), tgt)
+    with pytest.raises(RuntimeError, match="Iceberg"):
+        read_pages(spark, "iceberg:cat.db.pages")
+    with pytest.raises(ValueError, match="snapshot"):
+        read_pages(spark, tgt, snapshot_id=1)

@@ -98,6 +98,23 @@ def test_star_cc_deep_chain(spark):
     assert all(r["cluster_rep"] == 0 for r in rows)
 
 
+def test_star_cc_equals_union_find_on_random_graphs(spark):
+    """Distributed star CC must label exactly like the driver
+    union-find on random graphs (multiple shapes, seeded)."""
+    from facs_spark.ops.dedup import dedup_clusters
+    rng = np.random.default_rng(13)
+    for trial, (n, m) in enumerate([(60, 40), (200, 150), (300, 500)]):
+        e = rng.integers(0, n, size=(m, 2))
+        e = e[e[:, 0] != e[:, 1]]
+        pairs = spark.createDataFrame(
+            [(int(a), int(b)) for a, b in e], "id_a long, id_b long")
+        dist = {r["id"]: r["cluster_rep"]
+                for r in dedup_clusters(pairs, driver_threshold=0).collect()}
+        drv = {r["id"]: r["cluster_rep"]
+               for r in dedup_clusters(pairs).collect()}
+        assert dist == drv, f"trial {trial}: star CC != union-find"
+
+
 def test_ngram_jaccard_stop_shingle_cap(spark):
     """A viral boilerplate shingle shared by every doc must be dropped
     by the df cap without losing the genuine near-dup pair."""
