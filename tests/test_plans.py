@@ -1,0 +1,121 @@
+"""Physical-plan regression guards: the properties that make the
+operators scale (filter pushdown into the parquet scan, column
+pruning, map-side partial aggregation, shuffle-free broadcast
+classification) asserted on the actual Catalyst output, so a future
+refactor that silently de-optimizes a plan fails loudly."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from facs_spark.session import get_spark
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def spark():
+    yield get_spark("facs_spark_plan_tests", cpus=4, shuffle_partitions=4)
+
+
+def _formatted(df) -> str:
+    spark = df.sparkSession
+    mode = spark._jvm.org.apache.spark.sql.execution.ExplainMode
+    return df._jdf.queryExecution().explainString(
+        mode.fromString("formatted"))
+
+
+def _n_nodes(plan: str, op: str) -> int:
+    """Count physical nodes by their detail header '(N) <op>' — the
+    formatted mode prints every node twice (tree + detail)."""
+    import re
+    return len(re.findall(rf"^\(\d+\) {op}", plan, flags=re.M))
+
+
+def test_filter_pushdown_and_column_pruning(spark):
+    li = spark.read.parquet(f"{SF}/lineitem.parquet")
+    q = (li.filter(F.col("l_shipdate") <= F.lit("1998-09-02"))
+         .groupBy("l_returnflag", "l_linestatus")
+         .agg(F.sum("l_quantity").alias("s")))
+    plan = _formatted(q)
+    assert "LessThanOrEqual(l_shipdate" in plan, "filter not pushed to scan"
+    # projection pruned to the 4 referenced columns, not the full table
+    read = plan.split("ReadSchema:")[1].splitlines()[0]
+    assert "l_extendedprice" not in read and "l_orderkey" not in read
+    for c in ("l_quantity", "l_returnflag", "l_linestatus", "l_shipdate"):
+        assert c in read
+    # partial+final aggregation around exactly one shuffle
+    assert _n_nodes(plan, "Exchange") == 1
+    assert _n_nodes(plan, "HashAggregate") >= 2
+
+
+def test_classification_is_shuffle_free(spark):
+    """The broadcast-Bloom semi-join: pages must NOT shuffle — the
+    whole classify stage is a map over the scan; only the 1-row
+    counter aggregation exchanges (partial+final)."""
+    from facs_spark.ops.contamination import (build_reference_bloom,
+                                              classify_pages,
+                                              contamination_counters)
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    ref = docs.filter(F.col("source") == "src0")
+    bloom = build_reference_bloom(ref, text_col="text", k=15,
+                                  error_rate=0.01)
+    classified = classify_pages(docs, bloom, text_col="text",
+                                tole_rate=0.4)
+    plan = _formatted(classified)
+    # ensure_parallelism's round-robin REPARTITION_BY_NUM is allowed
+    # (local-mode fan-out, a no-op on a real cluster); any KEYED
+    # exchange would mean pages are being shuffled — forbidden
+    assert "hashpartitioning" not in plan.lower()
+    assert "rangepartitioning" not in plan.lower()
+    # the classify stage itself is a map: scan → (repartition) → kernel
+    assert _n_nodes(plan, "MapInPandas") == 1
+    counters = contamination_counters(classified)
+    cplan = _formatted(counters)
+    # the only additional exchange is the 1-row final-agg gather
+    assert "hashpartitioning" not in cplan.lower()
+    assert _n_nodes(cplan, "HashAggregate") >= 2  # partial + final
+
+
+def test_grouped_sketches_shuffle_blobs_not_text(spark):
+    """Grouped sketches: the shuffle payload is (group, blob) partial
+    rows from the map side — the raw text column must not appear below
+    any Exchange."""
+    from facs_spark.ops.sketch_agg import SketchSpec, grouped_sketches
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    g = grouped_sketches(docs, ["lang"],
+                         SketchSpec.make("hll", "text", prep="tokens"))
+    plan = _formatted(g)
+    # the scan feeds MapInPandas before the hash exchange: text is
+    # consumed map-side and only (group, blob) partial rows shuffle
+    assert _n_nodes(plan, "MapInPandas") == 1
+    import re
+    exchange_blocks = [b for b in plan.split("\n\n")
+                       if re.match(r"\(\d+\) Exchange", b)]
+    assert exchange_blocks, "expected a group-key exchange"
+    for block in exchange_blocks:
+        assert "text#" not in block, "raw text column crosses a shuffle"
+        assert "sketch#" in block
+
+
+def test_exact_dedup_single_shuffle(spark):
+    from facs_spark.ops.dedup import exact_dedup
+    ev = spark.read.parquet(f"{SF}/events.parquet")
+    plan = _formatted(exact_dedup(ev, ["user_id", "event_type"],
+                                  "event_id"))
+    assert _n_nodes(plan, "Exchange") == 1, "exact dedup must shuffle once"
+    read = plan.split("ReadSchema:")[1].splitlines()[0]
+    assert "props" not in read, "unused wide column not pruned from scan"
+
+
+def test_broadcast_join_on_small_dim(spark):
+    """Catalyst must pick a broadcast join for the small part-dim side
+    (AQE or static threshold) — no sort-merge on a dim table."""
+    li = spark.read.parquet(f"{SF}/lineitem.parquet")
+    part = spark.read.parquet(f"{SF}/part.parquet").select(
+        "p_partkey", "p_brand")
+    j = (li.join(F.broadcast(part),
+                 li.l_partkey == part.p_partkey)
+         .groupBy("p_brand").agg(F.count(F.lit(1)).alias("n")))
+    plan = _formatted(j)
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
