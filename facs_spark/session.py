@@ -57,6 +57,8 @@ def ensure_parallelism(df, min_partitions: int | None = None):
     cluster scale the condition is false (100 TB scans already have
     ~10⁶ splits) and this is a no-op — no gratuitous shuffle.
     """
+    if df.isStreaming:  # micro-batch sizing is the trigger's job
+        return df
     spark = df.sparkSession
     target = min_partitions or spark.sparkContext.defaultParallelism
     if df.rdd.getNumPartitions() < target:

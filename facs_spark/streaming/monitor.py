@@ -1,0 +1,93 @@
+"""Structured-Streaming contamination monitor — the continuous-
+ingestion face of the batch pipeline.
+
+The reference is strictly batch (SURVEY §2.10), so this is engine
+breadth, not parity: a crawl drops page files into a directory (or
+Kafka topic / Iceberg streaming read — same DataFrame, different
+source) and the monitor classifies each micro-batch against the
+broadcast reference filter and maintains watermarked per-window
+contamination counters.
+
+Design points, mirrored from the batch path so the two share kernels:
+
+* classification is the SAME ``classify_pages`` mapInPandas kernel —
+  mapInPandas is streaming-compatible, so the hot path has exactly one
+  implementation;
+* the aggregation is a watermarked ``window(warc_ts)`` groupBy — late
+  pages within the watermark still land in their crawl window, later
+  ones are dropped (bounded state, the 100-TB requirement);
+* sinks: any writeStream sink; ``run_monitor_once`` uses
+  ``trigger(availableNow=True)`` to drain what exists and stop —
+  which is also the deterministic shape the tests assert on.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from ..ops.contamination import classify_pages
+from ..sketch import BloomFilter
+
+PAGES_DDL = ("url string, warc_ts timestamp, html binary, "
+             "text string, lang string")
+
+
+def stream_pages(spark: SparkSession, path: str,
+                 fmt: str = "parquet") -> DataFrame:
+    """File-source stream of pages (one micro-batch per new file by
+    default).  Swap for Kafka/Iceberg by replacing the source — every
+    downstream transform is source-agnostic."""
+    return (spark.readStream.schema(PAGES_DDL).format(fmt)
+            .option("maxFilesPerTrigger", 1).load(path))
+
+
+def classify_stream(pages: DataFrame, bloom: BloomFilter,
+                    text_col: str = "text",
+                    tole_rate: float | None = None,
+                    passthrough: tuple[str, ...] = ("url", "warc_ts",
+                                                    "lang")) -> DataFrame:
+    """Streaming classification — the batch kernel applied to a
+    streaming DataFrame (mapInPandas is streaming-safe; the filter
+    broadcasts once per executor exactly as in batch)."""
+    return classify_pages(pages, bloom, text_col=text_col,
+                          passthrough=passthrough, tole_rate=tole_rate)
+
+
+def windowed_contamination(classified: DataFrame,
+                           ts_col: str = "warc_ts",
+                           window: str = "1 hour",
+                           watermark: str = "2 hours",
+                           by_lang: bool = True) -> DataFrame:
+    """Watermarked per-window contamination counters.
+
+    State is bounded: windows older than the watermark are finalized
+    and evicted, so the monitor's memory footprint is
+    O(active windows × langs), independent of stream length.
+    """
+    keys = [F.window(F.col(ts_col), window).alias("win")]
+    if by_lang:
+        keys.append(F.col("lang"))
+    return (classified.withWatermark(ts_col, watermark)
+            .groupBy(*keys)
+            .agg(F.count(F.lit(1)).alias("total_read_count"),
+                 F.sum(F.col("contaminated").cast("long"))
+                  .alias("contaminated_reads"),
+                 F.sum("match_time").alias("total_hits"))
+            .withColumn("contamination_rate",
+                        F.col("contaminated_reads")
+                        / F.col("total_read_count")))
+
+
+def run_monitor_once(report: DataFrame, checkpoint_dir: str,
+                     query_name: str = "contamination_monitor",
+                     output_mode: str = "complete"):
+    """Drain everything currently in the source and stop
+    (trigger availableNow) — resumable: the checkpoint directory
+    carries offsets + aggregation state, so the next invocation picks
+    up exactly where this one finished."""
+    q = (report.writeStream.outputMode(output_mode)
+         .format("memory").queryName(query_name)
+         .option("checkpointLocation", checkpoint_dir)
+         .trigger(availableNow=True).start())
+    q.awaitTermination()
+    return q

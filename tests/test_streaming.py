@@ -1,0 +1,124 @@
+"""Structured-Streaming monitor: streaming classification must equal
+the batch path on the same pages; watermarked windows accumulate
+across micro-batches; the checkpoint makes a second run resume
+without reprocessing."""
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from facs_spark.ops.contamination import (build_reference_bloom,
+                                          classify_pages)
+from facs_spark.session import get_spark
+from facs_spark.streaming.monitor import (classify_stream,
+                                          run_monitor_once, stream_pages,
+                                          windowed_contamination)
+
+
+@pytest.fixture(scope="module")
+def spark():
+    yield get_spark("facs_spark_streaming_tests", cpus=4,
+                    shuffle_partitions=4)
+
+
+@pytest.fixture(scope="module")
+def pages_dir(spark, tmp_path_factory):
+    """Three 'crawl drop' files with timestamps spanning three hourly
+    windows; text drawn half from the reference corpus."""
+    from facs_spark.io.synth import synth_pages
+    base = tmp_path_factory.mktemp("stream_pages")
+    pages = synth_pages(spark, 600, partitions=3).withColumn(
+        "warc_ts",
+        F.to_timestamp(F.lit("2026-03-01 00:30:00"))
+        + (F.col("url").substr(-1, 1).cast("int") % 3
+           * F.expr("INTERVAL 1 HOUR")))
+    for i in range(3):
+        (pages.filter(F.crc32("url") % 3 == i)
+         .write.mode("overwrite").parquet(str(base / f"drop{i}.parquet")))
+        # file source wants files, not directories: lift the parts up
+        for f in os.listdir(base / f"drop{i}.parquet"):
+            if f.startswith("part-"):
+                os.rename(base / f"drop{i}.parquet" / f,
+                          base / f"batch{i}_{f}")
+        import shutil
+        shutil.rmtree(base / f"drop{i}.parquet")
+    return str(base)
+
+
+def test_stream_matches_batch_and_resumes(spark, pages_dir, tmp_path):
+    docs = spark.read.parquet(f"{pages_dir}/*.parquet")
+    ref = docs.limit(40)
+    bloom = build_reference_bloom(ref, text_col="text", k=15,
+                                  error_rate=1e-6)
+
+    stream = stream_pages(spark, f"{pages_dir}/*.parquet")
+    assert stream.isStreaming
+    classified = classify_stream(stream, bloom, tole_rate=0.4)
+    report = windowed_contamination(classified, window="1 hour",
+                                    watermark="2 hours", by_lang=False)
+    ckpt = str(tmp_path / "ckpt")
+    run_monitor_once(report, ckpt, query_name="mon_test")
+    got = {(r["win"]["start"].isoformat(), r["total_read_count"],
+            r["contaminated_reads"])
+           for r in spark.sql("SELECT * FROM mon_test").collect()}
+
+    # batch ground truth: same kernel, same windows
+    batch = classify_pages(docs, bloom, passthrough=("warc_ts",),
+                           tole_rate=0.4)
+    expect = {(r["win"]["start"].isoformat(), r["total_read_count"],
+               r["contaminated_reads"])
+              for r in (batch.groupBy(F.window("warc_ts", "1 hour")
+                                      .alias("win"))
+                        .agg(F.count(F.lit(1)).alias("total_read_count"),
+                             F.sum(F.col("contaminated").cast("long"))
+                              .alias("contaminated_reads"))).collect()}
+    assert got == expect and len(got) == 3
+
+    # resume: nothing new in the source → no windows change
+    q = run_monitor_once(report, ckpt, query_name="mon_test2")
+    assert q.lastProgress is None or \
+        q.lastProgress["numInputRows"] == 0
+
+
+def test_streaming_grouped_hll_state(spark, pages_dir, tmp_path):
+    """applyInPandasWithState: per-lang HLL state folds micro-batches
+    cumulatively; the final per-lang estimate matches the batch
+    countDistinct within the published bound."""
+    from facs_spark.streaming.monitor import stream_pages
+    from facs_spark.streaming.stateful import streaming_grouped_hll
+
+    stream = stream_pages(spark, f"{pages_dir}/*.parquet")
+    running = streaming_grouped_hll(stream, key_col="lang",
+                                    value_col="url", p=12)
+    q = (running.writeStream.outputMode("update").format("memory")
+         .queryName("hll_state")
+         .option("checkpointLocation", str(tmp_path / "ckpt2"))
+         .trigger(availableNow=True).start())
+    q.awaitTermination()
+    rows = spark.sql("SELECT * FROM hll_state").collect()
+    assert rows
+    # update mode emits one row per group per micro-batch; the row
+    # with MAX rows_seen per group is the final state
+    final = {}
+    for r in rows:
+        if (r["group_key"] not in final
+                or r["rows_seen"] > final[r["group_key"]]["rows_seen"]):
+            final[r["group_key"]] = r
+
+    import pyspark.sql.functions as F
+    docs = spark.read.parquet(f"{pages_dir}/*.parquet")
+    exact = {r["lang"]: (r["n"], r["d"]) for r in
+             docs.groupBy("lang").agg(
+                 F.count(F.lit(1)).alias("n"),
+                 F.countDistinct("url").alias("d")).collect()}
+    assert set(final) == set(exact)
+    bound = 3 * 1.04 / (2 ** 6)  # 3σ at p=12 (m=4096, √m=64)
+    for lang, r in final.items():
+        n, d = exact[lang]
+        assert r["rows_seen"] == n
+        assert abs(r["estimate"] - d) <= bound * d + 1.0
+        # the emitted blob is a mergeable sketch, end-to-end
+        from facs_spark.sketch import sketch_from_bytes
+        assert abs(sketch_from_bytes(bytes(r["sketch"])).estimate()
+                   - r["estimate"]) < 1e-9
