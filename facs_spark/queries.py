@@ -887,6 +887,59 @@ FROM reach GROUP BY src ORDER BY doc_id
 
 
 # =====================================================================
+# q28 — Structured Streaming breadth: the same events table consumed
+# as a file-source STREAM, watermarked daily windows per event_type,
+# drained with trigger(availableNow) into a memory sink.  The result
+# is deterministic (all data drained), so the plain-SQL GROUP BY over
+# the same parquet is an exact oracle — batch/stream equivalence is
+# the check.
+# =====================================================================
+def q28_stream_windowed_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import tempfile
+    import uuid
+
+    # the streaming file source monitors a DIRECTORY; the testdata
+    # table is a single read-only file, so stage a symlink dir (this
+    # is also the realistic shape: a crawl drops files into a dir)
+    src = tempfile.mkdtemp(prefix="q28_src_")
+    os.symlink(os.path.abspath(f"{sf_dir}/events.parquet"),
+               os.path.join(src, "events.parquet"))
+    ev = (spark.readStream
+          .schema("event_id long, ts timestamp_ntz, user_id long, "
+                  "event_type string, value double, props string")
+          .parquet(src))
+    # no watermark: complete-mode availableNow drains everything, and
+    # the parquet ts is NTZ (watermarks require LTZ) — the continuous
+    # watermarked variant lives in streaming/monitor.py
+    agg = (ev.groupBy(F.window("ts", "1 day").alias("win"), "event_type")
+           .agg(F.count(F.lit(1)).alias("n"),
+                F.sum(F.get_json_object("props", "$.k").cast("long"))
+                 .alias("sum_k")))
+    out = agg.select(F.date_format("win.start", "yyyy-MM-dd").alias("day"),
+                     "event_type", "n", "sum_k")
+    qname = "q28_sink_" + uuid.uuid4().hex[:8]
+    q = (out.writeStream.outputMode("complete").format("memory")
+         .queryName(qname)
+         .option("checkpointLocation",
+                 tempfile.mkdtemp(prefix="q28_ckpt_"))
+         .trigger(availableNow=True).start())
+    q.awaitTermination()
+    return spark.sql(f"SELECT * FROM {qname}").orderBy("day", "event_type")
+
+
+Q28_SQL = """
+SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day, event_type,
+       COUNT(*) AS n,
+       CAST(SUM(CAST(json_extract(props, '$.k') AS BIGINT))
+            AS BIGINT) AS sum_k
+FROM events
+GROUP BY 1, 2
+ORDER BY day, event_type
+"""
+
+
+# =====================================================================
 # registry
 # =====================================================================
 def queries():
@@ -918,6 +971,7 @@ def queries():
         "q25_rollup": q25_rollup,
         "q26_set_ops": q26_set_ops,
         "q27_dedup_clusters": q27_dedup_clusters,
+        "q28_stream_windowed_counts": q28_stream_windowed_counts,
     }
 
 
@@ -954,6 +1008,7 @@ def oracle_sql():
         "q25_rollup": Q25_SQL,
         "q26_set_ops": Q26_SQL,
         "q27_dedup_clusters": Q27_SQL,
+        "q28_stream_windowed_counts": Q28_SQL,
     }
 
 
