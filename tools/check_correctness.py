@@ -3,7 +3,13 @@
 at sf0.01, compare row count, column names, and exact values
 (rows sorted, columns sorted by name).
 
-Usage: python tools/check_correctness.py [sf_dir] [query ...]
+``--strict`` additionally replays the driver's dtype-SENSITIVE pandas
+value-hash: float64-vs-int64 divergence (e.g. DuckDB typing a bare
+SUM(int) as HUGEINT → float64) fails here even when the values
+compare equal — the round-1 failure mode this tool originally missed.
+Integer-width differences (int32 vs int64) hash identically and pass.
+
+Usage: python tools/check_correctness.py [--strict] [sf_dir] [query ...]
 """
 
 from __future__ import annotations
@@ -50,12 +56,22 @@ def values_equal(a, b) -> bool:
     return a == b
 
 
+def strict_hash(pdf: pd.DataFrame) -> int:
+    """Dtype-sensitive value hash in the driver's style: columns
+    sorted by name, rows sorted, pandas object-hash summed."""
+    s = pdf[sorted(pdf.columns)]
+    s = s.sort_values(list(s.columns)).reset_index(drop=True)
+    return int(pd.util.hash_pandas_object(s, index=False).sum())
+
+
 def main() -> int:
     import __spark_entry__ as e
     from facs_spark.session import get_spark
 
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
-    only = set(sys.argv[2:])
+    args = [a for a in sys.argv[1:] if a != "--strict"]
+    strict = "--strict" in sys.argv[1:]
+    sf_dir = args[0] if args else "/root/testdata/sf0.01"
+    only = set(args[1:])
     spark = get_spark(cpus=8)
 
     con = duckdb.connect()
@@ -70,7 +86,8 @@ def main() -> int:
             continue
         t0 = time.time()
         try:
-            got = normalize(fn(spark, sf_dir).toPandas())
+            raw_got = fn(spark, sf_dir).toPandas()
+            got = normalize(raw_got)
         except Exception as ex:  # noqa: BLE001
             print(f"FAIL {name}: spark error: {ex}")
             failures += 1
@@ -80,12 +97,25 @@ def main() -> int:
             print(f"ok?  {name}: rows={len(got)} (rows-only, no oracle) [{dt:.1f}s]")
             continue
         try:
-            want = normalize(con.execute(oracles[name]).df())
+            raw_want = con.execute(oracles[name]).df()
+            want = normalize(raw_want)
         except Exception as ex:  # noqa: BLE001
             print(f"FAIL {name}: duckdb error: {ex}")
             failures += 1
             continue
         problems = []
+        if strict and len(raw_got) == len(raw_want) \
+                and sorted(raw_got.columns) == sorted(raw_want.columns):
+            if strict_hash(raw_got) != strict_hash(raw_want):
+                problems.append(
+                    "strict value-hash mismatch (dtype-sensitive): "
+                    + str({c: str(raw_got[sorted(raw_got.columns)]
+                                  .dtypes[i]) for i, c in
+                           enumerate(sorted(raw_got.columns))})
+                    + " vs "
+                    + str({c: str(raw_want[sorted(raw_want.columns)]
+                                  .dtypes[i]) for i, c in
+                           enumerate(sorted(raw_want.columns))}))
         if len(got) != len(want):
             problems.append(f"rowcount {len(got)} != {len(want)}")
         if list(got.columns) != list(want.columns):
