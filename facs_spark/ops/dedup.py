@@ -306,9 +306,13 @@ def ngram_jaccard_pairs(df: DataFrame, id_col: str, text_col: str,
     sh = ensure_parallelism(df.select(id_col, text_col)).mapInPandas(
         shingle_kernel, schema=f"{id_col} long, sh long")
     if max_df is not None:
-        ok_sh = (sh.groupBy("sh").agg(F.count(F.lit(1)).alias("df_count"))
-                 .filter(F.col("df_count") <= max_df).select("sh"))
-        sh = sh.join(ok_sh, "sh")
+        # the stop list (df > max_df) is tiny by construction — ship
+        # it as a broadcast anti-join so the postings themselves are
+        # filtered map-side instead of shuffling against the (huge)
+        # keep-list; the df groupBy is the only extra shuffle
+        hot_sh = (sh.groupBy("sh").agg(F.count(F.lit(1)).alias("df_count"))
+                  .filter(F.col("df_count") > max_df).select("sh"))
+        sh = sh.join(F.broadcast(hot_sh), "sh", "left_anti")
     sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("sz"))
     a = sh.select(F.col(id_col).alias("id_a"), "sh")
     b = sh.select(F.col(id_col).alias("id_b"), "sh")
