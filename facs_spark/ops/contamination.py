@@ -191,6 +191,108 @@ def remove_split(df: DataFrame, bloom: BloomFilter, text_col: str = "text",
     return clean, contam
 
 
+def classify_pages_shuffle(df: DataFrame, ref_df: DataFrame,
+                           id_col: str = "doc_id",
+                           text_col: str = "text", k: int = 15,
+                           tole_rate: float = 0.4) -> DataFrame:
+    """Exact classification WITHOUT a broadcast filter — the scale
+    path for reference corpora too large for executor memory.
+
+    ``classify_pages`` broadcasts the Bloom filter (right up to the
+    banked ~GBs range); past ~10¹⁰⁺ distinct reference k-grams the
+    filter no longer fits an executor, and the right plan flips to a
+    shuffle semi-join: hash both sides' k-grams to 64-bit keys,
+    inner-join page windows against the distinct reference gram set,
+    and rebuild the reference's two-phase score from the surviving
+    hit positions (run-length algebra via one LAG window).  Exact —
+    no false positives at all (64-bit hash collisions ≈ n²/2⁶⁴ are the
+    only caveat, documented not engineered around).
+
+    Cost model: every page window row (id, pos, gram, len) shuffles
+    once on the gram key — heavy but linear, and the only shape that
+    works when neither side fits in memory.  Same output schema and
+    same score formula as ``classify_pages`` (facs/tool.c:56-180
+    semantics; verified equal in tests on an exact-rate filter).
+    """
+    spark = df.sparkSession
+    ensure_shipped(spark)
+
+    def ref_kernel(iterator):
+        import numpy as np
+
+        from ..kernels.shingle import shingle_batch
+        from ..sketch.hashing import hash3_matrix
+        for batch in iterator:
+            sb = shingle_batch(batch[text_col].tolist(), k)
+            if sb.windows.shape[0]:
+                h = (np.unique(hash3_matrix(sb.windows, 0))
+                     >> np.uint64(1)).astype(np.int64)
+            else:
+                h = np.zeros(0, dtype=np.int64)
+            yield pd.DataFrame({"gram": h})
+
+    ref_grams = (ensure_parallelism(ref_df.select(text_col))
+                 .mapInPandas(ref_kernel, "gram long").distinct())
+
+    def win_kernel(iterator):
+        import numpy as np
+
+        from ..kernels.shingle import shingle_batch
+        from ..sketch.hashing import hash3_matrix
+        for batch in iterator:
+            sb = shingle_batch(batch[text_col].tolist(), k)
+            ids = batch[id_col].to_numpy()
+            if sb.windows.shape[0]:
+                grams = (hash3_matrix(sb.windows, 0)
+                         >> np.uint64(1)).astype(np.int64)
+            else:
+                grams = np.zeros(0, dtype=np.int64)
+            yield pd.DataFrame({
+                id_col: ids[sb.doc_idx],
+                "pos": sb.win_pos.astype(np.int64),
+                "gram": grams,
+                "len": sb.doc_lengths[sb.doc_idx].astype(np.int64)})
+
+    wins = ensure_parallelism(df.select(id_col, text_col)).mapInPandas(
+        win_kernel, f"{id_col} long, pos long, gram long, len long")
+
+    from pyspark.sql.window import Window
+    hits = wins.join(ref_grams, "gram")
+    w = Window.partitionBy(id_col).orderBy("pos")
+    hits = hits.withColumn("prev", F.lag("pos").over(w))
+    # quick positions (0-based): stride-k starts plus the right-aligned
+    # tail when len % k != 0 (facs/tool.c:66-90)
+    quick = ((F.col("pos") % k == 0) |
+             ((F.col("len") % k != 0) & (F.col("pos") == F.col("len") - k)))
+    per_doc = hits.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("mt"),
+        F.sum((F.col("prev").isNull() |
+               (F.col("pos") - F.col("prev") > 1)).cast("long"))
+         .alias("run_starts"),
+        F.max(quick.cast("int")).alias("esc"),
+        F.first("len").alias("len"))
+    denom = (F.col("len") * k + F.col("len") - F.lit(k * k)).cast("double")
+    scored = per_doc.select(
+        id_col,
+        (F.col("esc") == 1).alias("escalated"),
+        F.when(F.col("esc") == 1, F.col("mt")).otherwise(F.lit(0))
+         .cast("long").alias("match_time"),
+        F.when(F.col("esc") == 1,
+               (F.col("mt") * k + F.col("mt")
+                + (k - 1) * F.col("run_starts")).cast("double") / denom)
+         .otherwise(F.lit(0.0)).alias("match_score"))
+    base = df.select(id_col, F.octet_length(text_col).alias("text_len"))
+    out = (base.join(scored, id_col, "left")
+           .select(id_col,
+                   F.coalesce("escalated", F.lit(False)).alias("escalated"),
+                   F.coalesce("match_time", F.lit(0)).alias("match_time"),
+                   F.coalesce("match_score", F.lit(0.0)).alias("match_score"),
+                   F.col("text_len").cast("long").alias("text_len")))
+    return out.withColumn(
+        "contaminated",
+        F.col("escalated") & (F.col("match_score") >= tole_rate))
+
+
 # --------------------------------------------------------------- multi
 def _multi_kernel(bc_blobs, names: tuple[str, ...],
                   passthrough: tuple[str, ...], text_col: str,

@@ -887,6 +887,23 @@ FROM reach GROUP BY src ORDER BY doc_id
 
 
 # =====================================================================
+# q29 — the no-broadcast classification path (shuffle semi-join on
+# gram hashes; the plan for reference sets too large for executor
+# memory).  Semantically identical to q04, so it shares q04's oracle.
+# =====================================================================
+def q29_classify_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .ops.contamination import classify_pages_shuffle
+    docs = _read(spark, sf_dir, "documents")
+    ref = docs.filter(F.col("source") == REF_SOURCE)
+    out = classify_pages_shuffle(docs, ref, id_col="doc_id",
+                                 text_col="text", k=K_GRAM,
+                                 tole_rate=TOLE)
+    return (out.select("doc_id", "escalated", "contaminated",
+                       "match_time", "match_score")
+            .orderBy("doc_id"))
+
+
+# =====================================================================
 # q28 — Structured Streaming breadth: the same events table consumed
 # as a file-source STREAM, watermarked daily windows per event_type,
 # drained with trigger(availableNow) into a memory sink.  The result
@@ -972,6 +989,7 @@ def queries():
         "q26_set_ops": q26_set_ops,
         "q27_dedup_clusters": q27_dedup_clusters,
         "q28_stream_windowed_counts": q28_stream_windowed_counts,
+        "q29_classify_shuffle": q29_classify_shuffle,
     }
 
 
@@ -1009,6 +1027,8 @@ def oracle_sql():
         "q26_set_ops": Q26_SQL,
         "q27_dedup_clusters": Q27_SQL,
         "q28_stream_windowed_counts": Q28_SQL,
+        # same semantics as q04 by construction → same oracle
+        "q29_classify_shuffle": Q04_SQL,
     }
 
 

@@ -242,6 +242,34 @@ def test_winnow_fingerprints_match_per_doc_reference(spark, docs):
     assert got == expected
 
 
+def test_classify_shuffle_equals_broadcast(spark, docs):
+    """The no-broadcast shuffle semi-join path must reproduce the
+    broadcast-Bloom path exactly on an exact-rate filter (same
+    escalation, same contamination, same score doubles)."""
+    from facs_spark.ops.contamination import (build_reference_bloom,
+                                              classify_pages,
+                                              classify_pages_shuffle)
+    ref = docs.filter(F.col("source") == "src0")
+    bloom = build_reference_bloom(ref, text_col="text", k=15,
+                                  error_rate=1e-9)
+    bc = {r["doc_id"]: (r["escalated"], r["contaminated"],
+                        r["match_time"], round(r["match_score"], 12),
+                        r["text_len"])
+          for r in classify_pages(docs, bloom, text_col="text",
+                                  passthrough=("doc_id",),
+                                  tole_rate=0.4).collect()}
+    sh = {r["doc_id"]: (r["escalated"], r["contaminated"],
+                        r["match_time"], round(r["match_score"], 12),
+                        r["text_len"])
+          for r in classify_pages_shuffle(docs, ref, id_col="doc_id",
+                                          text_col="text", k=15,
+                                          tole_rate=0.4).collect()}
+    assert set(bc) == set(sh) and len(bc) == docs.count()
+    diffs = {d: (bc[d], sh[d]) for d in bc if bc[d] != sh[d]}
+    assert not diffs, f"{len(diffs)} mismatches, first: {next(iter(diffs.items()))}"
+    assert any(v[1] for v in sh.values()), "fixture must contain contamination"
+
+
 # ------------------------------------------------------------ checkpoint
 def test_checkpoint_build_and_resume(spark, docs):
     spec = SketchSpec.make("hll", "doc_id", p=12)
