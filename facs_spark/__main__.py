@@ -5,10 +5,17 @@
                                 [-s RATE] [-f json|tsv]
     python -m facs_spark remove -r ref.bloom -q sample.fastq [-t TOLE]
     python -m facs_spark info   -r ref.bloom
+    python -m facs_spark monitor -r ref.bloom -d pages_dir/
+                                 [-c ckpt_dir] [-t TOLE] [-w WINDOW]
 
 Dispatch parity: the reference routes build|query|remove|info the same
 way (main.c:44-52); flags follow bq_main's getopt (-t threshold,
--s sampling, -f format — facs/query.c:46-109).
+-s sampling, -f format — facs/query.c:46-109).  ``monitor`` is engine
+breadth beyond the reference: drain the pages currently in a drop
+directory through the Structured-Streaming contamination monitor
+(availableNow + checkpoint = each invocation processes only what
+arrived since the last one) and print the per-window report as JSON
+lines.
 """
 
 from __future__ import annotations
@@ -46,6 +53,16 @@ def main(argv=None) -> int:
     i = sub.add_parser("info")
     i.add_argument("-r", "--reference", required=True)
 
+    m = sub.add_parser("monitor")
+    m.add_argument("-r", "--reference", required=True,
+                   help=".bloom filter file")
+    m.add_argument("-d", "--pages-dir", required=True,
+                   help="directory of page parquet drops")
+    m.add_argument("-c", "--checkpoint", default=None,
+                   help="checkpoint dir (default: <pages-dir>/_monitor_ckpt)")
+    m.add_argument("-t", "--tole-rate", type=float, default=0)
+    m.add_argument("-w", "--window", default="1 hour")
+
     args = top.parse_args(argv)
     if args.cmd == "build":
         return api.build(args.reference, args.output, k_mer=args.k_mer,
@@ -62,6 +79,35 @@ def main(argv=None) -> int:
         return 0
     if args.cmd == "info":
         print(json.dumps(api.info(args.reference), indent=2))
+        return 0
+    if args.cmd == "monitor":
+        import os
+        import uuid
+
+        from .session import get_spark
+        from .streaming.monitor import (classify_stream, run_monitor_once,
+                                        stream_pages, windowed_contamination)
+        spark = get_spark("facs_monitor")
+        bloom = api._load_bloom(args.reference)
+        stream = stream_pages(spark, args.pages_dir)
+        classified = classify_stream(
+            stream, bloom,
+            tole_rate=args.tole_rate if args.tole_rate > 0 else None)
+        report = windowed_contamination(classified, window=args.window)
+        ckpt = args.checkpoint or os.path.join(args.pages_dir,
+                                               "_monitor_ckpt")
+        qname = "monitor_" + uuid.uuid4().hex[:8]
+        run_monitor_once(report, ckpt, query_name=qname)
+        rows = spark.sql(f"SELECT * FROM {qname} ORDER BY win, lang"
+                         ).collect()
+        if not rows:
+            print(json.dumps({"note": "no new pages since last "
+                                      "checkpoint", "windows": 0}))
+        for r in rows:
+            d = r.asDict()
+            d["win"] = {"start": str(d["win"]["start"]),
+                        "end": str(d["win"]["end"])}
+            print(json.dumps(d, default=str))
         return 0
     return 2
 
