@@ -122,3 +122,37 @@ def test_streaming_grouped_hll_state(spark, pages_dir, tmp_path):
         from facs_spark.sketch import sketch_from_bytes
         assert abs(sketch_from_bytes(bytes(r["sketch"])).estimate()
                    - r["estimate"]) < 1e-9
+
+
+def test_streaming_grouped_sketch_kll(spark, pages_dir, tmp_path):
+    """The generic spec-driven stateful operator: a running KLL of
+    text length per lang; the final median estimate must sit within
+    the sketch's rank error of the batch median."""
+    from facs_spark.ops.sketch_agg import SketchSpec
+    from facs_spark.streaming.monitor import stream_pages
+    from facs_spark.streaming.stateful import streaming_grouped_sketch
+
+    stream = (stream_pages(spark, f"{pages_dir}/*.parquet")
+              .withColumn("n_chars", F.length("text")))
+    spec = SketchSpec.make("kll", "n_chars", k=200)
+    running = streaming_grouped_sketch(stream, spec, key_col="lang")
+    q = (running.writeStream.outputMode("update").format("memory")
+         .queryName("kll_state")
+         .option("checkpointLocation", str(tmp_path / "ckpt3"))
+         .trigger(availableNow=True).start())
+    q.awaitTermination()
+    final = {}
+    for r in spark.sql("SELECT * FROM kll_state").collect():
+        if (r["group_key"] not in final
+                or r["rows_seen"] > final[r["group_key"]]["rows_seen"]):
+            final[r["group_key"]] = r
+    docs = (spark.read.parquet(f"{pages_dir}/*.parquet")
+            .withColumn("n_chars", F.length("text")))
+    for lang, r in final.items():
+        grp = docs.filter(F.col("lang") == lang)
+        n = grp.count()
+        assert r["rows_seen"] == n
+        rank = grp.filter(F.col("n_chars") <= r["estimate"]).count() / n
+        from facs_spark.sketch import sketch_from_bytes
+        sk = sketch_from_bytes(bytes(r["sketch"]))
+        assert abs(rank - 0.5) <= sk.rank_error + 1.0 / n, (lang, rank)
