@@ -82,11 +82,10 @@ def main(argv=None) -> int:
         return 0
     if args.cmd == "monitor":
         import os
-        import uuid
 
         from .session import get_spark
-        from .streaming.monitor import (classify_stream, run_monitor_once,
-                                        stream_pages, windowed_contamination)
+        from .streaming.monitor import (classify_stream, stream_pages,
+                                        windowed_contamination)
         spark = get_spark("facs_monitor")
         bloom = api._load_bloom(args.reference)
         stream = stream_pages(spark, args.pages_dir)
@@ -96,18 +95,28 @@ def main(argv=None) -> int:
         report = windowed_contamination(classified, window=args.window)
         ckpt = args.checkpoint or os.path.join(args.pages_dir,
                                                "_monitor_ckpt")
-        qname = "monitor_" + uuid.uuid4().hex[:8]
-        run_monitor_once(report, ckpt, query_name=qname)
-        rows = spark.sql(f"SELECT * FROM {qname} ORDER BY win, lang"
-                         ).collect()
-        if not rows:
+        # update mode + foreachBatch: emit only windows touched by THIS
+        # invocation, let the watermark evict finalized state, and —
+        # unlike the memory sink — recover cleanly from the checkpoint
+        # across process restarts
+        emitted = {"n": 0}
+
+        def emit(batch_df, epoch_id):
+            for r in batch_df.orderBy("win", "lang").collect():
+                d = r.asDict()
+                d["win"] = {"start": str(d["win"]["start"]),
+                            "end": str(d["win"]["end"])}
+                d["epoch"] = epoch_id
+                emitted["n"] += 1
+                print(json.dumps(d, default=str))
+
+        q = (report.writeStream.outputMode("update").foreachBatch(emit)
+             .option("checkpointLocation", ckpt)
+             .trigger(availableNow=True).start())
+        q.awaitTermination()
+        if emitted["n"] == 0:
             print(json.dumps({"note": "no new pages since last "
                                       "checkpoint", "windows": 0}))
-        for r in rows:
-            d = r.asDict()
-            d["win"] = {"start": str(d["win"]["start"]),
-                        "end": str(d["win"]["end"])}
-            print(json.dumps(d, default=str))
         return 0
     return 2
 

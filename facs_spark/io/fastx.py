@@ -217,7 +217,10 @@ def write_fastx(df: DataFrame, path: str, fmt: str = "fastq",
     Default is a directory of text parts (the cluster-scale sink).
     ``single_file=True`` matches the reference exactly — one plain
     file at ``path`` — by coalescing to one task and renaming the part
-    file; use it for tool-parity outputs, not 100-TB ones.
+    file.  The rename is LOCAL-filesystem only (glob/shutil), like the
+    reference tool itself; use the directory sink for object stores
+    and 100-TB outputs.  Any stale file or part-directory at ``path``
+    is replaced.
     """
     from pyspark.sql import functions as F
     if fmt == "fastq":
@@ -234,9 +237,22 @@ def write_fastx(df: DataFrame, path: str, fmt: str = "fastq",
         out.write.mode("overwrite").text(path)
         return
     import shutil
+    if "://" in path.split("/")[0] or path.startswith(("hdfs:", "s3a:",
+                                                       "s3:", "gs:",
+                                                       "abfs:")):
+        raise ValueError(
+            "single_file=True renames via the local filesystem; use the "
+            "directory sink (single_file=False) for remote paths")
     tmp = path + "._spark_tmp"
     out.coalesce(1).write.mode("overwrite").text(tmp)
     parts = sorted(_glob.glob(os.path.join(tmp, "part-*")))
+    # replace whatever is at path (e.g. a part-directory from an
+    # earlier single_file=False run — shutil.move would otherwise move
+    # the file INTO it)
+    if os.path.isdir(path):
+        shutil.rmtree(path)
+    elif os.path.exists(path):
+        os.remove(path)
     if parts:
         shutil.move(parts[0], path)
     else:  # empty dataset still yields the (empty) reference file

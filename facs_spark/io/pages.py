@@ -84,15 +84,24 @@ def read_pages(spark: SparkSession, source: str,
 def write_pages(df: DataFrame, target: str, mode: str = "append",
                 partition_by_day: bool = True) -> None:
     """Write a pages table.  Iceberg targets inherit the table's own
-    partition spec; parquet targets get the ``days(warc_ts)`` analogue
-    (a derived ``warc_day`` partition column) so downstream time-range
-    filters prune files in either layout."""
+    partition spec (``append`` appends; ``overwrite`` is a DYNAMIC
+    partition overwrite — the table and its spec survive, only the
+    touched partitions are replaced); parquet targets get the
+    ``days(warc_ts)`` analogue (a derived ``warc_day`` partition
+    column) so downstream time-range filters prune in either layout."""
     validate_pages_schema(df)
     if target.startswith("iceberg:"):
+        if mode not in ("append", "overwrite"):
+            raise ValueError(f"unsupported Iceberg write mode {mode!r}; "
+                             "use 'append' or 'overwrite'")
+        writer = df.writeTo(target[len("iceberg:"):])
         try:
-            df.writeTo(target[len("iceberg:"):]).append() \
-                if mode == "append" else \
-                df.writeTo(target[len("iceberg:"):]).createOrReplace()
+            if mode == "append":
+                writer.append()
+            else:
+                # NOT createOrReplace: that would recreate the table
+                # from the DataFrame schema and drop its partition spec
+                writer.overwritePartitions()
         except Exception as exc:
             raise RuntimeError(
                 "Iceberg sink requested but the Iceberg Spark runtime "
@@ -100,12 +109,8 @@ def write_pages(df: DataFrame, target: str, mode: str = "append",
                 "org.apache.iceberg:iceberg-spark-runtime to spark.jars."
             ) from exc
         return
-    out = df
-    writer_cols = list(df.columns)
     if partition_by_day:
-        out = df.withColumn("warc_day", F.to_date("warc_ts"))
-        writer_cols.append("warc_day")
-        out.select(*writer_cols).write.mode(mode) \
-            .partitionBy("warc_day").parquet(target)
+        (df.withColumn("warc_day", F.to_date("warc_ts"))
+         .write.mode(mode).partitionBy("warc_day").parquet(target))
     else:
-        out.write.mode(mode).parquet(target)
+        df.write.mode(mode).parquet(target)

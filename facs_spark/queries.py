@@ -440,8 +440,11 @@ def q11_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q12_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .ops.dedup import ngram_jaccard_pairs
     docs = _read(spark, sf_dir, "documents")
+    # max_df=None: this is the oracle-checked EXACT verifier, so it
+    # must match the uncapped SQL at any scale factor; the default
+    # stop-shingle cap stays on for pipeline use
     return (ngram_jaccard_pairs(docs, "doc_id", "text", shingle_n=3,
-                                threshold=0.5)
+                                threshold=0.5, max_df=None)
             .select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
             .orderBy("id_a", "id_b"))
 

@@ -269,6 +269,14 @@ class BloomFilter:
         if not (0 < elements and 0 < k <= 64
                 and len(blob) >= hdr.size + nbytes):
             raise ValueError("not a facs .bloom file: implausible header")
+        if k > len(FACS_SEEDS):
+            # the reference's get_rec has no clamp and its bloom_hash
+            # would read past seed[20] for such files (undefined
+            # behavior we cannot — and should not — reproduce)
+            raise ValueError(
+                f"facs .bloom file uses {k} hash functions; only "
+                f"{len(FACS_SEEDS)} salt seeds exist (the reference "
+                f"reads out of bounds for k>20 — unsupported)")
         vec = np.frombuffer(blob, dtype=np.uint8, count=nbytes,
                             offset=hdr.size).copy()
         return cls(stat=BloomStat(elements, k, capacity, e),

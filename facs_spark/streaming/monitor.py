@@ -60,9 +60,12 @@ def windowed_contamination(classified: DataFrame,
                            by_lang: bool = True) -> DataFrame:
     """Watermarked per-window contamination counters.
 
-    State is bounded: windows older than the watermark are finalized
-    and evicted, so the monitor's memory footprint is
-    O(active windows × langs), independent of stream length.
+    In **update/append** output mode, windows older than the watermark
+    are finalized and evicted, so state is O(active windows × langs),
+    independent of stream length — that is the long-lived-monitor
+    configuration.  In **complete** mode Spark retains all window
+    state by definition (watermarks do not evict there); use complete
+    only for bounded drain-and-report runs.
     """
     keys = [F.window(F.col(ts_col), window).alias("win")]
     if by_lang:
@@ -84,7 +87,13 @@ def run_monitor_once(report: DataFrame, checkpoint_dir: str,
     """Drain everything currently in the source and stop
     (trigger availableNow) — resumable: the checkpoint directory
     carries offsets + aggregation state, so the next invocation picks
-    up exactly where this one finished."""
+    up exactly where this one finished.
+
+    ``output_mode``: "complete" re-emits every window each run (and
+    retains all state — fine for bounded drains, wrong for a
+    long-lived monitor); "update" emits only windows touched by this
+    run and lets the watermark evict finalized state (the incremental
+    configuration the CLI uses)."""
     q = (report.writeStream.outputMode(output_mode)
          .format("memory").queryName(query_name)
          .option("checkpointLocation", checkpoint_dir)

@@ -151,6 +151,12 @@ def test_remove_artifacts(spark, fixtures):
     assert os.path.isdir(clean) and os.path.isdir(contam)
     assert glob.glob(os.path.join(clean, "part-*"))
 
+    # single-file run after a directory run must REPLACE the stale
+    # part-directory with the plain file (not move the file into it)
+    facs.remove(fixtures["fq"], bloom_path, spark=spark)
+    assert os.path.isfile(clean) and os.path.isfile(contam)
+    assert read_ids(clean) == clean_ids
+
 
 def test_bloom_extension_guard(spark, fixtures):
     with pytest.raises(ValueError, match=".bloom extension"):

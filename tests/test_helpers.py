@@ -159,3 +159,7 @@ def test_pages_source_contract(tmp_path):
         read_pages(spark, "iceberg:cat.db.pages")
     with pytest.raises(ValueError, match="snapshot"):
         read_pages(spark, tgt, snapshot_id=1)
+    # Iceberg writes accept only modes that preserve the table's
+    # partition spec (append / dynamic-partition overwrite)
+    with pytest.raises(ValueError, match="Iceberg write mode"):
+        write_pages(df, "iceberg:cat.db.pages", mode="ignore")

@@ -139,6 +139,16 @@ def test_facs_bloom_binary_interop(tmp_path):
     p2.write_bytes(bf.to_bytes())
     assert (facs._load_bloom(str(p2)).vector == bf.vector).all()
 
+    # a reference file with k>20 (its get_rec has no clamp; bloom_hash
+    # reads past seed[20] — undefined behavior) must fail LOUDLY at
+    # load, not IndexError inside an executor task later
+    bad = (struct.pack("<QQ", 0, 0)
+           + struct.pack("<QQi4xQdiif4x", 10, bf.stat.elements, 23,
+                         1000, 1e-7, 15, 225, 0.4)
+           + bf.vector.tobytes())
+    with pytest.raises(ValueError, match="salt seeds"):
+        BloomFilter.from_facs_bytes(bad)
+
 
 # ---------------------------------------------------------------- HLL
 def test_hll_within_published_bound():
