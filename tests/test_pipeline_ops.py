@@ -98,6 +98,50 @@ def test_star_cc_deep_chain(spark):
     assert all(r["cluster_rep"] == 0 for r in rows)
 
 
+def test_simhash_pigeonhole_recall_guarantee(spark):
+    """Structural recall proof-by-sampling: any two prints within the
+    Hamming ball MUST share a table key (4×16-bit blocks for ≤3;
+    C(8,2) 8-bit block pairs for ≤6) — zero missed pairs allowed."""
+    from facs_spark.ops.dedup import simhash_near_pairs
+    rng = np.random.default_rng(99)
+    rows, expected = [], set()
+    base = rng.integers(0, 2 ** 63, size=40, dtype=np.int64)
+    next_id = 0
+    for h in (3, 6):
+        for b in base:
+            a_id, b_id = next_id, next_id + 1
+            next_id += 2
+            flips = rng.choice(64, size=h, replace=False)
+            flipped = int(b)
+            for f in flips:
+                flipped ^= (1 << int(f))
+            flipped = np.int64(np.uint64(flipped & ((1 << 64) - 1)))
+            rows += [(a_id, int(b)), (b_id, int(flipped))]
+            expected.add((min(a_id, b_id), max(a_id, b_id), h))
+    fp = spark.createDataFrame(rows, "doc_id long, simhash long")
+    for h in (3, 6):
+        got = {(r["id_a"], r["id_b"])
+               for r in simhash_near_pairs(fp, "doc_id",
+                                           max_hamming=h).collect()}
+        want = {(a, b) for a, b, hh in expected if hh <= h}
+        missed = want - got
+        assert not missed, f"Hamming≤{h} pigeonhole violated: {missed}"
+
+
+def test_classify_shuffle_empty_reference(spark, docs):
+    """No reference grams → nothing escalates, nothing contaminated,
+    every page still present with zeroed scores."""
+    from facs_spark.ops.contamination import classify_pages_shuffle
+    empty_ref = docs.filter(F.lit(False))
+    out = classify_pages_shuffle(docs.limit(50), empty_ref,
+                                 id_col="doc_id", text_col="text",
+                                 k=15, tole_rate=0.4).collect()
+    assert len(out) == 50
+    assert all(not r["escalated"] and not r["contaminated"]
+               and r["match_time"] == 0 and r["match_score"] == 0.0
+               for r in out)
+
+
 def test_star_cc_equals_union_find_on_random_graphs(spark):
     """Distributed star CC must label exactly like the driver
     union-find on random graphs (multiple shapes, seeded)."""
