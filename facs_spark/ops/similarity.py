@@ -195,12 +195,22 @@ def lsh_bucket_topk(df: DataFrame, id_col: str, vec_col: str,
 
 
 def ivf_topk(df: DataFrame, id_col: str, vec_col: str, k: int = 10,
-             n_cells: int = 16, nprobe: int = 2, dim: int = 64,
-             sample: int = 2048, seed: int = 7) -> DataFrame:
+             n_cells: int | None = None, nprobe: int = 2, dim: int = 64,
+             sample: int = 2048, seed: int = 7,
+             target_cell: int = 2048) -> DataFrame:
     """IVF: seeded sampled centroids → cell assignment → probe nprobe
-    nearest cells per query (here: every row queries itself)."""
+    nearest cells per query (here: every row queries itself).
+
+    ``n_cells=None`` derives the cell count from the row count so an
+    expected cell holds ≈ ``target_cell`` rows at any scale (the same
+    treatment as ``lsh_bucket_topk``'s auto bits — the per-cell kernel
+    cost tracks cell size, so cells must track n); the kernel's
+    ``max_pool`` cap bounds degenerate cells regardless.
+    """
     spark = df.sparkSession
     ensure_shipped(spark)
+    if n_cells is None:
+        n_cells = max(8, min(df.count() // target_cell + 1, 65536))
     samp = _matrix(pd.Series(
         [r[vec_col] for r in df.select(vec_col).limit(sample).collect()]), dim)
     rng = np.random.default_rng(seed)
