@@ -960,6 +960,57 @@ ORDER BY day, event_type
 
 
 # =====================================================================
+# q30 — multi-way join breadth (TPC-H Q5 shape): 6-table local-supply
+# revenue per nation.  Dims (region/nation/supplier/customer)
+# broadcast; the two fact joins shuffle on their keys; revenue in
+# integer cents for a bit-deterministic oracle.
+# =====================================================================
+def q30_revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _read(spark, sf_dir, "lineitem")
+    orders = _read(spark, sf_dir, "orders")
+    cust = _read(spark, sf_dir, "customer")
+    supp = _read(spark, sf_dir, "supplier")
+    nation = _read(spark, sf_dir, "nation")
+    region = _read(spark, sf_dir, "region")
+    dims = (supp
+            .join(F.broadcast(nation),
+                  supp.s_nationkey == nation.n_nationkey)
+            .join(F.broadcast(region.filter(F.col("r_name") == "ASIA")),
+                  nation.n_regionkey == region.r_regionkey)
+            .select("s_suppkey", "s_nationkey", "n_name"))
+    cents = F.round(F.col("l_extendedprice")
+                    * (1 - F.col("l_discount")) * 100).cast("long")
+    return (li
+            .join(orders, li.l_orderkey == orders.o_orderkey)
+            .join(F.broadcast(cust),
+                  (orders.o_custkey == cust.c_custkey))
+            .join(F.broadcast(dims),
+                  (li.l_suppkey == F.col("s_suppkey"))
+                  & (cust.c_nationkey == F.col("s_nationkey")))
+            .groupBy("n_name")
+            .agg(F.sum(cents).alias("revenue_cents"),
+                 F.count(F.lit(1)).alias("n_items"))
+            .orderBy(F.desc("revenue_cents"), "n_name"))
+
+
+Q30_SQL = """
+SELECT n_name,
+       CAST(SUM(CAST(ROUND(l_extendedprice * (1 - l_discount) * 100)
+                     AS BIGINT)) AS BIGINT) AS revenue_cents,
+       COUNT(*) AS n_items
+FROM lineitem
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+JOIN nation   ON s_nationkey = n_nationkey
+JOIN region   ON n_regionkey = r_regionkey
+WHERE r_name = 'ASIA'
+GROUP BY n_name
+ORDER BY revenue_cents DESC, n_name
+"""
+
+
+# =====================================================================
 # registry
 # =====================================================================
 def queries():
@@ -993,6 +1044,7 @@ def queries():
         "q27_dedup_clusters": q27_dedup_clusters,
         "q28_stream_windowed_counts": q28_stream_windowed_counts,
         "q29_classify_shuffle": q29_classify_shuffle,
+        "q30_revenue_by_nation": q30_revenue_by_nation,
     }
 
 
@@ -1032,6 +1084,7 @@ def oracle_sql():
         "q28_stream_windowed_counts": Q28_SQL,
         # same semantics as q04 by construction → same oracle
         "q29_classify_shuffle": Q04_SQL,
+        "q30_revenue_by_nation": Q30_SQL,
     }
 
 
