@@ -1011,6 +1011,33 @@ ORDER BY revenue_cents DESC, n_name
 
 
 # =====================================================================
+# q31 — relational semi-join breadth (TPC-H Q4 shape): order-priority
+# counts for orders with ≥1 late lineitem, expressed as a left-semi
+# join (the relational face of the engine's membership semi-join).
+# =====================================================================
+def q31_priority_semijoin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _read(spark, sf_dir, "orders")
+    li = _read(spark, sf_dir, "lineitem")
+    late = (li.filter(F.col("l_shipdate") > F.lit("1995-06-30"))
+            .select(F.col("l_orderkey").alias("o_orderkey")).distinct())
+    return (orders.join(late, "o_orderkey", "left_semi")
+            .groupBy("o_orderpriority")
+            .agg(F.count(F.lit(1)).alias("order_count"))
+            .orderBy("o_orderpriority"))
+
+
+Q31_SQL = """
+SELECT o_orderpriority, COUNT(*) AS order_count
+FROM orders
+WHERE EXISTS (SELECT 1 FROM lineitem
+              WHERE l_orderkey = o_orderkey
+                AND l_shipdate > TIMESTAMP '1995-06-30')
+GROUP BY o_orderpriority
+ORDER BY o_orderpriority
+"""
+
+
+# =====================================================================
 # registry
 # =====================================================================
 def queries():
@@ -1045,6 +1072,7 @@ def queries():
         "q28_stream_windowed_counts": q28_stream_windowed_counts,
         "q29_classify_shuffle": q29_classify_shuffle,
         "q30_revenue_by_nation": q30_revenue_by_nation,
+        "q31_priority_semijoin": q31_priority_semijoin,
     }
 
 
@@ -1085,6 +1113,7 @@ def oracle_sql():
         # same semantics as q04 by construction → same oracle
         "q29_classify_shuffle": Q04_SQL,
         "q30_revenue_by_nation": Q30_SQL,
+        "q31_priority_semijoin": Q31_SQL,
     }
 
 
