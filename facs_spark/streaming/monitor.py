@@ -32,13 +32,17 @@ PAGES_DDL = ("url string, warc_ts timestamp, html binary, "
              "text string, lang string")
 
 
-def stream_pages(spark: SparkSession, path: str,
-                 fmt: str = "parquet") -> DataFrame:
-    """File-source stream of pages (one micro-batch per new file by
-    default).  Swap for Kafka/Iceberg by replacing the source — every
-    downstream transform is source-agnostic."""
+def stream_pages(spark: SparkSession, path: str, fmt: str = "parquet",
+                 max_files_per_trigger: int = 1) -> DataFrame:
+    """File-source stream of pages.  ``max_files_per_trigger`` is the
+    micro-batch size knob: 1 (default) gives per-drop batches for
+    fine-grained monitoring; raise it at scale so a backlog of
+    thousands of crawl files coalesces into few large batches instead
+    of thousands of tiny ones.  Swap for Kafka/Iceberg by replacing
+    the source — every downstream transform is source-agnostic."""
     return (spark.readStream.schema(PAGES_DDL).format(fmt)
-            .option("maxFilesPerTrigger", 1).load(path))
+            .option("maxFilesPerTrigger", max_files_per_trigger)
+            .load(path))
 
 
 def classify_stream(pages: DataFrame, bloom: BloomFilter,
