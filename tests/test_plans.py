@@ -119,3 +119,41 @@ def test_broadcast_join_on_small_dim(spark):
     plan = _formatted(j)
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_bucketed_join_is_shuffle_free(spark, tmp_path):
+    """Bucketing both fact tables on the join key makes the join
+    co-located: Catalyst plans a SortMergeJoin with ZERO exchanges —
+    the 'pre-shuffle once, join many times' shape the 100-TB design
+    notes call for."""
+    spark.sql(f"CREATE DATABASE IF NOT EXISTS bkt LOCATION '{tmp_path}/wh'")
+    try:
+        li = spark.read.parquet(f"{SF}/lineitem.parquet")
+        orders = spark.read.parquet(f"{SF}/orders.parquet")
+        (li.write.bucketBy(8, "l_orderkey").sortBy("l_orderkey")
+         .mode("overwrite").saveAsTable("bkt.li_b"))
+        (orders.write.bucketBy(8, "o_orderkey").sortBy("o_orderkey")
+         .mode("overwrite").saveAsTable("bkt.ord_b"))
+        old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        try:
+            a = spark.table("bkt.li_b")
+            b = spark.table("bkt.ord_b")
+            j = a.join(b, a.l_orderkey == b.o_orderkey).select(
+                "l_orderkey", "l_quantity", "o_orderpriority")
+            plan = _formatted(j)
+            assert _n_nodes(plan, "SortMergeJoin") == 1
+            assert _n_nodes(plan, "Exchange") == 0, \
+                "bucketed join must not shuffle either side"
+            # same join on the unbucketed parquet shuffles both sides
+            ju = li.join(orders, li.l_orderkey == orders.o_orderkey) \
+                   .select("l_orderkey", "l_quantity", "o_orderpriority")
+            assert _n_nodes(_formatted(ju), "Exchange") == 2
+            # results identical
+            assert j.count() == ju.count()
+        finally:
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+    finally:
+        spark.sql("DROP TABLE IF EXISTS bkt.li_b")
+        spark.sql("DROP TABLE IF EXISTS bkt.ord_b")
+        spark.sql("DROP DATABASE IF EXISTS bkt")
