@@ -10,9 +10,10 @@ pipeline, chaining every operator family in the engine.
       → cleaned pages + a one-row stats report
 
 Everything stays DataFrame-lazy until the two actions (near-dup pair
-collection and the final counts); raw text shuffles exactly once (the
-exact-dedup groupBy) — candidates, signatures, and classification are
-map-side / broadcast.
+collection and the final counts); raw text NEVER shuffles — exact
+dedup groups on a (md5, length) digest, candidates/signatures are
+map-side longs, classification is a broadcast kernel, and the
+candidate-verify join's small side broadcasts under AQE.
 """
 
 from __future__ import annotations
@@ -48,8 +49,13 @@ def clean_corpus(docs: DataFrame, ref_corpus: DataFrame,
     good = good.select(*docs.columns).cache()
     n_quality = good.count()
 
-    # exact dedup: keep min id per identical text
-    keep_exact = (good.groupBy(text_col)
+    # exact dedup: keep min id per identical text — group on the
+    # (md5, length) digest so the shuffle carries ~40 bytes per page
+    # instead of the full text (at 10¹² pages that is GBs vs 100s of
+    # TBs in flight; a digest collision additionally needs equal
+    # length, ≈2⁻¹²⁸ — accepted and documented)
+    keep_exact = (good.groupBy(F.md5(F.col(text_col)).alias("_dg"),
+                               F.length(F.col(text_col)).alias("_ln"))
                   .agg(F.min(id_col).alias(id_col))
                   .select(id_col))
     exact = good.join(keep_exact, id_col, "left_semi").cache()
