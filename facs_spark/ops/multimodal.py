@@ -32,21 +32,34 @@ MEDIA_META_SCHEMA = ("struct<mime:string, width:int, height:int, "
 def synth_media(df: DataFrame, id_col: str, kind: str = "image") -> DataFrame:
     """Attach a deterministic fake media payload per row (fixture).
 
-    Payload layout: magic(4s) | width(u16) | height(u16) | body bytes —
-    enough structure for the metadata extractor to parse it like a
-    container header.
+    ``kind="image"``: magic(4s) | width(u16) | height(u16) | body.
+    ``kind="audio"``: magic(4s) | sample_rate(u32) | n_samples(u32) |
+    int16-LE samples.  Enough structure for the metadata extractor to
+    parse either like a container header.
     """
     ensure_shipped(df.sparkSession)
+    if kind not in ("image", "audio"):
+        raise ValueError(f"unknown media kind {kind!r}")
 
     def kernel(iterator):
         for batch in iterator:
             ids = batch[id_col].to_numpy()
             blobs = []
             for i in ids:
-                w = 16 + (int(i) * 7) % 48
-                h = 16 + (int(i) * 13) % 48
-                body = (int(i).to_bytes(8, "little") * ((w * h) // 8 + 1))[: w * h]
-                blobs.append(b"FIMG" + _struct.pack("<HH", w, h) + body)
+                if kind == "image":
+                    w = 16 + (int(i) * 7) % 48
+                    h = 16 + (int(i) * 13) % 48
+                    body = (int(i).to_bytes(8, "little")
+                            * ((w * h) // 8 + 1))[: w * h]
+                    blobs.append(b"FIMG" + _struct.pack("<HH", w, h) + body)
+                else:
+                    rate = 8000
+                    n = 256 + (int(i) * 37) % 1024
+                    t = np.arange(n, dtype=np.float64)
+                    wave = (3000 * np.sin(2 * np.pi * (50 + int(i) % 200)
+                                          * t / rate)).astype("<i2")
+                    blobs.append(b"FAUD" + _struct.pack("<II", rate, n)
+                                 + wave.tobytes())
             yield pd.DataFrame({id_col: ids, "media": blobs})
 
     return ensure_parallelism(df.select(id_col)).mapInPandas(
@@ -71,6 +84,12 @@ def media_metadata(df: DataFrame, id_col: str,
                     metas["width"].append(w)
                     metas["height"].append(h)
                     metas["duration_ms"].append(0)
+                elif b[:4] == b"FAUD":
+                    rate, n = _struct.unpack_from("<II", b, 4)
+                    metas["mime"].append("audio/x-fake")
+                    metas["width"].append(0)
+                    metas["height"].append(0)
+                    metas["duration_ms"].append(int(n * 1000 / max(rate, 1)))
                 else:
                     metas["mime"].append("application/octet-stream")
                     metas["width"].append(0)
@@ -104,6 +123,53 @@ def decode_image(blob: bytes) -> np.ndarray:
     raise NotImplementedError(
         "real image decode requires PIL/libjpeg — not present in this "
         "container; plug the codec in here")
+
+
+def decode_audio(blob: bytes) -> tuple[np.ndarray, int]:
+    """STUB — real codecs unavailable in this container.
+
+    Contract: returns (int16 waveform, sample_rate).  The
+    deterministic fake decodes the FAUD fixture container; any other
+    payload raises, exactly where a soundfile/ffmpeg call would slot
+    in.
+    """
+    if blob[:4] == b"FAUD":
+        rate, n = _struct.unpack_from("<II", blob, 4)
+        wave = np.frombuffer(blob, dtype="<i2", count=n, offset=12)
+        return wave, rate
+    raise NotImplementedError(
+        "real audio decode requires soundfile/ffmpeg — not present in "
+        "this container; plug the codec in here")
+
+
+def audio_features(df: DataFrame, id_col: str, media_col: str = "media",
+                   window_ms: int = 32) -> DataFrame:
+    """Decode → fixed windows → per-window RMS + zero-crossing rate,
+    batched via mapInPandas — the audio analogue of
+    ``image_features`` (real batch shape, stub decoder)."""
+    ensure_shipped(df.sparkSession)
+
+    def kernel(iterator):
+        for batch in iterator:
+            rows = {"ids": [], "win": [], "rms": [], "zcr": []}
+            for i, blob in zip(batch[id_col], batch[media_col]):
+                wave, rate = decode_audio(bytes(blob))
+                step = max(1, rate * window_ms // 1000)
+                n_win = max(1, wave.size // step)
+                w = wave[:n_win * step].astype(np.float64) \
+                    .reshape(n_win, step)
+                rms = np.sqrt((w * w).mean(axis=1))
+                zc = (np.diff(np.signbit(w), axis=1) != 0).mean(axis=1)
+                rows["ids"].extend([i] * n_win)
+                rows["win"].extend(range(n_win))
+                rows["rms"].extend(rms.tolist())
+                rows["zcr"].extend(zc.tolist())
+            yield pd.DataFrame({id_col: rows["ids"], "win_idx": rows["win"],
+                                "rms": rows["rms"], "zcr": rows["zcr"]})
+
+    return df.select(id_col, media_col).mapInPandas(
+        kernel,
+        schema=f"{id_col} long, win_idx int, rms double, zcr double")
 
 
 def image_features(df: DataFrame, id_col: str,

@@ -380,6 +380,35 @@ def test_media_plumbing(spark, docs):
     assert all(len(r["features"]) == 5 for r in feats)
 
 
+def test_audio_plumbing(spark, docs):
+    """Audio containers: metadata (duration from the header), windowed
+    RMS/ZCR features over the fake waveform, loud stub for real
+    codecs."""
+    from facs_spark.ops.multimodal import (audio_features, decode_audio,
+                                           synth_media)
+    media = synth_media(docs.select("doc_id").limit(30), "doc_id",
+                        kind="audio")
+    meta = {r["doc_id"]: r for r in media_metadata(media, "doc_id").collect()}
+    assert len(meta) == 30
+    for r in meta.values():
+        assert r["mime"] == "audio/x-fake"
+        assert r["duration_ms"] > 0 and r["width"] == 0
+    feats = audio_features(media, "doc_id", window_ms=32).collect()
+    by_doc = {}
+    for r in feats:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    assert set(by_doc) == set(meta)
+    # a sine wave has positive RMS and nonzero crossing rate
+    assert all(r["rms"] > 0 for r in feats)
+    assert any(r["zcr"] > 0 for r in feats)
+    # window count matches duration/window arithmetic
+    for d, rows in by_doc.items():
+        n_samples = meta[d]["duration_ms"] * 8000 // 1000
+        assert len(rows) == max(1, n_samples // (8000 * 32 // 1000))
+    with pytest.raises(NotImplementedError):
+        decode_audio(b"RIFFnotreal")
+
+
 def test_decode_stub_contract():
     blob = b"FIMG" + (16).to_bytes(2, "little") + (8).to_bytes(2, "little") + b"x" * 128
     img = decode_image(blob)
