@@ -155,6 +155,8 @@ def audio_features(df: DataFrame, id_col: str, media_col: str = "media",
             for i, blob in zip(batch[id_col], batch[media_col]):
                 wave, rate = decode_audio(bytes(blob))
                 step = max(1, rate * window_ms // 1000)
+                if wave.size < step:  # clip shorter than one window
+                    step = max(1, wave.size)
                 n_win = max(1, wave.size // step)
                 w = wave[:n_win * step].astype(np.float64) \
                     .reshape(n_win, step)

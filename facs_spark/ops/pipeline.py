@@ -10,10 +10,11 @@ pipeline, chaining every operator family in the engine.
       → cleaned pages + a one-row stats report
 
 Everything stays DataFrame-lazy until the two actions (near-dup pair
-collection and the final counts); raw text NEVER shuffles — exact
-dedup groups on a (md5, length) digest, candidates/signatures are
-map-side longs, classification is a broadcast kernel, and the
-candidate-verify join's small side broadcasts under AQE.
+collection and the final counts); raw text shuffles EXACTLY ONCE —
+the exact-dedup window keyed by a 16-byte (md5, length) digest.
+Candidates/signatures are map-side longs, classification is a
+broadcast kernel, and the candidate-verify join's small side
+broadcasts under AQE.
 """
 
 from __future__ import annotations
@@ -49,16 +50,20 @@ def clean_corpus(docs: DataFrame, ref_corpus: DataFrame,
     good = good.select(*docs.columns).cache()
     n_quality = good.count()
 
-    # exact dedup: keep min id per identical text — group on the
-    # (md5, length) digest so the shuffle carries ~40 bytes per page
-    # instead of the full text (at 10¹² pages that is GBs vs 100s of
-    # TBs in flight; a digest collision additionally needs equal
-    # length, ≈2⁻¹²⁸ — accepted and documented)
-    keep_exact = (good.groupBy(F.md5(F.col(text_col)).alias("_dg"),
-                               F.length(F.col(text_col)).alias("_ln"))
-                  .agg(F.min(id_col).alias(id_col))
-                  .select(id_col))
-    exact = good.join(keep_exact, id_col, "left_semi").cache()
+    # exact dedup: keep min id per identical text.  One window over
+    # the (md5, length) digest — the rows shuffle exactly once, keyed
+    # by the 16-byte digest, and no join against a corpus-sized
+    # keeper set is needed (a semi-join's keep-list is ~one row per
+    # distinct text, far past broadcast size, so it would shuffle the
+    # text a second time).  A digest collision additionally needs
+    # equal length, ≈2⁻¹²⁸ — accepted and documented.
+    from pyspark.sql.window import Window
+    w_dg = Window.partitionBy("_dg", "_ln").orderBy(id_col)
+    exact = (good.withColumn("_dg", F.md5(F.col(text_col)))
+             .withColumn("_ln", F.length(F.col(text_col)))
+             .withColumn("_rn", F.row_number().over(w_dg))
+             .filter(F.col("_rn") == 1)
+             .drop("_dg", "_ln", "_rn").cache())
     n_exact = exact.count()
 
     # near-dup drop: LSH candidates → exact-Jaccard verify → clusters

@@ -194,23 +194,50 @@ def lsh_bucket_topk(df: DataFrame, id_col: str, vec_col: str,
     return deduped.withColumn("rank", w).filter(F.col("rank") <= k)
 
 
+def auto_lsh_tables(bits: int, threshold: float,
+                    miss_rate: float = 1e-3,
+                    max_tables: int = 32) -> int:
+    """Tables needed so a pair at ``threshold`` cosine is co-bucketed
+    in ≥1 of them with probability ≥ 1−miss_rate: per-table collision
+    p = (1−θ/π)^bits shrinks geometrically in bits, so tables MUST
+    grow with bits or recall silently collapses at scale.  Capped at
+    ``max_tables`` (compute ceiling) — when the cap binds, the
+    guarantee degrades to (1−p)^max_tables and the caller should
+    either raise the cap or lower bits/target_bucket."""
+    import math
+    theta = math.acos(min(max(threshold, -1.0), 1.0))
+    p = (1 - theta / math.pi) ** bits
+    if p >= 1.0:
+        return 1
+    t = math.ceil(math.log(miss_rate) / math.log(1 - p))
+    return max(1, min(t, max_tables))
+
+
 def cosine_neardup_pairs(df: DataFrame, id_col: str, vec_col: str,
                          threshold: float = 0.9, bits: int | None = None,
-                         dim: int = 64, seed: int = 7, tables: int = 4,
+                         dim: int = 64, seed: int = 7,
+                         tables: int | None = None,
                          target_bucket: int = 2048,
                          max_pool: int = 8192,
-                         chunk: int = 1024) -> DataFrame:
+                         chunk: int = 1024,
+                         miss_rate: float = 1e-3) -> DataFrame:
     """Embedding-cosine near-duplicate PAIRS (the MinHash-dedup shape
     for vectors): multi-table hyperplane LSH proposes candidates, the
     exact cosine verifies ≥ ``threshold``; emits each (id_a < id_b)
     pair once.  Same scale knobs as ``lsh_bucket_topk`` (auto bits,
-    capped pool, chunked matmul).  Recall contract: a pair is found
-    iff some table co-buckets it — at cosine ≥ 0.9 the sign-projection
-    collision probability per table is (1−θ/π)^bits with θ≈0.45 rad,
-    so 4 tables at auto-bits miss ≲1e-3 of true pairs (asserted
-    against brute force in tests)."""
+    capped pool, chunked matmul).
+
+    Recall contract: a pair is found iff some table co-buckets it.
+    ``tables=None`` derives the table count from (bits, threshold) so
+    the miss probability stays ≤ ``miss_rate`` — see
+    ``auto_lsh_tables``; at very high bits the table count hits its
+    cap and the docstring'd guarantee degrades, which is the honest
+    cost of sign-projection LSH (lower bits + more tables, or MinHash
+    banding over quantized vectors, are the levers past that point)."""
     if bits is None:
         bits = auto_lsh_bits(df.count(), target_bucket)
+    if tables is None:
+        tables = auto_lsh_tables(bits, threshold, miss_rate=miss_rate)
     all_buckets = None
     for t in range(tables):
         b = hyperplane_buckets(df, id_col, vec_col, bits=bits, dim=dim,
@@ -233,14 +260,20 @@ def cosine_neardup_pairs(df: DataFrame, id_col: str, vec_col: str,
             else:
                 pool_idx = np.arange(n)
             pool_m, pool_ids = m[pool_idx], ids[pool_idx]
-            for start in range(0, n, chunk):
-                qs = slice(start, min(start + chunk, n))
-                sims = m[qs] @ pool_m.T
+            # queries iterate the POOL rows only: the pool holds the
+            # smallest ids, so a non-pool query can never satisfy
+            # id_a < id_b against pool columns — running it would be
+            # pure wasted matmul (pairs touching capped-out rows are
+            # dropped; that is the cap's documented recall contract)
+            nq = pool_ids.size
+            for start in range(0, nq, chunk):
+                qs = slice(start, min(start + chunk, nq))
+                sims = pool_m[qs] @ pool_m.T
                 qi, pj = np.nonzero(
                     (sims >= threshold)
-                    & (ids[qs][:, None] < pool_ids[None, :]))
+                    & (pool_ids[qs][:, None] < pool_ids[None, :]))
                 for a, b in zip(qi, pj):
-                    rows.append((int(ids[qs][a]), int(pool_ids[b]),
+                    rows.append((int(pool_ids[qs][a]), int(pool_ids[b]),
                                  float(sims[a, b])))
         return pd.DataFrame(rows, columns=["id_a", "id_b", "cosine"])
 
@@ -269,6 +302,11 @@ def ivf_topk(df: DataFrame, id_col: str, vec_col: str, k: int = 10,
     ensure_shipped(spark)
     if n_cells is None:
         n_cells = max(8, min(df.count() // target_cell + 1, 65536))
+    # the centroid sample must grow with the cell count or the derived
+    # n_cells silently clamps to the sample size (2048 default) and
+    # expected cells blow past target_cell
+    sample = max(sample, min(8 * n_cells, 1 << 18))
+    n_cells = min(n_cells, sample)
     samp = _matrix(pd.Series(
         [r[vec_col] for r in df.select(vec_col).limit(sample).collect()]), dim)
     rng = np.random.default_rng(seed)

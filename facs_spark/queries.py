@@ -972,6 +972,11 @@ def q30_revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
     supp = _read(spark, sf_dir, "supplier")
     nation = _read(spark, sf_dir, "nation")
     region = _read(spark, sf_dir, "region")
+    # only the FIXED-size dims (nation 25 rows, region 5) get explicit
+    # broadcast hints; supplier/customer/orders are SF-scaled, so
+    # their join strategy is left to Catalyst/AQE (broadcast at test
+    # scale, shuffle join at cluster scale — a forced hint would OOM
+    # the driver at real SF)
     dims = (supp
             .join(F.broadcast(nation),
                   supp.s_nationkey == nation.n_nationkey)
@@ -982,9 +987,8 @@ def q30_revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
                     * (1 - F.col("l_discount")) * 100).cast("long")
     return (li
             .join(orders, li.l_orderkey == orders.o_orderkey)
-            .join(F.broadcast(cust),
-                  (orders.o_custkey == cust.c_custkey))
-            .join(F.broadcast(dims),
+            .join(cust, orders.o_custkey == cust.c_custkey)
+            .join(dims,
                   (li.l_suppkey == F.col("s_suppkey"))
                   & (cust.c_nationkey == F.col("s_nationkey")))
             .groupBy("n_name")
