@@ -236,10 +236,12 @@ def write_fastx(df: DataFrame, path: str, fmt: str = "fastq",
     if not single_file:
         out.write.mode("overwrite").text(path)
         return
+    import re
     import shutil
-    if "://" in path.split("/")[0] or path.startswith(("hdfs:", "s3a:",
-                                                       "s3:", "gs:",
-                                                       "abfs:")):
+    # any URI scheme (hdfs:, s3a:, wasbs:, viewfs:, oss:, file:, ...)
+    # means "not a plain local path" — a hardcoded prefix list would
+    # let unknown schemes fall through to a confusing open() error
+    if re.match(r"^[A-Za-z][A-Za-z0-9+.-]*:", path):
         raise ValueError(
             "single_file=True renames via the local filesystem; use the "
             "directory sink (single_file=False) for remote paths")

@@ -42,22 +42,117 @@ def exact_dedup(df: DataFrame, cols: list[str],
 
 
 # ------------------------------------------------------------ shingles
-def _token_shingles(text: str, n: int) -> set:
-    toks = text.lower().split()
-    if len(toks) < n:
-        return {" ".join(toks)} if toks else set()
-    return {" ".join(toks[i:i + n]) for i in range(len(toks) - n + 1)}
+#
+# Token n-gram shingle hashing is the dominant CPU of the dedup suite
+# (MinHash signatures, SimHash fingerprints, the exact inverted-index
+# verifier all start here), so it is fully vectorized: the whole Arrow
+# batch becomes ONE byte buffer, a rolling polynomial prefix hash
+# yields every token's hash in O(batch bytes) numpy ops, and shingle
+# hashes combine n consecutive token hashes with the same polynomial.
+# No joined shingle strings are ever materialized and no per-token
+# Python runs (round-2 VERDICT item #2).
+#
+# Hash identity: only *injectivity* matters downstream — MinHash/
+# Jaccard/SimHash semantics are defined over shingle SETS, so any
+# collision-free 64-bit hash yields identical Jaccard values and
+# identical verified pair sets (the DuckDB oracles compare against
+# string-set Jaccard, which agrees whenever the hash is injective on
+# the observed shingles — 64-bit birthday odds).
+
+_POLY_B = np.uint64(0x9E3779B97F4A7C15)
+
+# Python str.split() whitespace, ASCII subset (the corpus contract —
+# matches the previous str.split() tokenizer on these tables).
+_WS_BYTES = (9, 10, 11, 12, 13, 32)
+_NONWS_LUT = np.ones(256, dtype=bool)
+_NONWS_LUT[list(_WS_BYTES)] = False
+
+
+def _poly_powers(n: int) -> np.ndarray:
+    """[B^(n-1), ..., B^1, B^0] mod 2^64 (n is the shingle width —
+    tiny, so no table caching games)."""
+    out = np.empty(n, dtype=np.uint64)
+    out[-1] = 1
+    with np.errstate(over="ignore"):
+        for i in range(n - 2, -1, -1):
+            out[i] = out[i + 1] * _POLY_B
+    return out
 
 
 def _shingle_hashes(texts, n: int) -> list[np.ndarray]:
-    """Per-doc uint64 hash sets of token n-gram shingles."""
-    from ..sketch.hashing import hash_strings_batch
-    out = []
-    for t in texts:
-        sh = sorted(_token_shingles(t or "", n))
-        out.append(np.unique(hash_strings_batch(sh, 0)) if sh
-                   else np.zeros(0, dtype=np.uint64))
-    return out
+    """Per-doc uint64 hash sets of token n-gram shingles (vectorized).
+
+    One concatenated lowercase byte buffer for the whole batch; token
+    boundaries from one whitespace-mask diff; every token hashed by
+    the length-grouped ``hash3_matrix`` byte-matrix kernel (the same
+    machinery as the classification k-gram path — one gather + one
+    matrix hash per distinct token length, no per-token Python);
+    shingle hashes combine n consecutive token hashes with a small
+    polynomial; ``np.unique`` per doc yields the set.  Docs with
+    0 < tokens < n hash the whole token run as one shingle (the
+    previous per-doc-string semantics).
+    """
+    from ..sketch.hashing import hash3_matrix
+    with np.errstate(over="ignore"):
+        enc = [(t or "").lower().encode("utf-8") for t in texts]
+        blob = b" ".join(enc)
+        ndocs = len(enc)
+        out: list[np.ndarray] = [None] * ndocs  # type: ignore[list-item]
+        if not blob:
+            return [np.zeros(0, dtype=np.uint64)] * ndocs
+        arr = np.frombuffer(blob, dtype=np.uint8)
+        # doc d occupies [doc_off[d], doc_off[d]+len(enc[d])) in blob
+        lens = np.fromiter((len(e) for e in enc), dtype=np.int64,
+                           count=ndocs)
+        doc_off = np.zeros(ndocs, dtype=np.int64)
+        np.cumsum(lens[:-1] + 1, out=doc_off[1:])
+        # token boundaries over the whole buffer (separators between
+        # docs are spaces, so tokens never span docs)
+        is_tok = _NONWS_LUT[arr]
+        edge = np.diff(np.concatenate(
+            ([0], is_tok.view(np.uint8), [0])).astype(np.int8))
+        tok_s = np.flatnonzero(edge == 1)
+        tok_e = np.flatnonzero(edge == -1)
+        ntok = tok_s.size
+        if ntok == 0:
+            return [np.zeros(0, dtype=np.uint64)] * ndocs
+        # token hashes: one (count, L) gather + hash3_matrix call per
+        # distinct token length
+        tok_len = tok_e - tok_s
+        th = np.empty(ntok, dtype=np.uint64)
+        for length in np.unique(tok_len):
+            idx = np.flatnonzero(tok_len == length)
+            mat = arr[tok_s[idx][:, None] + np.arange(length)[None, :]]
+            th[idx] = hash3_matrix(mat, 0)
+        # token → doc assignment + per-doc token ranges
+        tok_doc = np.searchsorted(doc_off, tok_s, side="right") - 1
+        tok_cnt = np.bincount(tok_doc, minlength=ndocs)
+        tok_off = np.zeros(ndocs + 1, dtype=np.int64)
+        np.cumsum(tok_cnt, out=tok_off[1:])
+        # shingle hash for every window of n consecutive tokens (doc-
+        # crossing windows land past each doc's valid slice below)
+        pw = _poly_powers(n)
+        if ntok >= n:
+            nsh = ntok - n + 1
+            sh = th[:nsh] * pw[0]
+            for j in range(1, n):
+                sh = sh + th[j:nsh + j] * pw[j]
+            sh = splitmix64(sh)
+        else:
+            sh = np.zeros(0, dtype=np.uint64)
+        empty = np.zeros(0, dtype=np.uint64)
+        for d in range(ndocs):
+            c = int(tok_cnt[d])
+            o = int(tok_off[d])
+            if c == 0:
+                out[d] = empty
+            elif c >= n:
+                out[d] = np.unique(sh[o:o + c - n + 1])
+            else:  # short doc: one shingle over all its tokens
+                r = th[o:o + c] * _poly_powers(c)
+                out[d] = splitmix64(
+                    np.array([r.sum(dtype=np.uint64)], dtype=np.uint64))
+        return out
 
 
 # ------------------------------------------------------------ minhash
@@ -111,18 +206,30 @@ def minhash_candidates(sig: DataFrame, id_col: str,
     shuffled payload is (band, bucket, id) longs.  ``max_bucket`` caps
     degenerate buckets (boilerplate skew): a bucket with B docs yields
     B²/2 pairs, so one viral template would melt the join — the cap is
-    the skew guard (SURVEY §4 salting row).
+    the skew guard (SURVEY §4 salting row).  Cell sizes come from a
+    window over the (band, bucket) partition (one shuffle; the
+    self-join then reuses that exchange) rather than a groupBy + join
+    back (two).  Over-cap cells are NOT dropped: every member pairs
+    against the cell's min-id representative (linear in cell size), so
+    a >``max_bucket`` template cluster still chains into one
+    near-dup component instead of silently evading dedup.
     """
-    ok_cells = (sig.groupBy("band", "bucket")
-                .agg(F.count(F.lit(1)).alias("n"))
-                .filter((F.col("n") >= 2) & (F.col("n") <= max_bucket))
-                .select("band", "bucket"))
-    kept = sig.join(ok_cells, ["band", "bucket"])
-    a = kept.select("band", "bucket", F.col(id_col).alias("id_a"))
-    b = kept.select("band", "bucket", F.col(id_col).alias("id_b"))
-    return (a.join(b, ["band", "bucket"])
+    from pyspark.sql.window import Window
+    w = Window.partitionBy("band", "bucket")
+    cells = (sig.withColumn("n", F.count(F.lit(1)).over(w))
+             .withColumn("rep", F.min(id_col).over(w))
+             .filter(F.col("n") >= 2))
+    normal = cells.filter(F.col("n") <= max_bucket)
+    a = normal.select("band", "bucket", F.col(id_col).alias("id_a"))
+    b = normal.select("band", "bucket", F.col(id_col).alias("id_b"))
+    quad = (a.join(b, ["band", "bucket"])
             .filter(F.col("id_a") < F.col("id_b"))
-            .select("id_a", "id_b").distinct())
+            .select("id_a", "id_b"))
+    rep = (cells.filter((F.col("n") > max_bucket)
+                        & (F.col(id_col) != F.col("rep")))
+           .select(F.col("rep").alias("id_a"),
+                   F.col(id_col).alias("id_b")))
+    return quad.union(rep).distinct()
 
 
 def exact_jaccard_pairs(df: DataFrame, pairs: DataFrame, id_col: str,
@@ -247,24 +354,45 @@ def simhash_near_pairs(fp: DataFrame, id_col: str, max_hamming: int = 6,
     (recall guaranteed by pigeonhole for the requested ball), cap
     degenerate cells at ``max_bucket`` docs (boilerplate skew — same
     guard as ``minhash_candidates``), then verify the true Hamming
-    distance.  Only (blk, val, id, simhash) longs shuffle.
+    distance.  Only (blk, val, id, simhash) longs shuffle; cell sizes
+    come from one window over the (blk, val) partition (the self-join
+    reuses that exchange — one Exchange fewer than groupBy + join).
+
+    Over-cap cells pair every member against the cell's min-id
+    representative (linear in cell size) instead of being dropped, so
+    a >``max_bucket`` cluster of near-identical template pages still
+    chains into one component — the boilerplate-skew case is exactly
+    where dedup matters most.  Pairs between two non-rep members of an
+    over-cap cell are still elided (the candidate bound), which only
+    matters when such a pair co-occurs in no other table's cell.
 
     Near-identical documents (Jaccard ≈ 0.97-0.99 on 2-gram shingles)
     land at Hamming 2-6 empirically, hence the ≤6 default.
     """
+    from pyspark.sql.window import Window
     blocks = _simhash_block_tables(fp, id_col, max_hamming)
-    ok_cells = (blocks.groupBy("blk", "val")
-                .agg(F.count(F.lit(1)).alias("n"))
-                .filter((F.col("n") >= 2) & (F.col("n") <= max_bucket))
-                .select("blk", "val"))
-    kept = blocks.join(ok_cells, ["blk", "val"])
-    left = kept.select(F.col(id_col).alias("id_a"),
-                       F.col("simhash").alias("sim_a"), "blk", "val")
-    right = kept.select(F.col(id_col).alias("id_b"),
-                        F.col("simhash").alias("sim_b"), "blk", "val")
-    pairs = (left.join(right, ["blk", "val"])
-             .filter(F.col("id_a") < F.col("id_b"))
-             .select("id_a", "id_b", "sim_a", "sim_b").distinct())
+    w = Window.partitionBy("blk", "val")
+    cells = (blocks
+             .withColumn("n", F.count(F.lit(1)).over(w))
+             .withColumn("rep", F.min(F.struct(
+                 F.col(id_col).alias("i"),
+                 F.col("simhash").alias("s"))).over(w))
+             .filter(F.col("n") >= 2))
+    normal = cells.filter(F.col("n") <= max_bucket)
+    left = normal.select(F.col(id_col).alias("id_a"),
+                         F.col("simhash").alias("sim_a"), "blk", "val")
+    right = normal.select(F.col(id_col).alias("id_b"),
+                          F.col("simhash").alias("sim_b"), "blk", "val")
+    quad = (left.join(right, ["blk", "val"])
+            .filter(F.col("id_a") < F.col("id_b"))
+            .select("id_a", "id_b", "sim_a", "sim_b"))
+    rep = (cells.filter((F.col("n") > max_bucket)
+                        & (F.col(id_col) != F.col("rep.i")))
+           .select(F.col("rep.i").alias("id_a"),
+                   F.col("rep.s").alias("sim_a"),
+                   F.col(id_col).alias("id_b"),
+                   F.col("simhash").alias("sim_b")))
+    pairs = quad.unionByName(rep).distinct()
     dist = F.bit_count(F.col("sim_a").bitwiseXOR(F.col("sim_b")))
     return (pairs.withColumn("hamming", dist)
             .filter(F.col("hamming") <= max_hamming)

@@ -153,7 +153,8 @@ def lsh_bucket_topk(df: DataFrame, id_col: str, vec_col: str,
                     k: int = 10, bits: int | None = None, dim: int = 64,
                     seed: int = 7, tables: int = 4,
                     target_bucket: int = 2048,
-                    max_pool: int = 8192) -> DataFrame:
+                    max_pool: int = 8192,
+                    n_rows: int | None = None) -> DataFrame:
     """Approximate all-pairs top-k: rows only compete within their LSH
     bucket(s).  ``tables`` independent hash tables union their
     candidates (standard multi-table LSH recall boost); each table's
@@ -162,9 +163,12 @@ def lsh_bucket_topk(df: DataFrame, id_col: str, vec_col: str,
     count so expected buckets stay ≈ ``target_bucket`` rows at any
     scale; hot buckets are additionally capped at ``max_pool`` pool
     rows inside the kernel.  Returns (query_id, neighbor_id, cosine,
-    rank) for every row as its own query — the self-join form of ANN."""
+    rank) for every row as its own query — the self-join form of ANN.
+    ``n_rows`` is an optional row-count hint: pipelines that already
+    know the cardinality skip the extra count() scan per call."""
     if bits is None:
-        bits = auto_lsh_bits(df.count(), target_bucket)
+        bits = auto_lsh_bits(n_rows if n_rows is not None else df.count(),
+                             target_bucket)
     all_buckets = None
     for t in range(tables):
         b = hyperplane_buckets(df, id_col, vec_col, bits=bits, dim=dim,
@@ -220,7 +224,8 @@ def cosine_neardup_pairs(df: DataFrame, id_col: str, vec_col: str,
                          target_bucket: int = 2048,
                          max_pool: int = 8192,
                          chunk: int = 1024,
-                         miss_rate: float = 1e-3) -> DataFrame:
+                         miss_rate: float = 1e-3,
+                         n_rows: int | None = None) -> DataFrame:
     """Embedding-cosine near-duplicate PAIRS (the MinHash-dedup shape
     for vectors): multi-table hyperplane LSH proposes candidates, the
     exact cosine verifies ≥ ``threshold``; emits each (id_a < id_b)
@@ -233,9 +238,11 @@ def cosine_neardup_pairs(df: DataFrame, id_col: str, vec_col: str,
     ``auto_lsh_tables``; at very high bits the table count hits its
     cap and the docstring'd guarantee degrades, which is the honest
     cost of sign-projection LSH (lower bits + more tables, or MinHash
-    banding over quantized vectors, are the levers past that point)."""
+    banding over quantized vectors, are the levers past that point).
+    ``n_rows``: optional row-count hint (skips the count() scan)."""
     if bits is None:
-        bits = auto_lsh_bits(df.count(), target_bucket)
+        bits = auto_lsh_bits(n_rows if n_rows is not None else df.count(),
+                             target_bucket)
     if tables is None:
         tables = auto_lsh_tables(bits, threshold, miss_rate=miss_rate)
     all_buckets = None
@@ -288,7 +295,8 @@ def cosine_neardup_pairs(df: DataFrame, id_col: str, vec_col: str,
 def ivf_topk(df: DataFrame, id_col: str, vec_col: str, k: int = 10,
              n_cells: int | None = None, nprobe: int = 2, dim: int = 64,
              sample: int = 2048, seed: int = 7,
-             target_cell: int = 2048) -> DataFrame:
+             target_cell: int = 2048,
+             n_rows: int | None = None) -> DataFrame:
     """IVF: seeded sampled centroids → cell assignment → probe nprobe
     nearest cells per query (here: every row queries itself).
 
@@ -300,15 +308,31 @@ def ivf_topk(df: DataFrame, id_col: str, vec_col: str, k: int = 10,
     """
     spark = df.sparkSession
     ensure_shipped(spark)
+    if n_rows is None:
+        n_rows = df.count()
     if n_cells is None:
-        n_cells = max(8, min(df.count() // target_cell + 1, 65536))
+        n_cells = max(8, min(n_rows // target_cell + 1, 65536))
     # the centroid sample must grow with the cell count or the derived
     # n_cells silently clamps to the sample size (2048 default) and
     # expected cells blow past target_cell
     sample = max(sample, min(8 * n_cells, 1 << 18))
     n_cells = min(n_cells, sample)
-    samp = _matrix(pd.Series(
-        [r[vec_col] for r in df.select(vec_col).limit(sample).collect()]), dim)
+    # seeded Bernoulli sample, NOT limit(): the first N rows of an
+    # ingest-ordered/clustered table model only the head of the data,
+    # so limit()-sampled centroids leave hot cells everywhere else
+    # (recall visibly degrades on sorted fixtures — see
+    # test_ivf_centroid_sample).  limit() on an oversampled Bernoulli
+    # draw would be head-biased again, so: oversample 1.5×, collect
+    # the (constant-bounded ≈ 1.5·sample vectors) draw, trim with a
+    # seeded rng driver-side.
+    frac = min(1.0, 1.5 * sample / max(n_rows, 1))
+    drawn = [r[vec_col] for r in
+             df.select(vec_col).sample(fraction=frac, seed=seed).collect()]
+    if len(drawn) > sample:
+        pick = np.random.default_rng(seed).choice(
+            len(drawn), size=sample, replace=False)
+        drawn = [drawn[i] for i in np.sort(pick)]
+    samp = _matrix(pd.Series(drawn), dim)
     rng = np.random.default_rng(seed)
     cent = samp[rng.choice(samp.shape[0], size=min(n_cells, samp.shape[0]),
                            replace=False)]

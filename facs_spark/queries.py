@@ -919,33 +919,43 @@ def q28_stream_windowed_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     import tempfile
     import uuid
 
+    import shutil
+
     # the streaming file source monitors a DIRECTORY; the testdata
     # table is a single read-only file, so stage a symlink dir (this
     # is also the realistic shape: a crawl drops files into a dir)
     src = tempfile.mkdtemp(prefix="q28_src_")
-    os.symlink(os.path.abspath(f"{sf_dir}/events.parquet"),
-               os.path.join(src, "events.parquet"))
-    ev = (spark.readStream
-          .schema("event_id long, ts timestamp_ntz, user_id long, "
-                  "event_type string, value double, props string")
-          .parquet(src))
-    # no watermark: complete-mode availableNow drains everything, and
-    # the parquet ts is NTZ (watermarks require LTZ) — the continuous
-    # watermarked variant lives in streaming/monitor.py
-    agg = (ev.groupBy(F.window("ts", "1 day").alias("win"), "event_type")
-           .agg(F.count(F.lit(1)).alias("n"),
-                F.sum(F.get_json_object("props", "$.k").cast("long"))
-                 .alias("sum_k")))
-    out = agg.select(F.date_format("win.start", "yyyy-MM-dd").alias("day"),
-                     "event_type", "n", "sum_k")
-    qname = "q28_sink_" + uuid.uuid4().hex[:8]
-    q = (out.writeStream.outputMode("complete").format("memory")
-         .queryName(qname)
-         .option("checkpointLocation",
-                 tempfile.mkdtemp(prefix="q28_ckpt_"))
-         .trigger(availableNow=True).start())
-    q.awaitTermination()
-    return spark.sql(f"SELECT * FROM {qname}").orderBy("day", "event_type")
+    ckpt = tempfile.mkdtemp(prefix="q28_ckpt_")
+    try:
+        os.symlink(os.path.abspath(f"{sf_dir}/events.parquet"),
+                   os.path.join(src, "events.parquet"))
+        ev = (spark.readStream
+              .schema("event_id long, ts timestamp_ntz, user_id long, "
+                      "event_type string, value double, props string")
+              .parquet(src))
+        # no watermark: complete-mode availableNow drains everything
+        # (the bounded-drain contract — state is retained only for the
+        # life of this one drained query), and the parquet ts is NTZ
+        # (watermarks require LTZ) — the continuous watermarked
+        # update-mode variant lives in streaming/monitor.py
+        agg = (ev.groupBy(F.window("ts", "1 day").alias("win"), "event_type")
+               .agg(F.count(F.lit(1)).alias("n"),
+                    F.sum(F.get_json_object("props", "$.k").cast("long"))
+                     .alias("sum_k")))
+        out = agg.select(F.date_format("win.start", "yyyy-MM-dd").alias("day"),
+                         "event_type", "n", "sum_k")
+        qname = "q28_sink_" + uuid.uuid4().hex[:8]
+        q = (out.writeStream.outputMode("complete").format("memory")
+             .queryName(qname)
+             .option("checkpointLocation", ckpt)
+             .trigger(availableNow=True).start())
+        q.awaitTermination()
+        # the memory sink's rows live in the driver, so the staging and
+        # checkpoint dirs are safe to remove once the drain completes
+        return spark.sql(f"SELECT * FROM {qname}").orderBy("day", "event_type")
+    finally:
+        shutil.rmtree(src, ignore_errors=True)
+        shutil.rmtree(ckpt, ignore_errors=True)
 
 
 Q28_SQL = """
