@@ -79,11 +79,23 @@ def brute_force_topk(df: DataFrame, queries: np.ndarray,
 
 def hyperplane_buckets(df: DataFrame, id_col: str, vec_col: str,
                        bits: int = 8, dim: int = 64,
-                       seed: int = 7) -> DataFrame:
+                       seed: int = 7, probe_bits: int = 0) -> DataFrame:
     """Random-hyperplane LSH bucket per row (sign-pattern of ``bits``
-    projections)."""
+    projections).
+
+    ``probe_bits > 0`` adds query-directed multi-probe rows (Lv et
+    al., VLDB 2007 idea): each row additionally lands in the buckets
+    reached by flipping its ``probe_bits`` smallest-|margin|
+    projections — the bits most likely to differ for a true near
+    neighbor — flagged ``is_home=false``.  A pair at Hamming distance
+    1 in sign space then meets when either side probes the other's
+    bucket, multiplying the per-table collision probability without
+    extra tables.
+    """
     spark = df.sparkSession
     ensure_shipped(spark)
+    if probe_bits > bits:
+        raise ValueError(f"probe_bits={probe_bits} > bits={bits}")
     rng = np.random.default_rng(seed)
     planes = rng.standard_normal((bits, dim)).astype(np.float32)
     bc_p = spark.sparkContext.broadcast(planes)
@@ -93,13 +105,28 @@ def hyperplane_buckets(df: DataFrame, id_col: str, vec_col: str,
         weights = (1 << np.arange(bits, dtype=np.int64))
         for batch in iterator:
             m = _matrix(batch[vec_col], dim)
-            signs = (m @ p.T) > 0
-            bucket = signs @ weights
-            yield pd.DataFrame({id_col: batch[id_col],
-                                "bucket": bucket.astype(np.int64)})
+            proj = m @ p.T
+            bucket = ((proj > 0) @ weights).astype(np.int64)
+            ids = batch[id_col].to_numpy()
+            if probe_bits == 0:
+                yield pd.DataFrame({id_col: ids, "bucket": bucket,
+                                    "is_home": True})
+                continue
+            # flip the probe_bits lowest-|margin| bits per row
+            low = np.argpartition(np.abs(proj), probe_bits - 1,
+                                  axis=1)[:, :probe_bits]
+            flipped = bucket[:, None] ^ (np.int64(1) << low.astype(np.int64))
+            yield pd.DataFrame({
+                id_col: np.concatenate(
+                    [ids, np.repeat(ids, probe_bits)]),
+                "bucket": np.concatenate([bucket, flipped.ravel()]),
+                "is_home": np.concatenate(
+                    [np.ones(ids.size, dtype=bool),
+                     np.zeros(ids.size * probe_bits, dtype=bool)]),
+            })
 
     return ensure_parallelism(df.select(id_col, vec_col)).mapInPandas(
-        kernel, schema=f"{id_col} long, bucket long")
+        kernel, schema=f"{id_col} long, bucket long, is_home boolean")
 
 
 def _bucket_topk_rows(ids: np.ndarray, m: np.ndarray, k: int,
@@ -172,7 +199,7 @@ def lsh_bucket_topk(df: DataFrame, id_col: str, vec_col: str,
     all_buckets = None
     for t in range(tables):
         b = hyperplane_buckets(df, id_col, vec_col, bits=bits, dim=dim,
-                               seed=seed + 1000 * t)
+                               seed=seed + 1000 * t).select(id_col, "bucket")
         b = b.withColumn("bucket",
                          F.col("bucket") + F.lit(t * (1 << bits)))
         all_buckets = b if all_buckets is None else all_buckets.unionByName(b)
@@ -198,22 +225,60 @@ def lsh_bucket_topk(df: DataFrame, id_col: str, vec_col: str,
     return deduped.withColumn("rank", w).filter(F.col("rank") <= k)
 
 
-def auto_lsh_tables(bits: int, threshold: float,
-                    miss_rate: float = 1e-3,
-                    max_tables: int = 32) -> int:
-    """Tables needed so a pair at ``threshold`` cosine is co-bucketed
-    in ≥1 of them with probability ≥ 1−miss_rate: per-table collision
-    p = (1−θ/π)^bits shrinks geometrically in bits, so tables MUST
-    grow with bits or recall silently collapses at scale.  Capped at
-    ``max_tables`` (compute ceiling) — when the cap binds, the
-    guarantee degrades to (1−p)^max_tables and the caller should
-    either raise the cap or lower bits/target_bucket."""
+def lsh_collision_prob(bits: int, threshold: float,
+                       probe_bits: int = 0) -> float:
+    """Per-table co-bucket probability for a pair at ``threshold``
+    cosine: q^bits for plain sign-LSH (q = 1−θ/π per-bit agreement),
+    plus the Hamming-1 mass ``probe_bits·q^(bits-1)·(1−q)·(pb/bits)``
+    recovered by probing — modeled as the uniform share of the
+    exactly-one-bit-differs probability; margin-directed probing
+    empirically captures more (low-margin bits are where near pairs
+    actually differ), so the model is conservative."""
     import math
     theta = math.acos(min(max(threshold, -1.0), 1.0))
-    p = (1 - theta / math.pi) ** bits
+    q = 1 - theta / math.pi
+    p = q ** bits
+    if probe_bits > 0 and bits > 0:
+        h1 = bits * (q ** (bits - 1)) * (1 - q)
+        p += h1 * (probe_bits / bits)
+    return min(p, 1.0)
+
+
+def lsh_tables_needed(bits: int, threshold: float,
+                      miss_rate: float = 1e-3,
+                      probe_bits: int = 0) -> int:
+    """Uncapped table count for a target pair miss rate."""
+    import math
+    p = lsh_collision_prob(bits, threshold, probe_bits)
     if p >= 1.0:
         return 1
-    t = math.ceil(math.log(miss_rate) / math.log(1 - p))
+    return max(1, math.ceil(math.log(miss_rate) / math.log(1 - p)))
+
+
+def auto_lsh_tables(bits: int, threshold: float,
+                    miss_rate: float = 1e-3,
+                    max_tables: int = 32,
+                    probe_bits: int = 0,
+                    warn_on_cap: bool = True) -> int:
+    """Tables needed so a pair at ``threshold`` cosine is co-bucketed
+    in ≥1 of them with probability ≥ 1−miss_rate: per-table collision
+    p (see ``lsh_collision_prob``) shrinks geometrically in bits, so
+    tables MUST grow with bits or recall silently collapses at scale.
+    Capped at ``max_tables`` (compute ceiling) — when the cap binds
+    the guarantee degrades to (1−p)^max_tables, and a runtime warning
+    states the actual achievable miss rate (no silent caps)."""
+    import warnings
+    t = lsh_tables_needed(bits, threshold, miss_rate, probe_bits)
+    if t > max_tables and warn_on_cap:
+        achievable = (1 - lsh_collision_prob(bits, threshold,
+                                             probe_bits)) ** max_tables
+        warnings.warn(
+            f"auto_lsh_tables: {t} tables needed for miss_rate="
+            f"{miss_rate:g} at bits={bits}, threshold={threshold}, "
+            f"probe_bits={probe_bits}, but capped at {max_tables} — "
+            f"achievable miss rate is {achievable:.3g}; lower bits, "
+            f"raise max_tables, or raise probe_bits",
+            RuntimeWarning, stacklevel=2)
     return max(1, min(t, max_tables))
 
 
@@ -225,6 +290,8 @@ def cosine_neardup_pairs(df: DataFrame, id_col: str, vec_col: str,
                          max_pool: int = 8192,
                          chunk: int = 1024,
                          miss_rate: float = 1e-3,
+                         max_tables: int = 32,
+                         probe_bits: int | None = None,
                          n_rows: int | None = None) -> DataFrame:
     """Embedding-cosine near-duplicate PAIRS (the MinHash-dedup shape
     for vectors): multi-table hyperplane LSH proposes candidates, the
@@ -232,23 +299,48 @@ def cosine_neardup_pairs(df: DataFrame, id_col: str, vec_col: str,
     pair once.  Same scale knobs as ``lsh_bucket_topk`` (auto bits,
     capped pool, chunked matmul).
 
-    Recall contract: a pair is found iff some table co-buckets it.
-    ``tables=None`` derives the table count from (bits, threshold) so
-    the miss probability stays ≤ ``miss_rate`` — see
-    ``auto_lsh_tables``; at very high bits the table count hits its
-    cap and the docstring'd guarantee degrades, which is the honest
-    cost of sign-projection LSH (lower bits + more tables, or MinHash
-    banding over quantized vectors, are the levers past that point).
+    Recall contract: a pair is found iff some table co-buckets it —
+    directly or via multi-probe.  ``tables=None`` derives the table
+    count from (bits, threshold, probe_bits) so the pair miss
+    probability stays ≤ ``miss_rate`` (``auto_lsh_tables``); when the
+    plain-bucket table count would exceed ``max_tables``,
+    ``probe_bits=None`` auto-escalates to full Hamming-1 multi-probe
+    (each row also lands in the ``bits`` buckets reached by flipping
+    its lowest-|margin| projections), which multiplies the per-table
+    collision probability ~(1 + bits·(1−q)/q)× and keeps the
+    guarantee achievable within the cap at 10⁹-row auto-bits.  If
+    even probing cannot reach ``miss_rate`` within ``max_tables``, a
+    RuntimeWarning states the achievable rate; a second warning fires
+    when expected bucket population exceeds ``max_pool`` (the pool
+    cap would then bind — no silent caps).
     ``n_rows``: optional row-count hint (skips the count() scan)."""
+    import warnings
+    if n_rows is None and bits is None:
+        n_rows = df.count()
     if bits is None:
-        bits = auto_lsh_bits(n_rows if n_rows is not None else df.count(),
-                             target_bucket)
+        bits = auto_lsh_bits(n_rows, target_bucket)
+    if probe_bits is None:
+        probe_bits = 0
+        if (tables is None
+                and lsh_tables_needed(bits, threshold, miss_rate, 0)
+                > max_tables):
+            probe_bits = bits  # full Hamming-1 probing
     if tables is None:
-        tables = auto_lsh_tables(bits, threshold, miss_rate=miss_rate)
+        tables = auto_lsh_tables(bits, threshold, miss_rate=miss_rate,
+                                 max_tables=max_tables,
+                                 probe_bits=probe_bits)
+    if n_rows is not None and n_rows / (1 << bits) > max_pool:
+        warnings.warn(
+            f"cosine_neardup_pairs: expected bucket population "
+            f"{n_rows / (1 << bits):.0f} exceeds max_pool={max_pool}; "
+            f"the pool cap will bind and drop candidate pairs — raise "
+            f"bits/max_pool or pre-partition the input",
+            RuntimeWarning, stacklevel=2)
     all_buckets = None
     for t in range(tables):
         b = hyperplane_buckets(df, id_col, vec_col, bits=bits, dim=dim,
-                               seed=seed + 1000 * t)
+                               seed=seed + 1000 * t,
+                               probe_bits=probe_bits)
         b = b.withColumn("bucket",
                          F.col("bucket") + F.lit(t * (1 << bits)))
         all_buckets = b if all_buckets is None else all_buckets.unionByName(b)
@@ -259,6 +351,7 @@ def cosine_neardup_pairs(df: DataFrame, id_col: str, vec_col: str,
         # boundary pairs must not flip on float32 rounding
         m = _normalize(_matrix(pdf[vec_col], dim, dtype=np.float64))
         ids = pdf[id_col].to_numpy()
+        home = pdf["is_home"].to_numpy()
         n = ids.size
         rows = []
         if n >= 2:
@@ -267,27 +360,33 @@ def cosine_neardup_pairs(df: DataFrame, id_col: str, vec_col: str,
             else:
                 pool_idx = np.arange(n)
             pool_m, pool_ids = m[pool_idx], ids[pool_idx]
-            # queries iterate the POOL rows only: the pool holds the
-            # smallest ids, so a non-pool query can never satisfy
-            # id_a < id_b against pool columns — running it would be
-            # pure wasted matmul (pairs touching capped-out rows are
-            # dropped; that is the cap's documented recall contract)
-            nq = pool_ids.size
-            for start in range(0, nq, chunk):
-                qs = slice(start, min(start + chunk, nq))
+            pool_home = home[pool_idx]
+            # queries: HOME rows in the pool.  Emission rule per
+            # (home query a, pool member b): home-home pairs once via
+            # a<b; home-probe pairs in canonical order (the reverse
+            # direction emits the same canonical pair — deduped by
+            # the final groupBy); probe-probe pairs never (they are
+            # Hamming-2 and not part of the probe-1 contract).
+            q_idx = np.flatnonzero(pool_home)
+            for start in range(0, q_idx.size, chunk):
+                qs = q_idx[start:start + chunk]
                 sims = pool_m[qs] @ pool_m.T
-                qi, pj = np.nonzero(
-                    (sims >= threshold)
-                    & (pool_ids[qs][:, None] < pool_ids[None, :]))
+                qa = pool_ids[qs]
+                emit = (sims >= threshold) & (
+                    (pool_home[None, :] & (qa[:, None] < pool_ids[None, :]))
+                    | (~pool_home[None, :]
+                       & (qa[:, None] != pool_ids[None, :])))
+                qi, pj = np.nonzero(emit)
                 for a, b in zip(qi, pj):
-                    rows.append((int(pool_ids[qs][a]), int(pool_ids[b]),
+                    ia, ib = int(qa[a]), int(pool_ids[b])
+                    rows.append((min(ia, ib), max(ia, ib),
                                  float(sims[a, b])))
         return pd.DataFrame(rows, columns=["id_a", "id_b", "cosine"])
 
     partial = vecs.groupBy("bucket").applyInPandas(
         per_bucket, schema="id_a long, id_b long, cosine double")
-    # dedup across tables on the long pair key (cosine recomputed
-    # identically per table)
+    # dedup across tables/probes on the long pair key (cosine
+    # recomputed identically per sighting)
     return (partial.groupBy("id_a", "id_b")
             .agg(F.max("cosine").alias("cosine")))
 
