@@ -143,12 +143,19 @@ def query(qry: str, bloom_filter: str, tole_rate: float = 0,
 
 def remove(src: str, ref: str, tole_rate: float = 0,
            report_fmt: str = "json", prefix: str | None = None,
-           single_file: bool = True, spark=None) -> str:
+           single_file: bool = True, stream_output: bool = False,
+           spark=None) -> str:
     """facs.remove: split reads into clean/contam outputs and return
     the report.  Defaults to the reference's exact two-file contract —
     ``<sample>_<ref>_{clean,contam}.{fastq,fasta}`` plain files
     (facs/remove.c:89-151); pass ``single_file=False`` for part-file
-    directories at cluster scale."""
+    directories at cluster scale, or ``stream_output=True`` for the
+    reference's no-output-file pipe mode — clean reads stream to
+    stdout and contaminated reads to stderr (facs/query.c:219-230,
+    facs/bloom.c:339-366), one partition resident at a time (no file
+    is written)."""
+    import sys
+
     spark = spark or get_spark("facs_remove")
     begin = _isodate()
     bloom = _load_bloom(ref)
@@ -156,14 +163,21 @@ def remove(src: str, ref: str, tole_rate: float = 0,
     sample = os.path.basename(src).split(".")[0]
     refname = os.path.basename(ref).split(".")[0]
     fmt = "fastq" if src.rstrip(".gz").endswith(("fastq", "fq")) else "fasta"
-    base = prefix or os.path.dirname(os.path.abspath(src)) or "."
     from pyspark.sql import functions as F
-    write_fastx(classified.filter(~F.col("contaminated")),
-                os.path.join(base, f"{sample}_{refname}_clean.{fmt}"),
-                fmt=fmt, seq_col="seq", single_file=single_file)
-    write_fastx(classified.filter(F.col("contaminated")),
-                os.path.join(base, f"{sample}_{refname}_contam.{fmt}"),
-                fmt=fmt, seq_col="seq", single_file=single_file)
+    from .io.fastx import write_fastx_stream
+    if stream_output:
+        write_fastx_stream(classified.filter(~F.col("contaminated")),
+                           sys.stdout, fmt=fmt, seq_col="seq")
+        write_fastx_stream(classified.filter(F.col("contaminated")),
+                           sys.stderr, fmt=fmt, seq_col="seq")
+    else:
+        base = prefix or os.path.dirname(os.path.abspath(src)) or "."
+        write_fastx(classified.filter(~F.col("contaminated")),
+                    os.path.join(base, f"{sample}_{refname}_clean.{fmt}"),
+                    fmt=fmt, seq_col="seq", single_file=single_file)
+        write_fastx(classified.filter(F.col("contaminated")),
+                    os.path.join(base, f"{sample}_{refname}_contam.{fmt}"),
+                    fmt=fmt, seq_col="seq", single_file=single_file)
     row = contamination_counters(classified).collect()[0]
     threads = spark.sparkContext.defaultParallelism
     return _report_json(row, src, ref, bloom.k_mer, begin, report_fmt,

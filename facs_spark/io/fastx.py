@@ -208,6 +208,41 @@ def read_fastx(spark: SparkSession, paths, fmt: str | None = None,
     return plan.mapInPandas(kernel, schema=FASTX_SCHEMA)
 
 
+def _fastx_records(df: DataFrame, fmt: str, seq_col: str, id_col: str,
+                   qual_col: str) -> DataFrame:
+    """One text record per read (the shared serializer of the file
+    sinks and the stdout/stderr stream sink)."""
+    from pyspark.sql import functions as F
+    if fmt == "fastq":
+        rec = F.concat_ws("\n", F.concat(F.lit("@"), F.col(id_col)),
+                          F.col(seq_col), F.lit("+"),
+                          F.coalesce(F.col(qual_col),
+                                     F.repeat(F.lit("I"),
+                                              F.length(seq_col))))
+    else:
+        rec = F.concat_ws("\n", F.concat(F.lit(">"), F.col(id_col)),
+                          F.col(seq_col))
+    return df.select(rec.alias("value"))
+
+
+def write_fastx_stream(df: DataFrame, fh, fmt: str = "fastq",
+                       seq_col: str = "seq", id_col: str = "read_id",
+                       qual_col: str = "qual") -> int:
+    """Stream reads to an open text handle (stdout/stderr pipe
+    composition — the reference writes clean to stdout and contam to
+    stderr when no output file is given, facs/query.c:219-230,
+    facs/bloom.c:339-366).  Uses ``toLocalIterator`` so only one
+    partition is resident driver-side at a time — never a full
+    collect.  Returns the record count."""
+    n = 0
+    for row in _fastx_records(df, fmt, seq_col, id_col,
+                              qual_col).toLocalIterator():
+        fh.write(row["value"])
+        fh.write("\n")
+        n += 1
+    return n
+
+
 def write_fastx(df: DataFrame, path: str, fmt: str = "fastq",
                 seq_col: str = "seq", id_col: str = "read_id",
                 qual_col: str = "qual", single_file: bool = False) -> None:
@@ -222,17 +257,7 @@ def write_fastx(df: DataFrame, path: str, fmt: str = "fastq",
     and 100-TB outputs.  Any stale file or part-directory at ``path``
     is replaced.
     """
-    from pyspark.sql import functions as F
-    if fmt == "fastq":
-        rec = F.concat_ws("\n", F.concat(F.lit("@"), F.col(id_col)),
-                          F.col(seq_col), F.lit("+"),
-                          F.coalesce(F.col(qual_col),
-                                     F.repeat(F.lit("I"),
-                                              F.length(seq_col))))
-    else:
-        rec = F.concat_ws("\n", F.concat(F.lit(">"), F.col(id_col)),
-                          F.col(seq_col))
-    out = df.select(rec.alias("value"))
+    out = _fastx_records(df, fmt, seq_col, id_col, qual_col)
     if not single_file:
         out.write.mode("overwrite").text(path)
         return

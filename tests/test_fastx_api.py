@@ -158,6 +158,28 @@ def test_remove_artifacts(spark, fixtures):
     assert read_ids(clean) == clean_ids
 
 
+def test_remove_stream_output(spark, fixtures, capsys):
+    """The reference's no-output-file pipe mode (facs/query.c:219-230):
+    clean reads stream to stdout, contaminated reads to stderr, no
+    files written — via toLocalIterator, never a full collect."""
+    bloom_path = os.path.join(fixtures["dir"], "ecoli.bloom")
+    report = json.loads(facs.remove(fixtures["fq"], bloom_path,
+                                    stream_output=True, spark=spark))
+    cap = capsys.readouterr()
+
+    def ids(text):
+        lines = text.splitlines()
+        return [l[1:] for l in lines[::4]]
+
+    clean_ids, contam_ids = ids(cap.out), ids(cap.err)
+    assert len(clean_ids) + len(contam_ids) == fixtures["n_total"]
+    assert all(i.startswith("contam") for i in contam_ids)
+    assert len(contam_ids) == fixtures["n_contam"]
+    # 4-line records round-trip (seq + qual preserved)
+    assert cap.out.splitlines()[2] == "+"
+    assert report["contaminated_reads"] == fixtures["n_contam"]
+
+
 def test_bloom_extension_guard(spark, fixtures):
     with pytest.raises(ValueError, match=".bloom extension"):
         facs.query(fixtures["fq"], fixtures["ref"], spark=spark)

@@ -51,3 +51,30 @@ def test_reference_corpus_deterministic():
     a = reference_corpus_batch(n_docs=10)
     b = reference_corpus_batch(n_docs=10)
     assert a["text"].tolist() == b["text"].tolist()
+
+
+def test_sweep_tool_smoke():
+    """The ROC-sweep harness (tools/sweep.py, the executable analogue
+    of the reference's doc/ROC.m grids): one tiny grid point set on
+    the labeled mix — perfect separation at low tole on the disjoint
+    vocabularies, monotone TPR in tole, FPR bounded by the filter's
+    error rate."""
+    import sys
+    sys.path.insert(0, ".")
+    from tools.sweep import sweep
+
+    from facs_spark.session import get_spark
+    spark = get_spark("facs_sweep_test", cpus=4, shuffle_partitions=4)
+    rows = sweep(spark, n_pages=400, contam_frac=0.3,
+                 k_grid=[12, 15], tole_grid=[0.1, 0.4, 0.9])
+    assert len(rows) == 6
+    by_k = {}
+    for r in rows:
+        assert r["tp"] + r["fp"] + r["fn"] + r["tn"] == 400
+        assert r["fpr"] <= 0.01  # disjoint vocab + tight filter
+        by_k.setdefault(r["k"], []).append(r)
+    for k, rs in by_k.items():
+        rs.sort(key=lambda r: r["tole"])
+        tprs = [r["tpr"] for r in rs]
+        assert tprs == sorted(tprs, reverse=True), (k, tprs)
+        assert tprs[0] >= 0.99  # low tole recovers the planted mix
