@@ -175,24 +175,55 @@ def minhash_signatures(df: DataFrame, id_col: str, text_col: str,
 
     def kernel(iterator):
         for batch in iterator:
-            ids, band_ids, buckets = [], [], []
             hashes = _shingle_hashes(batch[text_col].tolist(), shingle_n)
-            for doc_id, h in zip(batch[id_col], hashes):
-                if h.size == 0:
-                    continue
+            counts = np.fromiter((h.size for h in hashes),
+                                 dtype=np.int64, count=len(hashes))
+            keep = counts > 0
+            if not keep.any():
+                yield pd.DataFrame({
+                    id_col: np.zeros(0, dtype=np.int64),
+                    "band": np.zeros(0, dtype=np.int32),
+                    "bucket": np.zeros(0, dtype=np.int64)})
+                continue
+            doc_ids = batch[id_col].to_numpy()[keep]
+            kept = [h for h in hashes if h.size]
+            kept_counts = counts[counts > 0]
+            # segmented-min over doc-chunks bounded by a shingle
+            # budget: full vectorization without a (num_hashes ×
+            # batch_shingles) blow-up — peak ≈ 128·budget·8B ≈ 64 MB
+            budget = 65536
+            ndocs = kept_counts.size
+            sig_cols = []
+            lo = 0
+            while lo < ndocs:
+                hi, tot = lo, 0
+                while hi < ndocs and (tot == 0
+                                      or tot + kept_counts[hi] <= budget):
+                    tot += kept_counts[hi]
+                    hi += 1
+                allh = np.concatenate(kept[lo:hi])
+                starts = np.zeros(hi - lo, dtype=np.int64)
+                np.cumsum(kept_counts[lo:hi - 1], out=starts[1:])
                 with np.errstate(over="ignore"):
-                    # (num_hashes, n_shingles) universal-hash matrix
-                    m = (a[:, None] * h[None, :] + b[:, None]) % np.uint64(_MERSENNE)
-                sig = m.min(axis=1)  # (num_hashes,)
-                band_sig = sig.reshape(bands, rows_per_band)
+                    # (num_hashes, chunk_shingles) universal-hash
+                    # matrix, then a segmented min per doc (reduceat
+                    # over doc boundaries) — no per-doc Python
+                    m = (a[:, None] * allh[None, :] + b[:, None]) \
+                        % np.uint64(_MERSENNE)
+                sig_cols.append(np.minimum.reduceat(m, starts, axis=1))
+                lo = hi
+            sig = np.concatenate(sig_cols, axis=1)  # (num_hashes, ndocs)
+            band_sig = sig.reshape(bands, rows_per_band, ndocs)
+            with np.errstate(over="ignore"):
                 bucket = splitmix64(
-                    band_sig.sum(axis=1, dtype=np.uint64)
-                    ^ splitmix64(band_sig[:, 0]))
-                ids.extend([doc_id] * bands)
-                band_ids.extend(range(bands))
-                buckets.extend((bucket >> np.uint64(1)).astype(np.int64))
-            yield pd.DataFrame({id_col: ids, "band": band_ids,
-                                "bucket": buckets})
+                    (band_sig.sum(axis=1, dtype=np.uint64)
+                     ^ splitmix64(band_sig[:, 0, :].copy()))
+                    .ravel(order="F"))  # doc-major (bands per doc)
+            yield pd.DataFrame({
+                id_col: np.repeat(doc_ids, bands),
+                "band": np.tile(np.arange(bands, dtype=np.int32), ndocs),
+                "bucket": (bucket >> np.uint64(1)).astype(np.int64),
+            })
 
     return ensure_parallelism(df.select(id_col, text_col)).mapInPandas(
         kernel, schema=f"{id_col} long, band int, bucket long")
@@ -287,18 +318,37 @@ def simhash_fingerprints(df: DataFrame, id_col: str, text_col: str,
         bit_cols = np.arange(64, dtype=np.uint64)
         for batch in iterator:
             hashes = _shingle_hashes(batch[text_col].tolist(), shingle_n)
-            fps = []
-            for h in hashes:
-                if h.size == 0:
-                    fps.append(0)
-                    continue
-                bits = (h[:, None] >> bit_cols[None, :]) & np.uint64(1)
-                votes = 2 * bits.sum(axis=0, dtype=np.int64) - h.size
-                fp = np.uint64(0)
-                fp_bits = np.flatnonzero(votes > 0)
-                for bpos in fp_bits:
-                    fp |= np.uint64(1) << np.uint64(bpos)
-                fps.append(int(fp.astype(np.int64)))
+            counts = np.fromiter((h.size for h in hashes),
+                                 dtype=np.int64, count=len(hashes))
+            fps = np.zeros(len(hashes), dtype=np.int64)  # empty docs → 0
+            keep = np.flatnonzero(counts > 0)
+            kept = [hashes[i] for i in keep]
+            kept_counts = counts[keep]
+            # doc-chunks bounded by a shingle budget: the (shingles,
+            # 64) bit matrix stays ~16 MB, votes via one segmented sum
+            # (reduceat) per chunk — no per-doc/per-bit Python
+            budget = 65536
+            lo = 0
+            out_pos = 0
+            while lo < kept_counts.size:
+                hi, tot = lo, 0
+                while hi < kept_counts.size and (
+                        tot == 0 or tot + kept_counts[hi] <= budget):
+                    tot += kept_counts[hi]
+                    hi += 1
+                allh = np.concatenate(kept[lo:hi])
+                starts = np.zeros(hi - lo, dtype=np.int64)
+                np.cumsum(kept_counts[lo:hi - 1], out=starts[1:])
+                bits = ((allh[:, None] >> bit_cols[None, :])
+                        & np.uint64(1)).astype(np.int32)
+                sums = np.add.reduceat(bits, starts, axis=0)
+                votes = 2 * sums.astype(np.int64) \
+                    - kept_counts[lo:hi, None]
+                fp = ((votes > 0).astype(np.uint64)
+                      << bit_cols[None, :]).sum(axis=1, dtype=np.uint64)
+                fps[keep[out_pos:out_pos + (hi - lo)]] = fp.view(np.int64)
+                out_pos += hi - lo
+                lo = hi
             yield pd.DataFrame({id_col: batch[id_col], "simhash": fps})
 
     return ensure_parallelism(df.select(id_col, text_col)).mapInPandas(
