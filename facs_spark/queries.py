@@ -1123,6 +1123,73 @@ ORDER BY o_orderpriority
 
 
 # =====================================================================
+# q32/q33 — embedding near-dup pairs (multi-table LSH + exact verify)
+# and IVF retrieval, both with exactly-predictable oracles: the
+# natural embeddings table holds NO pairs above cosine 0.8 (max
+# pairwise ≈ 0.6 at every sf), so planting exact-duplicate "twins"
+# with derived ids makes the expected answer pure SQL — the twin
+# pairs and nothing else.  Exact duplicates are float-boundary-free
+# (cosine ≈ 1.0 vs a ≥ 0.3 gap to every natural pair), and they
+# co-bucket / co-cell deterministically, so the check isolates the
+# candidate-generation + verify machinery, not LSH luck; approximate
+# recall on natural data is q21's job (LSH) and pytest's (IVF).
+# =====================================================================
+N_TWINS = 100
+
+
+def _with_twins(emb: DataFrame):
+    base = emb.select("vec_id", "embedding")
+    off = emb.agg(F.max("vec_id")).collect()[0][0] + 1
+    twins = (base.filter(F.col("vec_id") < N_TWINS)
+             .select((F.col("vec_id") + off).alias("vec_id"), "embedding"))
+    return base.unionByName(twins), off
+
+
+def q32_cosine_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .ops.similarity import cosine_neardup_pairs
+    emb = _read(spark, sf_dir, "embeddings")
+    n = emb.count()
+    both, _off = _with_twins(emb)
+    pairs = cosine_neardup_pairs(both, "vec_id", "embedding",
+                                 threshold=0.9, n_rows=n + N_TWINS)
+    return pairs.select("id_a", "id_b").orderBy("id_a", "id_b")
+
+
+Q32_SQL = f"""
+SELECT vec_id AS id_a,
+       vec_id + (SELECT MAX(vec_id) + 1 FROM embeddings) AS id_b
+FROM embeddings WHERE vec_id < {N_TWINS} ORDER BY id_a
+"""
+
+
+def q33_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    from .ops.similarity import ivf_topk
+    emb = _read(spark, sf_dir, "embeddings")
+    n = emb.count()
+    both, off = _with_twins(emb)
+    ann = ivf_topk(both, "vec_id", "embedding", k=3, nprobe=2,
+                   n_rows=n + N_TWINS)
+    top1 = (ann.withColumn("rk", F.row_number().over(
+                Window.partitionBy("query_id")
+                .orderBy(F.desc("cosine"), F.asc("neighbor_id"))))
+            .filter(F.col("rk") == 1))
+    return (top1.filter(F.col("query_id") >= off)
+            .select("query_id",
+                    (F.col("neighbor_id") == F.col("query_id") - off)
+                    .alias("within_bound"))
+            .orderBy("query_id"))
+
+
+Q33_SQL = f"""
+SELECT vec_id + (SELECT MAX(vec_id) + 1 FROM embeddings) AS query_id,
+       TRUE AS within_bound
+FROM embeddings WHERE vec_id < {N_TWINS} ORDER BY query_id
+"""
+
+
+# =====================================================================
 # registry
 # =====================================================================
 def queries():
@@ -1158,6 +1225,8 @@ def queries():
         "q29_classify_shuffle": q29_classify_shuffle,
         "q30_revenue_by_nation": q30_revenue_by_nation,
         "q31_priority_semijoin": q31_priority_semijoin,
+        "q32_cosine_neardup": q32_cosine_neardup,
+        "q33_ann_ivf": q33_ann_ivf,
     }
 
 
@@ -1202,6 +1271,8 @@ def oracle_sql():
         "q29_classify_shuffle": Q04_SQL,
         "q30_revenue_by_nation": Q30_SQL,
         "q31_priority_semijoin": Q31_SQL,
+        "q32_cosine_neardup": Q32_SQL,
+        "q33_ann_ivf": Q33_SQL,
     }
 
 
