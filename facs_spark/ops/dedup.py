@@ -552,37 +552,47 @@ def dedup_clusters(pairs: DataFrame, max_iters: int = 50,
     (silent non-convergence would split clusters and keep near-dups).
     """
     spark = pairs.sparkSession
-    n_pairs = pairs.limit(driver_threshold + 1).count()
-    if n_pairs <= driver_threshold:
-        parent: dict = {}
+    # materialize the (LSH-candidate → exact-verified, hence small)
+    # pair set ONCE: a limit().count() + collect() pair of actions
+    # would execute the whole uncached LSH+verify pipeline repeatedly
+    # (CollectLimit additionally re-runs its final stage per
+    # scale-up round), which used to dominate q27's wall clock
+    edge_src = pairs.select("id_a", "id_b").persist()
+    try:
+        n_pairs = edge_src.count()
+        if n_pairs <= driver_threshold:
+            parent: dict = {}
 
-        def find(x):
-            while parent[x] != x:
-                parent[x] = parent[parent[x]]
-                x = parent[x]
-            return x
+            def find(x):
+                while parent[x] != x:
+                    parent[x] = parent[parent[x]]
+                    x = parent[x]
+                return x
 
-        for r in pairs.select("id_a", "id_b").collect():
-            a, b = r["id_a"], r["id_b"]
-            parent.setdefault(a, a)
-            parent.setdefault(b, b)
-            ra, rb = find(a), find(b)
-            if ra != rb:
-                # union by min so the representative is the min id
-                lo, hi = min(ra, rb), max(ra, rb)
-                parent[hi] = lo
-        rows = [(i, find(i)) for i in parent]
-        return spark.createDataFrame(rows, "id long, cluster_rep long")
+            for r in edge_src.collect():
+                a, b = r["id_a"], r["id_b"]
+                parent.setdefault(a, a)
+                parent.setdefault(b, b)
+                ra, rb = find(a), find(b)
+                if ra != rb:
+                    # union by min so the representative is the min id
+                    lo, hi = min(ra, rb), max(ra, rb)
+                    parent[hi] = lo
+            rows = [(i, find(i)) for i in parent]
+            return spark.createDataFrame(rows, "id long, cluster_rep long")
 
-    # localCheckpoint each round: star rounds reference the previous
-    # edge set several times, so without lineage truncation the logical
-    # plan grows exponentially and the driver OOMs around round ~10.
-    # Superseded rounds' blocks are freed by the ContextCleaner once
-    # the driver reference is dropped.
-    edges = (pairs.select(F.least("id_a", "id_b").alias("u"),
-                          F.greatest("id_a", "id_b").alias("v"))
-             .filter(F.col("u") != F.col("v"))
-             .distinct().localCheckpoint(eager=True))
+        # localCheckpoint each round: star rounds reference the
+        # previous edge set several times, so without lineage
+        # truncation the logical plan grows exponentially and the
+        # driver OOMs around round ~10.  Superseded rounds' blocks are
+        # freed by the ContextCleaner once the driver ref is dropped.
+        edges = (edge_src
+                 .select(F.least("id_a", "id_b").alias("u"),
+                         F.greatest("id_a", "id_b").alias("v"))
+                 .filter(F.col("u") != F.col("v"))
+                 .distinct().localCheckpoint(eager=True))
+    finally:
+        edge_src.unpersist()
     converged = False
     for _ in range(max_iters):
         new_edges = _small_star(_large_star(edges)).localCheckpoint(eager=True)
