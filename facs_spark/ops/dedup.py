@@ -62,8 +62,10 @@ def exact_dedup(df: DataFrame, cols: list[str],
 _POLY_B = np.uint64(0x9E3779B97F4A7C15)
 
 # Python str.split() whitespace, ASCII subset (the corpus contract —
-# matches the previous str.split() tokenizer on these tables).
-_WS_BYTES = (9, 10, 11, 12, 13, 32)
+# matches the str.split() tokenizer for all ASCII text): \t \n \v \f
+# \r space plus the C0 separators \x1c-\x1f, which Python also
+# treats as whitespace.
+_WS_BYTES = (9, 10, 11, 12, 13, 28, 29, 30, 31, 32)
 _NONWS_LUT = np.ones(256, dtype=bool)
 _NONWS_LUT[list(_WS_BYTES)] = False
 

@@ -69,3 +69,36 @@ def test_bloom_bits_order_independent(keys, n_parts):
         merged = part if merged is None else merged.merge(part)
     assert (merged.vector == whole.vector).all()
     assert merged.contains_batch(mats).all()
+
+
+@settings(max_examples=40, deadline=None)
+@given(st.lists(st.text(
+    alphabet=st.characters(codec="ascii",
+                           exclude_characters="\x00"),
+    max_size=120), min_size=0, max_size=12),
+    st.integers(min_value=1, max_value=4))
+def test_shingle_hashes_match_string_set_semantics(texts, n):
+    """The vectorized token-shingle kernel's contract: per-doc hash
+    SETS behave exactly like the string shingle sets it replaced —
+    same sizes and same pairwise intersections (Jaccard is defined
+    over these two numbers), for arbitrary ASCII text including
+    repeated/odd whitespace, case mix, empty and short docs."""
+    import numpy as np
+
+    from facs_spark.ops.dedup import _shingle_hashes
+
+    def string_shingles(text, n):
+        toks = text.lower().split()
+        if len(toks) < n:
+            return {" ".join(toks)} if toks else set()
+        return {" ".join(toks[i:i + n]) for i in range(len(toks) - n + 1)}
+
+    got = _shingle_hashes(texts, n)
+    want = [string_shingles(t or "", n) for t in texts]
+    for h, s in zip(got, want):
+        assert h.size == len(s)
+    for i in range(len(texts)):
+        for j in range(i + 1, len(texts)):
+            inter = np.intersect1d(got[i], got[j],
+                                   assume_unique=True).size
+            assert inter == len(want[i] & want[j])
