@@ -49,6 +49,12 @@ def main(argv=None) -> int:
                            choices=("json", "tsv"))
         else:
             p.add_argument("-p", "--prefix", default=None)
+            p.add_argument("--stream", action="store_true",
+                           help="no files: clean reads to stdout, "
+                                "contaminated to stderr (reference "
+                                "no-output-file pipe mode); the JSON "
+                                "report goes to --report-file if given")
+            p.add_argument("--report-file", default=None)
 
     i = sub.add_parser("info")
     i.add_argument("-r", "--reference", required=True)
@@ -74,8 +80,16 @@ def main(argv=None) -> int:
                         report_fmt=args.format))
         return 0
     if args.cmd == "remove":
-        print(api.remove(args.query, args.reference,
-                         tole_rate=args.tole_rate, prefix=args.prefix))
+        report = api.remove(args.query, args.reference,
+                            tole_rate=args.tole_rate, prefix=args.prefix,
+                            stream_output=args.stream)
+        if args.stream:
+            # stdout carries the clean stream — never mix the report in
+            if args.report_file:
+                with open(args.report_file, "w") as fh:
+                    fh.write(report + "\n")
+        else:
+            print(report)
         return 0
     if args.cmd == "info":
         print(json.dumps(api.info(args.reference), indent=2))

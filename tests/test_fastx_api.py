@@ -307,3 +307,23 @@ def test_write_fastx_fasta_roundtrip(spark, fixtures, tmp_path):
     a = {(r["read_id"], r["seq"]) for r in reads.collect()}
     b = {(r["read_id"], r["seq"]) for r in back.collect()}
     assert a == b
+
+
+def test_cli_remove_stream(spark, fixtures, capsys, tmp_path):
+    """python -m facs_spark remove --stream: clean records on stdout,
+    contam on stderr, report only in --report-file (stdout must stay a
+    clean FASTQ stream)."""
+    from facs_spark.__main__ import main
+    bloom_path = os.path.join(fixtures["dir"], "ecoli.bloom")
+    if not os.path.exists(bloom_path):  # independent of test order
+        facs.build(fixtures["ref"], bloom_path, k_mer=16,
+                   error_rate=0.0005, spark=spark)
+    rpt = str(tmp_path / "report.json")
+    rc = main(["remove", "-r", bloom_path, "-q", fixtures["fq"],
+               "--stream", "--report-file", rpt])
+    assert rc == 0
+    cap = capsys.readouterr()
+    out_lines = cap.out.splitlines()
+    assert len(out_lines) % 4 == 0 and out_lines, "stdout must be pure FASTQ"
+    assert all(l[1:].startswith("clean") for l in out_lines[::4])
+    assert json.load(open(rpt))["contaminated_reads"] == fixtures["n_contam"]
