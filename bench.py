@@ -94,6 +94,15 @@ def throughput_job(spark, n_pages: int) -> dict:
 def run_queries(spark) -> dict[str, float]:
     import __spark_entry__ as e
 
+    # warm the session before timing: fork the Python workers and JIT
+    # the parquet-scan path once, so the first query in the dict is
+    # not charged ~5 s of process startup (the BENCH.md protocol
+    # measures steady state; cold-start cost is reported by the
+    # scaling runs' fresh-JVM trials instead)
+    warm = spark.read.parquet(f"{SF_DIR}/documents.parquet") \
+        .select("doc_id")
+    warm.mapInPandas(lambda it: it, schema="doc_id long").count()
+
     timings: dict[str, float] = {}
     for name, fn in e.queries().items():
         t0 = time.perf_counter()
