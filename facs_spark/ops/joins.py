@@ -1,0 +1,99 @@
+"""Sketch-accelerated join strategies.
+
+``bloom_prejoin`` is the classic distributed "Bloom join" — the
+natural join-side application of the engine's core membership sketch
+(the same broadcast-Bloom semi-join that powers classification,
+``ops/contamination.py``, pointed at a shuffle join): build a Bloom
+filter over the build side's join keys, broadcast it, and drop
+probe-side rows map-side BEFORE the shuffle, so the exchange carries
+only rows that probably match.  False positives merely ride the
+shuffle and are eliminated by the exact join that follows — the
+result is bit-identical to the plain join (oracle-checked, q34),
+while shuffle volume drops by roughly the join selectivity.
+
+At 100 TB this is the difference between shuffling the full fact
+table and shuffling the ~matching slice: a 1e9-key build side at
+e=1% is a ~1.4 GB filter (banked broadcast), and a probe-side scan
+that keeps 1% of rows cuts the exchange 100×.  Spark's own runtime
+row-group filters cover simple cases; this operator makes the
+pruning explicit, sketch-parameterized, and usable when the build
+side is itself a computed DataFrame.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import DataFrame
+
+from ..session import ensure_parallelism, ensure_shipped
+from .sketch_agg import SketchSpec, build_sketch
+
+_PRUNABLE = ("inner", "left_semi", "leftsemi", "semi")
+
+
+def bloom_key_filter(df: DataFrame, key: str, blob: bytes | list,
+                     spark=None) -> DataFrame:
+    """Filter ``df`` to rows whose ``key`` is (probably) in the Bloom
+    filter ``blob`` — the map-side half of ``bloom_prejoin``, exposed
+    for pipelines that reuse one filter across several scans."""
+    spark = spark or df.sparkSession
+    ensure_shipped(spark)
+    bc = spark.sparkContext.broadcast(blob)
+    schema = df.schema
+
+    def kernel(iterator):
+        from facs_spark.sketch import BloomFilter
+        from facs_spark.sketch.hashing import (ascii_lower,
+                                               int64_key_matrix,
+                                               length_group_matrices)
+        b = bc.value
+        bf = (BloomFilter.from_banks([bytes(x) for x in b])
+              if isinstance(b, list) else BloomFilter.from_bytes(bytes(b)))
+        for batch in iterator:
+            vals = batch[key].to_numpy()
+            if vals.dtype.kind in "iuf":
+                mask = bf.contains_batch(
+                    int64_key_matrix(vals.astype(np.int64)))
+            else:
+                mask = np.zeros(len(batch), dtype=bool)
+                enc = [ascii_lower(("" if v is None else str(v))
+                                   .encode("utf-8")) for v in vals]
+                for idx, mat in length_group_matrices(enc):
+                    mask[idx] = bf.contains_batch(mat)
+            yield batch[mask]
+
+    return ensure_parallelism(df).mapInPandas(kernel, schema=schema)
+
+
+def bloom_prejoin(probe: DataFrame, build: DataFrame, key: str,
+                  how: str = "inner", error_rate: float = 0.01,
+                  n_keys: int | None = None) -> DataFrame:
+    """Equi-join with a Bloom runtime filter: ``probe ⋈ build`` on
+    ``key``, where probe-side rows are pruned map-side by a Bloom
+    filter of the build side's keys before any shuffle.
+
+    Exactness: pruned rows have no join partner (zero false
+    negatives), and false positives are removed by the exact join —
+    the output equals ``probe.join(build, key, how)`` row for row.
+    Only ``inner`` and ``left_semi`` are accepted: an outer join must
+    keep unmatched probe rows, which pruning would drop.
+
+    ``n_keys``: optional build-side cardinality hint for filter
+    sizing (skips a count job; an upper bound is fine — oversizing
+    only lowers the FPR).
+    """
+    if how not in _PRUNABLE:
+        raise ValueError(
+            f"bloom_prejoin only supports {_PRUNABLE}, got {how!r}: "
+            "outer joins must keep unmatched probe rows")
+    if n_keys is None:
+        n_keys = build.count()
+    spec = SketchSpec.make("bloom", key, prep="raw",
+                           capacity=max(n_keys, 1), error_rate=error_rate)
+    bloom, _rows = build_sketch(build.select(key), spec)
+    if bloom is None:
+        bloom = spec.new_sketch()
+    blob = bloom.to_bytes()
+    banked = bloom.split_banks(1 << 30) if len(blob) > (1 << 30) else blob
+    pruned = bloom_key_filter(probe, key, banked)
+    return pruned.join(build, key, how)

@@ -1123,6 +1123,43 @@ ORDER BY o_orderpriority
 
 
 # =====================================================================
+# q34 — Bloom runtime-filter join (the classic distributed "Bloom
+# join"): the engine's membership sketch pointed at a shuffle join —
+# probe-side rows are dropped map-side before the exchange, and the
+# exact join removes the FPR stragglers, so the result is
+# bit-identical to the plain join (which is the oracle).  A selective
+# build side (one brand ≈ 4% of parts) makes the pruning material.
+# =====================================================================
+def q34_bloom_prejoin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .ops.joins import bloom_prejoin
+    li = (_read(spark, sf_dir, "lineitem")
+          .select(F.col("l_partkey").alias("p_partkey"),
+                  "l_quantity", "l_extendedprice"))
+    part = (_read(spark, sf_dir, "part")
+            .filter(F.col("p_brand") == "Brand#23")
+            .select("p_partkey", "p_brand"))
+    joined = bloom_prejoin(li, part, "p_partkey", how="inner",
+                           error_rate=1e-6)
+    return (joined.groupBy("p_brand")
+            .agg(F.count(F.lit(1)).alias("n_items"),
+                 F.sum("l_quantity").cast("long").alias("sum_qty"),
+                 F.sum(F.round(F.col("l_extendedprice") * 100)
+                       .cast("long")).alias("sum_price_cents"))
+            .orderBy("p_brand"))
+
+
+Q34_SQL = """
+SELECT p.p_brand, COUNT(*) AS n_items,
+       CAST(SUM(l.l_quantity) AS BIGINT) AS sum_qty,
+       CAST(SUM(CAST(ROUND(l.l_extendedprice * 100) AS BIGINT))
+            AS BIGINT) AS sum_price_cents
+FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+WHERE p.p_brand = 'Brand#23'
+GROUP BY p.p_brand ORDER BY p.p_brand
+"""
+
+
+# =====================================================================
 # q32/q33 — embedding near-dup pairs (multi-table LSH + exact verify)
 # and IVF retrieval, both with exactly-predictable oracles: the
 # natural embeddings table holds NO pairs above cosine 0.8 (max
@@ -1227,6 +1264,7 @@ def queries():
         "q31_priority_semijoin": q31_priority_semijoin,
         "q32_cosine_neardup": q32_cosine_neardup,
         "q33_ann_ivf": q33_ann_ivf,
+        "q34_bloom_prejoin": q34_bloom_prejoin,
     }
 
 
@@ -1273,6 +1311,7 @@ def oracle_sql():
         "q31_priority_semijoin": Q31_SQL,
         "q32_cosine_neardup": Q32_SQL,
         "q33_ann_ivf": Q33_SQL,
+        "q34_bloom_prejoin": Q34_SQL,
     }
 
 

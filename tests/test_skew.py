@@ -49,3 +49,51 @@ def test_with_salt_range(spark):
     salts = with_salt(docs, "lang", 8).select("_salt").distinct().collect()
     vals = {r["_salt"] for r in salts}
     assert vals <= set(range(8)) and len(vals) > 1
+
+
+def test_bloom_prejoin_equals_plain_join(spark):
+    """The Bloom runtime-filter join must return exactly the plain
+    join (FPR stragglers removed by the exact join; zero false
+    negatives by Bloom construction), while the map-side filter
+    actually prunes: with a selective build side the pruned probe
+    carries a fraction of the rows into the shuffle."""
+    import pandas as pd
+
+    from facs_spark.ops.joins import bloom_key_filter, bloom_prejoin
+    from facs_spark.ops.sketch_agg import SketchSpec, build_sketch
+    probe = spark.createDataFrame(pd.DataFrame({
+        "k": [i % 100 for i in range(5000)],
+        "v": list(range(5000))}))
+    build = spark.createDataFrame(pd.DataFrame({
+        "k": [3, 7, 11, 13], "name": ["a", "b", "c", "d"]}))
+    got = bloom_prejoin(probe, build, "k", error_rate=1e-6)
+    want = probe.join(build, "k")
+    assert sorted(map(tuple, got.collect())) == \
+        sorted(map(tuple, want.collect()))
+    # the map-side filter is selective (4 of 100 keys ⇒ ~4% survives)
+    bloom, _ = build_sketch(build.select("k"), SketchSpec.make(
+        "bloom", "k", prep="raw", capacity=4, error_rate=1e-6))
+    pruned = bloom_key_filter(probe, "k", bloom.to_bytes()).count()
+    assert pruned == 200, pruned  # 4 keys × 50 rows each, no FPs here
+    # outer joins must be rejected: pruning would drop unmatched rows
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="outer joins"):
+        bloom_prejoin(probe, build, "k", how="left")
+
+
+def test_bloom_prejoin_string_keys(spark):
+    """String join keys go through the lowercased length-grouped
+    byte-matrix path on BOTH build and probe sides (same prep ⇒ zero
+    false negatives)."""
+    import pandas as pd
+
+    from facs_spark.ops.joins import bloom_prejoin
+    probe = spark.createDataFrame(pd.DataFrame({
+        "k": [f"key{i % 50}" for i in range(2000)],
+        "v": list(range(2000))}))
+    build = spark.createDataFrame(pd.DataFrame({
+        "k": ["key3", "key17", "KEY17x"], "name": ["x", "y", "z"]}))
+    got = bloom_prejoin(probe, build, "k", error_rate=1e-6)
+    want = probe.join(build, "k")
+    assert sorted(map(tuple, got.collect())) == \
+        sorted(map(tuple, want.collect()))

@@ -173,3 +173,42 @@ def test_run_pipeline_job(spark, tmp_path):
               if l.startswith("{")]
     assert lines2[-1]["sketch"]["inserts"] == lines[-1]["sketch"]["inserts"]
     assert lines2[-1]["lineage"]["partials"] == lines[-1]["lineage"]["partials"]
+
+
+def test_grouped_agg_sketch_udaf(spark, docs):
+    """The literal GROUPED_AGG pandas-UDAF surface: one sketch blob
+    per group via groupBy().agg(...) and via pure SQL, producing
+    identical sketch STATE to the map-side-partial path for the same
+    input (merge associativity made visible at the API level)."""
+    import numpy as np
+
+    from facs_spark.functions import register_sql_functions, sketch_agg_udf
+    from facs_spark.ops.sketch_agg import SketchSpec, grouped_sketches
+    from facs_spark.sketch import sketch_from_bytes
+    spec = SketchSpec.make("hll", "doc_id", p=14)
+    udaf = sketch_agg_udf(spec)
+    via_udaf = {r["lang"]: bytes(r["blob"]) for r in
+                docs.groupBy("lang").agg(udaf("doc_id").alias("blob"))
+                .collect()}
+    via_partials = {r["lang"]: bytes(r["sketch"]) for r in
+                    grouped_sketches(docs, ["lang"], spec).collect()}
+    assert set(via_udaf) == set(via_partials)
+    for lang in via_udaf:
+        a = sketch_from_bytes(via_udaf[lang])
+        b = sketch_from_bytes(via_partials[lang])
+        assert (np.asarray(a.registers) == np.asarray(b.registers)).all()
+    # pure SQL end-to-end: build AND consume with registered functions
+    register_sql_functions(spark)
+    docs.createOrReplaceTempView("docs_udaf")
+    # (grouped-agg pandas UDFs can't share an Aggregate with built-in
+    # aggregates — Spark INVALID_PANDAS_UDF_PLACEMENT — so the exact
+    # side runs separately)
+    est = {r["lang"]: r["est"] for r in spark.sql(
+        "SELECT lang, hll_estimate(hll_agg(doc_id)) AS est "
+        "FROM docs_udaf GROUP BY lang").collect()}
+    exact = {r["lang"]: r["exact"] for r in spark.sql(
+        "SELECT lang, COUNT(DISTINCT doc_id) AS exact "
+        "FROM docs_udaf GROUP BY lang").collect()}
+    assert est and set(est) == set(exact)
+    for lang in est:
+        assert abs(est[lang] - exact[lang]) <= 0.05 * exact[lang] + 2
