@@ -1227,6 +1227,58 @@ FROM embeddings WHERE vec_id < {N_TWINS} ORDER BY query_id
 
 
 # =====================================================================
+# q35/q36 — corpus-curation sampling (ops/sampling.py): per-group cap
+# with seeded-hash selection, and the seeded deterministic global
+# shuffle.  Both are reproducible by construction (selection/order is
+# md5(seed||id)), so the DuckDB oracle replays the EXACT same choice
+# — the strongest possible check for a sampling operator.
+# =====================================================================
+CAP_PER_LANG = 30
+SHUFFLE_HEAD = 20
+
+
+def q35_cap_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .ops.sampling import cap_per_group
+    docs = _read(spark, sf_dir, "documents")
+    capped = cap_per_group(docs, "lang", "doc_id", cap=CAP_PER_LANG, seed=0)
+    return capped.select("lang", "doc_id").orderBy("lang", "doc_id")
+
+
+Q35_SQL = f"""
+SELECT lang, doc_id FROM (
+  SELECT lang, doc_id,
+         ROW_NUMBER() OVER (
+           PARTITION BY lang
+           ORDER BY md5('0:' || CAST(doc_id AS VARCHAR)), doc_id) AS rk
+  FROM documents) t
+WHERE rk <= {CAP_PER_LANG}
+ORDER BY lang, doc_id
+"""
+
+
+def q36_deterministic_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .ops.sampling import deterministic_shuffle
+    docs = _read(spark, sf_dir, "documents")
+    # the head of the permutation proves the order (the driver compare
+    # is order-insensitive, so "the same 20 rows are first" is the
+    # order check); the md5 key is emitted so a mismatch is debuggable
+    return (deterministic_shuffle(docs, "doc_id", seed=7)
+            .select("doc_id",
+                    F.md5(F.concat(F.lit("7:"),
+                                   F.col("doc_id").cast("string")))
+                    .alias("order_key"))
+            .limit(SHUFFLE_HEAD))
+
+
+Q36_SQL = f"""
+SELECT doc_id, md5('7:' || CAST(doc_id AS VARCHAR)) AS order_key
+FROM documents
+ORDER BY order_key, doc_id
+LIMIT {SHUFFLE_HEAD}
+"""
+
+
+# =====================================================================
 # registry
 # =====================================================================
 def queries():
@@ -1265,6 +1317,8 @@ def queries():
         "q32_cosine_neardup": q32_cosine_neardup,
         "q33_ann_ivf": q33_ann_ivf,
         "q34_bloom_prejoin": q34_bloom_prejoin,
+        "q35_cap_per_group": q35_cap_per_group,
+        "q36_deterministic_shuffle": q36_deterministic_shuffle,
     }
 
 
@@ -1312,6 +1366,8 @@ def oracle_sql():
         "q32_cosine_neardup": Q32_SQL,
         "q33_ann_ivf": Q33_SQL,
         "q34_bloom_prejoin": Q34_SQL,
+        "q35_cap_per_group": Q35_SQL,
+        "q36_deterministic_shuffle": Q36_SQL,
     }
 
 

@@ -563,3 +563,43 @@ def test_clean_corpus_capstone(spark, docs):
     n_clean = cleaned.count()
     assert n_clean == s["n_after_contamination"] > 0
     assert set(cleaned.columns) == set(docs.columns)
+
+
+def test_cap_per_group_sampling(spark, docs):
+    """Per-source caps: ≤cap rows per group, small groups pass whole,
+    and the selection is a pure function of (seed, id) — identical
+    across partitionings (the reproducibility contract)."""
+    from facs_spark.ops.sampling import cap_per_group
+    capped = cap_per_group(docs, "lang", "doc_id", cap=7, seed=3)
+    sizes = {r["lang"]: r["n"] for r in
+             capped.groupBy("lang").agg(F.count(F.lit(1)).alias("n"))
+             .collect()}
+    orig = {r["lang"]: r["n"] for r in
+            docs.groupBy("lang").agg(F.count(F.lit(1)).alias("n"))
+            .collect()}
+    for lang, n in sizes.items():
+        assert n == min(7, orig[lang])
+    a = {(r["lang"], r["doc_id"]) for r in capped.collect()}
+    b = {(r["lang"], r["doc_id"]) for r in
+         cap_per_group(docs.repartition(13), "lang", "doc_id",
+                       cap=7, seed=3).collect()}
+    assert a == b, "selection must not depend on partitioning"
+    c = {(r["lang"], r["doc_id"]) for r in
+         cap_per_group(docs, "lang", "doc_id", cap=7, seed=4).collect()}
+    assert a != c, "a different seed must pick a different sample"
+
+
+def test_deterministic_shuffle_stable(spark, docs):
+    """The seeded permutation is identical across reruns and
+    partitionings, and different per seed."""
+    from facs_spark.ops.sampling import deterministic_shuffle
+    o1 = [r["doc_id"] for r in
+          deterministic_shuffle(docs, "doc_id", seed=1).collect()]
+    o2 = [r["doc_id"] for r in
+          deterministic_shuffle(docs.repartition(17), "doc_id",
+                                seed=1).collect()]
+    o3 = [r["doc_id"] for r in
+          deterministic_shuffle(docs, "doc_id", seed=2).collect()]
+    assert o1 == o2
+    assert o1 != o3
+    assert sorted(o1) == sorted(o3)
