@@ -7,6 +7,7 @@ pipeline, chaining every operator family in the engine.
       → exact dedup on text digest                 [dedup]
       → near-dup drop (MinHash→verify→cluster)     [dedup]
       → contamination screen vs reference corpus   [contamination]
+      → per-source cap (optional)                  [sampling]
       → cleaned pages + a one-row stats report
 
 Everything stays DataFrame-lazy until the two actions (near-dup pair
@@ -33,7 +34,10 @@ def clean_corpus(docs: DataFrame, ref_corpus: DataFrame,
                  neardup_threshold: float = 0.8,
                  contamination_tole: float = 0.4,
                  k: int = 15,
-                 error_rate: float = 1e-6) -> tuple[DataFrame, DataFrame]:
+                 error_rate: float = 1e-6,
+                 cap_col: str | None = None,
+                 cap: int | None = None,
+                 cap_seed: int = 0) -> tuple[DataFrame, DataFrame]:
     """Returns (cleaned_docs, stats_row).
 
     ``stats_row``: one-row DataFrame with counts surviving each stage
@@ -82,6 +86,14 @@ def clean_corpus(docs: DataFrame, ref_corpus: DataFrame,
                .select(*docs.columns).cache())
     n_clean = cleaned.count()
 
+    # optional per-source/lang rebalancing cap (seeded, reproducible)
+    n_capped = n_clean
+    if cap_col is not None and cap is not None:
+        from .sampling import cap_per_group
+        cleaned = cap_per_group(cleaned, cap_col, id_col, cap,
+                                seed=cap_seed).cache()
+        n_capped = cleaned.count()
+
     import pandas as pd
     stats = spark.createDataFrame(pd.DataFrame([{
         "n_input": n_input,
@@ -89,10 +101,12 @@ def clean_corpus(docs: DataFrame, ref_corpus: DataFrame,
         "n_after_exact_dedup": n_exact,
         "n_after_neardup": n_neardup,
         "n_after_contamination": n_clean,
+        "n_after_cap": n_capped,
         "dropped_quality": n_input - n_quality,
         "dropped_exact_dup": n_quality - n_exact,
         "dropped_neardup": n_exact - n_neardup,
         "dropped_contaminated": n_neardup - n_clean,
+        "dropped_capped": n_clean - n_capped,
     }]))
     good.unpersist()
     exact.unpersist()

@@ -563,6 +563,17 @@ def test_clean_corpus_capstone(spark, docs):
     n_clean = cleaned.count()
     assert n_clean == s["n_after_contamination"] > 0
     assert set(cleaned.columns) == set(docs.columns)
+    # with the optional per-lang cap stage, the funnel extends and the
+    # per-group ceiling holds on the survivors
+    capped, stats2 = clean_corpus(
+        docs, ref, min_quality=0.3, neardup_threshold=0.8,
+        contamination_tole=0.4, cap_col="lang", cap=10)
+    s2 = stats2.collect()[0]
+    assert s2["n_after_cap"] <= s2["n_after_contamination"]
+    assert s2["dropped_capped"] == s2["n_after_contamination"] - s2["n_after_cap"]
+    per_lang = capped.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n")).collect()
+    assert per_lang and all(r["n"] <= 10 for r in per_lang)
 
 
 def test_cap_per_group_sampling(spark, docs):

@@ -181,3 +181,24 @@ def test_simhash_candidates_window_cap_plan(spark):
         assert k.startswith(("blk#", "id_a#")), f"unexpected shuffle key {k}"
     # the only aggregate is the final pair-distinct (partial+final)
     assert _n_nodes(plan, r"\w*HashAggregate") == 2
+
+
+def test_bloom_prejoin_filter_is_map_side(spark):
+    """The Bloom runtime-filter half of bloom_prejoin must add NO
+    exchange: pruning happens in the map stage over the scan, so the
+    join's shuffle sees only surviving rows.  (The input here is
+    pre-repartitioned so ensure_parallelism's small-local-input
+    repartition — a no-op at cluster scale — doesn't appear.)"""
+    from facs_spark.ops.joins import bloom_key_filter
+    from facs_spark.ops.sketch_agg import SketchSpec, build_sketch
+    import pandas as pd
+    li = (spark.read.parquet(f"{SF}/lineitem.parquet")
+          .select(F.col("l_partkey").alias("k"), "l_quantity")
+          .repartition(8))
+    build = spark.createDataFrame(pd.DataFrame({"k": [3, 7, 11]}))
+    bloom, _ = build_sketch(build, SketchSpec.make(
+        "bloom", "k", prep="raw", capacity=3, error_rate=1e-6))
+    plan = _formatted(bloom_key_filter(li, "k", bloom.to_bytes()))
+    # exactly the one repartition we created — the filter adds none
+    assert _n_nodes(plan, "Exchange") == 1
+    assert _n_nodes(plan, "MapInPandas") == 1
