@@ -263,10 +263,12 @@ def write_fastx(df: DataFrame, path: str, fmt: str = "fastq",
         return
     import re
     import shutil
-    # any URI scheme (hdfs:, s3a:, wasbs:, viewfs:, oss:, file:, ...)
-    # means "not a plain local path" — a hardcoded prefix list would
-    # let unknown schemes fall through to a confusing open() error
-    if re.match(r"^[A-Za-z][A-Za-z0-9+.-]*:", path):
+    # any "scheme://" URI (hdfs://, s3a://, wasbs://, oss://, ...)
+    # plus the slash-optional "file:" form means "not a plain local
+    # path" — generic, unlike a hardcoded prefix list, but requiring
+    # the // keeps legitimate colon-bearing local filenames working
+    # (samtools-region names like "chr1:100-200_clean.fastq")
+    if re.match(r"^([A-Za-z][A-Za-z0-9+.-]*://|file:)", path):
         raise ValueError(
             "single_file=True renames via the local filesystem; use the "
             "directory sink (single_file=False) for remote paths")

@@ -399,7 +399,7 @@ def _simhash_block_tables(fp: DataFrame, id_col: str,
 
 
 def simhash_near_pairs(fp: DataFrame, id_col: str, max_hamming: int = 6,
-                       max_bucket: int = 200) -> DataFrame:
+                       max_bucket: int | None = 200) -> DataFrame:
     """Pairs within a Hamming ball via multi-table 16-bit-key LSH.
 
     Bucket on (table, 16-bit key) per ``_simhash_block_tables``
@@ -420,6 +420,9 @@ def simhash_near_pairs(fp: DataFrame, id_col: str, max_hamming: int = 6,
 
     Near-identical documents (Jaccard ≈ 0.97-0.99 on 2-gram shingles)
     land at Hamming 2-6 empirically, hence the ≤6 default.
+    ``max_bucket=None`` disables the cap entirely — full quadratic
+    in-cell pairing, i.e. exactly the pigeonhole-guaranteed all-pairs
+    semantics (what an exact brute-force oracle expects).
     """
     from pyspark.sql.window import Window
     blocks = _simhash_block_tables(fp, id_col, max_hamming)
@@ -430,21 +433,24 @@ def simhash_near_pairs(fp: DataFrame, id_col: str, max_hamming: int = 6,
                  F.col(id_col).alias("i"),
                  F.col("simhash").alias("s"))).over(w))
              .filter(F.col("n") >= 2))
-    normal = cells.filter(F.col("n") <= max_bucket)
+    normal = cells if max_bucket is None \
+        else cells.filter(F.col("n") <= max_bucket)
     left = normal.select(F.col(id_col).alias("id_a"),
                          F.col("simhash").alias("sim_a"), "blk", "val")
     right = normal.select(F.col(id_col).alias("id_b"),
                           F.col("simhash").alias("sim_b"), "blk", "val")
-    quad = (left.join(right, ["blk", "val"])
-            .filter(F.col("id_a") < F.col("id_b"))
-            .select("id_a", "id_b", "sim_a", "sim_b"))
-    rep = (cells.filter((F.col("n") > max_bucket)
-                        & (F.col(id_col) != F.col("rep.i")))
-           .select(F.col("rep.i").alias("id_a"),
-                   F.col("rep.s").alias("sim_a"),
-                   F.col(id_col).alias("id_b"),
-                   F.col("simhash").alias("sim_b")))
-    pairs = quad.unionByName(rep).distinct()
+    pairs = (left.join(right, ["blk", "val"])
+             .filter(F.col("id_a") < F.col("id_b"))
+             .select("id_a", "id_b", "sim_a", "sim_b"))
+    if max_bucket is not None:
+        rep = (cells.filter((F.col("n") > max_bucket)
+                            & (F.col(id_col) != F.col("rep.i")))
+               .select(F.col("rep.i").alias("id_a"),
+                       F.col("rep.s").alias("sim_a"),
+                       F.col(id_col).alias("id_b"),
+                       F.col("simhash").alias("sim_b")))
+        pairs = pairs.unionByName(rep)
+    pairs = pairs.distinct()
     dist = F.bit_count(F.col("sim_a").bitwiseXOR(F.col("sim_b")))
     return (pairs.withColumn("hamming", dist)
             .filter(F.col("hamming") <= max_hamming)

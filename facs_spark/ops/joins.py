@@ -43,23 +43,17 @@ def bloom_key_filter(df: DataFrame, key: str, blob: bytes | list,
 
     def kernel(iterator):
         from facs_spark.sketch import BloomFilter
-        from facs_spark.sketch.hashing import (ascii_lower,
-                                               int64_key_matrix,
-                                               length_group_matrices)
+        from facs_spark.sketch.hashing import raw_key_matrices
         b = bc.value
         bf = (BloomFilter.from_banks([bytes(x) for x in b])
               if isinstance(b, list) else BloomFilter.from_bytes(bytes(b)))
         for batch in iterator:
-            vals = batch[key].to_numpy()
-            if vals.dtype.kind in "iuf":
-                mask = bf.contains_batch(
-                    int64_key_matrix(vals.astype(np.int64)))
-            else:
-                mask = np.zeros(len(batch), dtype=bool)
-                enc = [ascii_lower(("" if v is None else str(v))
-                                   .encode("utf-8")) for v in vals]
-                for idx, mat in length_group_matrices(enc):
-                    mask[idx] = bf.contains_batch(mat)
+            # probe through the SAME encoding as the build side
+            # (raw_key_matrices) — a divergent copy here would prune
+            # rows with real join partners
+            mask = np.zeros(len(batch), dtype=bool)
+            for idx, mat in raw_key_matrices(batch[key]):
+                mask[idx] = bf.contains_batch(mat)
             yield batch[mask]
 
     return ensure_parallelism(df).mapInPandas(kernel, schema=schema)

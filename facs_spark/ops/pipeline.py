@@ -90,9 +90,11 @@ def clean_corpus(docs: DataFrame, ref_corpus: DataFrame,
     n_capped = n_clean
     if cap_col is not None and cap is not None:
         from .sampling import cap_per_group
+        pre_cap = cleaned
         cleaned = cap_per_group(cleaned, cap_col, id_col, cap,
                                 seed=cap_seed).cache()
         n_capped = cleaned.count()
+        pre_cap.unpersist()
 
     import pandas as pd
     stats = spark.createDataFrame(pd.DataFrame([{
@@ -108,6 +110,9 @@ def clean_corpus(docs: DataFrame, ref_corpus: DataFrame,
         "dropped_contaminated": n_neardup - n_clean,
         "dropped_capped": n_clean - n_capped,
     }]))
+    # every intermediate cache is released; only the returned frame
+    # (already counted, so fully materialized) stays cached
     good.unpersist()
     exact.unpersist()
+    deduped.unpersist()
     return cleaned, stats

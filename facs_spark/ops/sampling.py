@@ -34,10 +34,16 @@ def _order_key(id_col: str, seed: int):
 
     md5 (not xxhash/spark hash) so an external system — including the
     DuckDB oracle — can reproduce the exact selection: both engines
-    hash the same string to the same hex digest.
+    hash the same string to the same hex digest.  Null ids coalesce
+    to a sentinel BEFORE hashing: a null key would sort NULLS FIRST
+    in Spark but NULLS LAST in DuckDB (breaking the identical-
+    selection contract) and would make all null-id rows an
+    arbitrary-order tie.  Replicate in external SQL as
+    ``md5('<seed>:' || COALESCE(CAST(id AS VARCHAR), chr(0)))``.
     """
     return F.md5(F.concat(F.lit(str(seed) + ":"),
-                          F.col(id_col).cast("string")))
+                          F.coalesce(F.col(id_col).cast("string"),
+                                     F.lit("\x00"))))
 
 
 def cap_per_group(df: DataFrame, group_col: str, id_col: str,

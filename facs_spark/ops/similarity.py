@@ -427,6 +427,20 @@ def ivf_topk(df: DataFrame, id_col: str, vec_col: str, k: int = 10,
     frac = min(1.0, 1.5 * sample / max(n_rows, 1))
     drawn = [r[vec_col] for r in
              df.select(vec_col).sample(fraction=frac, seed=seed).collect()]
+    if len(drawn) < max(8, n_cells // 8):
+        # an overestimated n_rows hint (upper bounds are legal for
+        # the sibling ops) can make frac vanishingly small — fall
+        # back to a full-scan draw rather than crashing on an empty
+        # centroid set or silently degrading to a handful of cells
+        import warnings
+        warnings.warn(
+            f"ivf_topk: Bernoulli draw returned {len(drawn)} vectors "
+            f"for sample={sample} (n_rows hint too high?); falling "
+            f"back to limit({sample})", RuntimeWarning, stacklevel=2)
+        drawn = [r[vec_col] for r in
+                 df.select(vec_col).limit(sample).collect()]
+        if not drawn:
+            raise ValueError("ivf_topk: input has no rows")
     if len(drawn) > sample:
         pick = np.random.default_rng(seed).choice(
             len(drawn), size=sample, replace=False)

@@ -124,18 +124,12 @@ class SketchSpec:
             else:
                 sketch.update_batch(toks)
         elif self.kind == "bloom":
-            # raw keys into a Bloom: int64s become 8-byte keys,
-            # strings are lowercased + length-grouped byte matrices
-            from ..sketch.hashing import (ascii_lower, int64_key_matrix,
-                                          length_group_matrices)
-            vals = series.to_numpy()
-            if vals.dtype.kind in "iuf":
-                sketch.add_batch(int64_key_matrix(vals.astype(np.int64)))
-            else:
-                enc = [ascii_lower(("" if v is None else str(v))
-                                   .encode("utf-8")) for v in series]
-                for _idx, mat in length_group_matrices(enc):
-                    sketch.add_batch(mat)
+            # raw keys into a Bloom: the ONE shared build/probe
+            # encoding (int64 8-byte keys; lowercased length-grouped
+            # string matrices) — see raw_key_matrices
+            from ..sketch.hashing import raw_key_matrices
+            for _idx, mat in raw_key_matrices(series):
+                sketch.add_batch(mat)
         elif self.kind in ("tdigest", "kll"):
             sketch.update_batch(series.to_numpy(dtype=np.float64, na_value=np.nan))
         else:

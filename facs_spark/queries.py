@@ -428,10 +428,15 @@ Q10_SQL = (f"WITH {_JACCARD_SQL_CORE} "
 
 def _q11_fp_path() -> str:
     """Materialized-fingerprint handoff path shared by the q11 Spark
-    query and its DuckDB oracle (same process ⇒ same tempdir)."""
+    query and its DuckDB oracle (same process ⇒ same tempdir and same
+    pid).  Pid-keyed so concurrent drivers/benches on a shared host
+    never read each other's fingerprints, and a process that skipped
+    running q11 fails loudly (missing file) instead of silently
+    comparing against a stale prior session's dump."""
     import os
     import tempfile
-    return os.path.join(tempfile.gettempdir(), "facs_spark_q11_fp.parquet")
+    return os.path.join(tempfile.gettempdir(),
+                        f"facs_spark_q11_fp_{os.getpid()}.parquet")
 
 
 def q11_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -442,15 +447,20 @@ def q11_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     DuckDB oracle recomputes the SAME answer as brute-force
     ``bit_count(xor(a,b)) <= 3`` over every pair from that parquet.
     What the comparison proves: the multi-table pigeonhole bucketing,
-    per-cell skew cap, self-join, and Hamming verify lose no pair and
-    invent none vs the quadratic ground truth."""
+    self-join, and Hamming verify lose no pair and invent none vs the
+    quadratic ground truth.  ``max_bucket=None``: the oracle is exact
+    all-pairs, so the query runs the UNCAPPED exact semantics (the
+    skew cap with its rep-pair contract stays the pipeline default —
+    a >cap cell would legitimately elide non-rep pairs and mismatch
+    a brute-force oracle by design)."""
     from .ops.dedup import simhash_fingerprints, simhash_near_pairs
     docs = _read(spark, sf_dir, "documents")
     fp_path = _q11_fp_path()
     (simhash_fingerprints(docs, "doc_id", "text", shingle_n=2)
      .write.mode("overwrite").parquet(fp_path))
     fp = spark.read.parquet(fp_path)
-    return (simhash_near_pairs(fp, "doc_id", max_hamming=3)
+    return (simhash_near_pairs(fp, "doc_id", max_hamming=3,
+                               max_bucket=None)
             .withColumn("hamming", F.col("hamming").cast("int"))
             .orderBy("id_a", "id_b"))
 
@@ -720,15 +730,18 @@ ORDER BY user_id, rk
 # =====================================================================
 # q21 — ANN scale path (LSH buckets), oracle-checked via per-query
 # recall vs the exact baseline (the q05-q08 within_bound pattern):
-# every vector queries itself through the bucketed ANN, the exact
-# self-excluded top-5 is computed with the brute-force kernel, and
-# the emitted boolean gates hits ≥ 2 of 5 per query (observed minimum
-# is 3 at every sf; the mean ≥ 0.95 gate lives in pytest).  The exact
-# baseline collects the (bounded, evaluation-only) query matrix
-# driver-side; the ANN path under test stays fully distributed.
+# the bucketed ANN runs over the FULL table (the path under test);
+# recall is evaluated on a fixed deterministic query subset
+# (vec_id < ANN_EVAL_QUERIES), whose exact self-excluded top-5 comes
+# from the brute-force kernel — the driver-side collect and the
+# exact-verification cost stay CONSTANT as the table scales, so the
+# per-query timing tracks the ANN path, not the evaluator.  The
+# emitted boolean gates hits ≥ 2 of 5 per query (observed minimum is
+# 3 at every sf; the mean ≥ 0.95 gate lives in pytest).
 # =====================================================================
 ANN_K = 5
 ANN_MIN_HITS = 2
+ANN_EVAL_QUERIES = 200
 
 
 def q21_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -742,8 +755,10 @@ def q21_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     # bits=None → resolution derived from the row count (expected
     # bucket ≈ target_bucket rows at any scale)
     ann = (lsh_bucket_topk(emb, "vec_id", "embedding", k=ANN_K, n_rows=n)
-           .select("query_id", "neighbor_id"))
-    rows = emb.select("vec_id", "embedding").collect()
+           .select("query_id", "neighbor_id")
+           .filter(F.col("query_id") < ANN_EVAL_QUERIES))
+    rows = (emb.filter(F.col("vec_id") < ANN_EVAL_QUERIES)
+            .select("vec_id", "embedding").collect())
     qids = np.array([r["vec_id"] for r in rows])
     qvecs = np.array([r["embedding"] for r in rows], dtype=np.float64)
     exact = (brute_force_topk(emb, qvecs, qids, "vec_id", "embedding",
@@ -762,9 +777,9 @@ def q21_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
             .orderBy("query_id"))
 
 
-Q21_SQL = """
+Q21_SQL = f"""
 SELECT vec_id AS query_id, TRUE AS within_bound
-FROM embeddings ORDER BY query_id
+FROM embeddings WHERE vec_id < {ANN_EVAL_QUERIES} ORDER BY query_id
 """
 
 

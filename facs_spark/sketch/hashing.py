@@ -218,6 +218,27 @@ def length_group_matrices(values):
             yield idx, buf.reshape(len(idx), int(length))
 
 
+def raw_key_matrices(values):
+    """(indices, (n, L) uint8 matrix) pairs for a raw key column —
+    THE single build/probe encoding for raw Bloom keys, shared by the
+    sketch builder (``SketchSpec.update``) and every prober
+    (``ops/joins.bloom_key_filter``): int64-kind columns become
+    8-byte little-endian keys, strings become ascii-lowercased
+    length-grouped byte matrices.  Build and probe MUST go through
+    this one function — independent copies that drift would turn
+    Bloom's zero-false-negative guarantee into silent row loss.
+    """
+    vals = values.to_numpy() if hasattr(values, "to_numpy") \
+        else np.asarray(values)
+    if vals.dtype.kind in "iuf":
+        yield (np.arange(len(vals)),
+               int64_key_matrix(vals.astype(np.int64)))
+    else:
+        enc = [ascii_lower(("" if v is None else str(v)).encode("utf-8"))
+               for v in vals]
+        yield from length_group_matrices(enc)
+
+
 def hash_bytes_batch(values, seed: int) -> np.ndarray:
     """Vectorized hash of variable-length byte strings.
 

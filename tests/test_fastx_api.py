@@ -327,3 +327,18 @@ def test_cli_remove_stream(spark, fixtures, capsys, tmp_path):
     assert len(out_lines) % 4 == 0 and out_lines, "stdout must be pure FASTQ"
     assert all(l[1:].startswith("clean") for l in out_lines[::4])
     assert json.load(open(rpt))["contaminated_reads"] == fixtures["n_contam"]
+
+
+def test_single_file_uri_guard(spark, fixtures, tmp_path):
+    """Remote URIs (any scheme://, plus file:) are rejected with a
+    clear error for the local single-file sink; local filenames that
+    merely CONTAIN a colon (samtools-region style) still write."""
+    from facs_spark.io.fastx import write_fastx
+    df = read_fastx(spark, fixtures["fq"]).limit(2)
+    for bad in ("hdfs://nn/x.fastq", "wasbs://c@a.net/x.fastq",
+                "oss://b/x.fastq", "file:/tmp/x.fastq"):
+        with pytest.raises(ValueError, match="local filesystem"):
+            write_fastx(df, bad, single_file=True)
+    ok = str(tmp_path / "chr1:100-200_clean.fastq")
+    write_fastx(df, ok, single_file=True)
+    assert os.path.isfile(ok) and open(ok).read().startswith("@")
