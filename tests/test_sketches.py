@@ -307,3 +307,30 @@ def test_merge_repartition_invariance_property():
             for est in (kll.quantile(q), td.quantile(q)):
                 true_rank = np.searchsorted(svals, est) / svals.size
                 assert abs(true_rank - q) <= 0.02
+
+
+def test_hll_sparse_blob_roundtrip_and_size():
+    """Low-cardinality HLL blobs serialize sparse (5 B per nonzero
+    register, ~100-3000x smaller than dense at p=14) and round-trip
+    bit-identically; high-cardinality blobs stay dense; merge through
+    either wire format is unchanged."""
+    from facs_spark.sketch.hll import HyperLogLog
+    small = HyperLogLog(p=14)
+    small.update_batch(np.arange(50, dtype=np.int64))
+    blob = small.to_bytes()
+    assert len(blob) < 600, f"sparse blob {len(blob)} B"  # vs 16 KiB dense
+    back = HyperLogLog.from_bytes(blob)
+    assert (back.registers == small.registers).all()
+
+    big = HyperLogLog(p=14)
+    big.update_batch(np.arange(100_000, dtype=np.int64))
+    dense_blob = big.to_bytes()
+    assert len(dense_blob) >= (1 << 14), "high cardinality must stay dense"
+    assert (HyperLogLog.from_bytes(dense_blob).registers
+            == big.registers).all()
+
+    merged = HyperLogLog.from_bytes(blob).merge(
+        HyperLogLog.from_bytes(dense_blob))
+    direct = small.merge(big)
+    assert (merged.registers == direct.registers).all()
+    assert abs(merged.estimate() - direct.estimate()) == 0.0
