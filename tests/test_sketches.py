@@ -334,3 +334,27 @@ def test_hll_sparse_blob_roundtrip_and_size():
     direct = small.merge(big)
     assert (merged.registers == direct.registers).all()
     assert abs(merged.estimate() - direct.estimate()) == 0.0
+
+
+def test_cms_sparse_blob_roundtrip_and_size():
+    """Sparse CMS wire format: small-count partials serialize as
+    (index, count) pairs instead of the full ~1.1 MB table, round-trip
+    bit-identically, and merge across formats unchanged."""
+    from facs_spark.sketch.cms import CountMinSketch
+    small = CountMinSketch()
+    small.update_batch([f"tok{i}" for i in range(200)])
+    blob = small.to_bytes()
+    dense_size = small.d * small.w * 8
+    assert len(blob) < dense_size // 50, (len(blob), dense_size)
+    back = CountMinSketch.from_bytes(blob)
+    assert (back.table == small.table).all() and back.total == small.total
+
+    big = CountMinSketch()
+    big.update_batch([f"t{i % 60000}" for i in range(120_000)])
+    bb = big.to_bytes()
+    assert (CountMinSketch.from_bytes(bb).table == big.table).all()
+    merged = CountMinSketch.from_bytes(blob).merge(
+        CountMinSketch.from_bytes(bb))
+    direct = small.merge(big)
+    assert (merged.table == direct.table).all()
+    assert merged.total == direct.total
