@@ -39,7 +39,7 @@ PARTIAL_SCHEMA = ("partition_id long, rows_seen long, wall_ms double, "
 class SketchSpec:
     """Picklable recipe: which sketch, over which column, how to feed it.
 
-    kind: bloom | hll | cms | tdigest | kll
+    kind: bloom | hll | cms | tdigest | kll | theta
     prep: how batch values are fed to ``update_batch``:
       * "kgram"  — shingle text into k-gram windows (bloom only)
       * "tokens" — whitespace-split text into tokens
@@ -76,6 +76,9 @@ class SketchSpec:
             return TDigest(delta=p.get("delta", 200.0))
         if self.kind == "kll":
             return KLL(k=p.get("k", 200))
+        if self.kind == "theta":
+            from ..sketch.theta import ThetaSketch
+            return ThetaSketch(k=p.get("k", 4096))
         raise ValueError(f"unknown sketch kind {self.kind!r}")
 
     def blob_bytes(self) -> int:
@@ -94,6 +97,8 @@ class SketchSpec:
             d = max(1, _m.ceil(_m.log(1.0 / p.get("delta", 0.01))))
             w = max(1, _m.ceil(_m.e / p.get("epsilon", 1e-4)))
             return d * w * 8 + 64
+        if self.kind == "theta":
+            return p.get("k", 4096) * 8 + 64
         return 64 * 1024  # t-digest/KLL: small, bounded
 
     def update(self, sketch, series: pd.Series) -> int:

@@ -1242,6 +1242,51 @@ FROM embeddings WHERE vec_id < {N_TWINS} ORDER BY query_id
 
 
 # =====================================================================
+# q37 — theta-sketch set algebra (the sixth sketch): distinct
+# UNION and INTERSECTION estimates of two key sets (customer keys vs
+# ordering-customer keys) from mergeable KMV sketches built
+# distributed (partials + tree merge like every sketch).  HLL cannot
+# answer the intersection directly; theta can, with a per-call bound
+# — the within_bound gate is that bound, the oracle computes the
+# exact set sizes in SQL.
+# =====================================================================
+def q37_theta_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import pandas as pd
+
+    from .ops.sketch_agg import SketchSpec, build_sketch
+    cust = _read(spark, sf_dir, "customer").select("c_custkey")
+    orders = _read(spark, sf_dir, "orders").select(
+        F.col("o_custkey").alias("c_custkey"))
+    a, _ = build_sketch(cust, SketchSpec.make("theta", "c_custkey", k=4096))
+    b, _ = build_sketch(orders, SketchSpec.make("theta", "c_custkey",
+                                                k=4096))
+    exact = cust.join(orders.distinct(), "c_custkey", "left_semi").count()
+    exact_union = cust.union(orders).distinct().count()
+    inter_ok = abs(a.intersect_estimate(b) - exact) <= a.d2_bound(b)
+    union_ok = (abs(a.merge(b).estimate() - exact_union)
+                <= 3 * a.relative_error * exact_union + 1)
+    return spark.createDataFrame(pd.DataFrame([{
+        "exact_intersection": exact,
+        "exact_union": exact_union,
+        "intersection_within_bound": bool(inter_ok),
+        "union_within_bound": bool(union_ok),
+    }]))
+
+
+Q37_SQL = """
+SELECT
+  (SELECT COUNT(*) FROM (SELECT DISTINCT c_custkey FROM customer
+                         INTERSECT SELECT DISTINCT o_custkey FROM orders))
+    AS exact_intersection,
+  (SELECT COUNT(*) FROM (SELECT DISTINCT c_custkey FROM customer
+                         UNION SELECT DISTINCT o_custkey FROM orders))
+    AS exact_union,
+  TRUE AS intersection_within_bound,
+  TRUE AS union_within_bound
+"""
+
+
+# =====================================================================
 # q35/q36 — corpus-curation sampling (ops/sampling.py): per-group cap
 # with seeded-hash selection, and the seeded deterministic global
 # shuffle.  Both are reproducible by construction (selection/order is
@@ -1334,6 +1379,7 @@ def queries():
         "q34_bloom_prejoin": q34_bloom_prejoin,
         "q35_cap_per_group": q35_cap_per_group,
         "q36_deterministic_shuffle": q36_deterministic_shuffle,
+        "q37_theta_overlap": q37_theta_overlap,
     }
 
 
@@ -1383,6 +1429,7 @@ def oracle_sql():
         "q34_bloom_prejoin": Q34_SQL,
         "q35_cap_per_group": Q35_SQL,
         "q36_deterministic_shuffle": Q36_SQL,
+        "q37_theta_overlap": Q37_SQL,
     }
 
 

@@ -13,6 +13,7 @@ from .sizing import (BloomStat, bloom_fpr, facs_sizing, find_close_prime,
                      is_prime, kmer_suggestion, mco_suggestion,
                      prob_suggestion, standard_sizing)
 from .tdigest import TDigest
+from .theta import ThetaSketch
 
 SKETCH_TYPES = {
     BloomFilter.MAGIC: BloomFilter,
@@ -20,6 +21,7 @@ SKETCH_TYPES = {
     CountMinSketch.MAGIC: CountMinSketch,
     TDigest.MAGIC: TDigest,
     KLL.MAGIC: KLL,
+    ThetaSketch.MAGIC: ThetaSketch,
 }
 
 
@@ -34,6 +36,7 @@ def sketch_from_bytes(blob: bytes):
 
 __all__ = [
     "BloomFilter", "HyperLogLog", "CountMinSketch", "TDigest", "KLL",
+    "ThetaSketch",
     "BloomStat", "bloom_fpr", "facs_sizing", "standard_sizing",
     "find_close_prime", "is_prime", "kmer_suggestion", "mco_suggestion",
     "prob_suggestion", "sketch_from_bytes", "SKETCH_TYPES",

@@ -358,3 +358,63 @@ def test_cms_sparse_blob_roundtrip_and_size():
     direct = small.merge(big)
     assert (merged.table == direct.table).all()
     assert merged.total == direct.total
+
+
+def test_theta_sketch_estimate_merge_intersection():
+    """Theta/KMV: exact below k, within published RSE above, union via
+    merge, and DIRECT intersection estimates with the per-call bound —
+    the set-operation algebra HLL can't provide."""
+    from facs_spark.sketch.theta import ThetaSketch
+    from facs_spark.sketch import sketch_from_bytes
+    exact = ThetaSketch(k=256)
+    exact.update_batch(np.arange(100, dtype=np.int64))
+    assert exact.estimate() == 100.0  # exact mode below k
+
+    a = ThetaSketch(k=4096)
+    b = ThetaSketch(k=4096)
+    a.update_batch(np.arange(0, 60_000, dtype=np.int64))       # |A|=60k
+    b.update_batch(np.arange(40_000, 110_000, dtype=np.int64))  # |B|=70k
+    rse = a.relative_error
+    assert abs(a.estimate() - 60_000) <= 3 * rse * 60_000
+    u = a.merge(b)
+    assert abs(u.estimate() - 110_000) <= 3 * rse * 110_000
+    inter = a.intersect_estimate(b)
+    assert abs(inter - 20_000) <= a.d2_bound(b), (inter, a.d2_bound(b))
+    # serialization roundtrip via the registry
+    back = sketch_from_bytes(u.to_bytes())
+    assert back.estimate() == u.estimate()
+    assert back.theta == u.theta
+
+
+def test_theta_merge_partitioning_invariance():
+    """Any split of the input into partial sketches must merge to the
+    SAME estimates (the mergeable-UDAF contract, like every other
+    sketch in the family)."""
+    from facs_spark.sketch.theta import ThetaSketch
+    rng = np.random.default_rng(5)
+    vals = rng.integers(0, 1 << 62, size=30_000, dtype=np.int64)
+    whole = ThetaSketch(k=1024)
+    whole.update_batch(vals)
+    for nsplit in (2, 7, 32):
+        parts = np.array_split(vals, nsplit)
+        merged = None
+        for chunk in parts:
+            p = ThetaSketch(k=1024)
+            if chunk.size:
+                p.update_batch(chunk)
+            merged = p if merged is None else merged.merge(p)
+        assert merged.theta_bits == whole.theta_bits, nsplit
+        assert (merged.hashes == whole.hashes).all(), nsplit
+
+
+def test_theta_via_spark_build(tmp_path):
+    """theta works through the generic build_sketch partial+merge
+    path like every other kind."""
+    from facs_spark.ops.sketch_agg import SketchSpec, build_sketch
+    from facs_spark.session import get_spark
+    spark = get_spark("theta_test", cpus=4, shuffle_partitions=4)
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    sk, rows = build_sketch(docs, SketchSpec.make("theta", "doc_id", k=1024))
+    exact = docs.select("doc_id").distinct().count()
+    assert rows == docs.count()
+    assert abs(sk.estimate() - exact) <= max(3 * sk.relative_error * exact, 1)
