@@ -64,6 +64,18 @@ def register_sql_functions(spark: SparkSession) -> None:
             out.append(int(sk.query_batch([k])[0]))
         return pd.Series(out)
 
+    @pandas_udf("double")
+    def theta_estimate(blobs: pd.Series) -> pd.Series:
+        cache: dict = {}
+        return pd.Series([_sketch_of(b, cache).estimate() for b in blobs])
+
+    @pandas_udf("double")
+    def theta_intersect(a: pd.Series, b: pd.Series) -> pd.Series:
+        cache: dict = {}
+        return pd.Series([
+            _sketch_of(x, cache).intersect_estimate(_sketch_of(y, cache))
+            for x, y in zip(a, b)])
+
     @pandas_udf("boolean")
     def bloom_contains(blobs: pd.Series, keys: pd.Series) -> pd.Series:
         from facs_spark.sketch.hashing import (ascii_lower,
@@ -87,6 +99,8 @@ def register_sql_functions(spark: SparkSession) -> None:
     spark.udf.register("tdigest_quantile", tdigest_quantile)
     spark.udf.register("cms_count", cms_count)
     spark.udf.register("bloom_contains", bloom_contains)
+    spark.udf.register("theta_estimate", theta_estimate)
+    spark.udf.register("theta_intersect", theta_intersect)
     for name, udf in sketch_agg_udfs().items():
         spark.udf.register(name, udf)
 
@@ -123,4 +137,6 @@ def sketch_agg_udfs() -> dict:
         "kll_agg": sketch_agg_udf(SketchSpec.make("kll", "_", k=200)),
         "tdigest_agg": sketch_agg_udf(
             SketchSpec.make("tdigest", "_", delta=200.0)),
+        "theta_agg": sketch_agg_udf(
+            SketchSpec.make("theta", "_", k=4096)),
     }

@@ -1,8 +1,9 @@
 """Pure-numpy mergeable sketch core (no Spark dependency).
 
-Bloom (reference parity), HyperLogLog, count-min, t-digest, KLL —
-each with ``update_batch`` / associative ``merge`` / ``to_bytes`` /
-``from_bytes`` and a published error bound, per SURVEY.md §2.4.
+Bloom (reference parity), HyperLogLog, count-min, t-digest, KLL, and
+theta/KMV (set-operation algebra) — each with ``update_batch`` /
+associative ``merge`` / ``to_bytes`` / ``from_bytes`` and a published
+error bound, per SURVEY.md §2.4.
 """
 
 from .bloom import BloomFilter

@@ -212,3 +212,29 @@ def test_grouped_agg_sketch_udaf(spark, docs):
     assert est and set(est) == set(exact)
     for lang in est:
         assert abs(est[lang] - exact[lang]) <= 0.05 * exact[lang] + 2
+
+
+def test_theta_sql_surface(spark, docs):
+    """theta_agg + theta_estimate/theta_intersect in pure SQL: the
+    distinct estimate is exact below k, and the en-subset∩all
+    intersection equals the en count exactly in exact mode."""
+    import pandas as pd
+
+    from facs_spark.functions import register_sql_functions
+    register_sql_functions(spark)
+    docs.createOrReplaceTempView("docs_theta")
+    est = spark.sql("SELECT theta_estimate(theta_agg(doc_id)) AS e "
+                    "FROM docs_theta").collect()[0]["e"]
+    exact = docs.select("doc_id").distinct().count()
+    assert est == float(exact)  # below k=4096 ⇒ exact mode
+    a = spark.sql("SELECT theta_agg(doc_id) AS s FROM docs_theta "
+                  "WHERE lang = 'en'").collect()[0]["s"]
+    b = spark.sql("SELECT theta_agg(doc_id) AS s "
+                  "FROM docs_theta").collect()[0]["s"]
+    pair = spark.createDataFrame(pd.DataFrame(
+        {"x": [bytes(a)], "y": [bytes(b)]}))
+    pair.createOrReplaceTempView("theta_pair")
+    inter = spark.sql("SELECT theta_intersect(x, y) AS i "
+                      "FROM theta_pair").collect()[0]["i"]
+    n_en = docs.filter(F.col("lang") == "en").count()
+    assert inter == float(n_en)
