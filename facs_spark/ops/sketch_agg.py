@@ -318,3 +318,49 @@ def grouped_sketches(df: DataFrame, group_cols: list[str],
         schema=partial_schema)
     return partials.groupBy(*group_cols).applyInPandas(
         _grouped_merge, schema=final_schema)
+
+
+def grouped_overlap(df: DataFrame, group_col: str,
+                    spec: SketchSpec) -> DataFrame:
+    """Pairwise distinct-overlap matrix between groups via theta
+    sketches: one mergeable sketch per group (map-side partials, blob
+    shuffle only), then every group pair's intersection/union
+    estimated driver-side from the collected blobs — the
+    corpus-overlap question ("how much content do sources A and B
+    share?") that HLL cannot answer directly.
+
+    ``spec`` must be a theta spec; ``prep="tokens"`` makes the overlap
+    CONTENT overlap (shared token multiplicity ignored — sets), while
+    ``prep="raw"`` overlaps the raw column values (urls, ids).
+    Returns (group_a, group_b, est_a, est_b, est_intersection,
+    est_jaccard, within_bound) for each unordered pair — within_bound
+    is the theta d2 bound check against nothing at runtime (it simply
+    reports whether the intersection estimate is resolvable above the
+    sketch's noise floor: est ≥ d2_bound means a real overlap signal).
+
+    Scale: |groups| blobs × 8k bytes collect; the pairwise loop is
+    |groups|² driver-side float work on ≤k-element arrays — fine to
+    thousands of groups; shard the pair loop if you have more.
+    """
+    import itertools
+
+    import pandas as pd
+    if spec.kind != "theta":
+        raise ValueError("grouped_overlap requires a theta SketchSpec")
+    spark = df.sparkSession
+    g = grouped_sketches(df, [group_col], spec).collect()
+    sketches = {r[group_col]: sketch_from_bytes(bytes(r["sketch"]))
+                for r in g}
+    rows = []
+    for a, b in itertools.combinations(sorted(sketches), 2):
+        sa, sb = sketches[a], sketches[b]
+        inter = sa.intersect_estimate(sb)
+        union = sa.merge(sb).estimate()
+        rows.append({
+            "group_a": a, "group_b": b,
+            "est_a": sa.estimate(), "est_b": sb.estimate(),
+            "est_intersection": inter,
+            "est_jaccard": inter / union if union else 0.0,
+            "signal_above_noise": bool(inter >= sa.d2_bound(sb)),
+        })
+    return spark.createDataFrame(pd.DataFrame(rows))

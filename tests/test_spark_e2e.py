@@ -238,3 +238,27 @@ def test_theta_sql_surface(spark, docs):
                       "FROM theta_pair").collect()[0]["i"]
     n_en = docs.filter(F.col("lang") == "en").count()
     assert inter == float(n_en)
+
+
+def test_grouped_overlap_matrix(spark, docs):
+    """Pairwise content-overlap matrix between sources via grouped
+    theta sketches: below-k groups run in exact mode, so the estimated
+    intersections/Jaccards equal the true token-set overlaps."""
+    from facs_spark.ops.sketch_agg import SketchSpec, grouped_overlap
+    out = {(r["group_a"], r["group_b"]): r for r in
+           grouped_overlap(docs, "source",
+                           SketchSpec.make("theta", "text", prep="tokens",
+                                           k=65536)).collect()}
+    # ground truth token sets per source (single-space split, like the
+    # tokens prep)
+    truth = {}
+    for r in docs.select("source", "text").collect():
+        truth.setdefault(r["source"], set()).update(
+            t for t in (r["text"] or "").split(" ") if t)
+    assert len(out) == len(truth) * (len(truth) - 1) // 2
+    for (a, b), row in out.items():
+        exact_inter = len(truth[a] & truth[b])
+        exact_union = len(truth[a] | truth[b])
+        assert row["est_a"] == len(truth[a])
+        assert row["est_intersection"] == exact_inter, (a, b)
+        assert abs(row["est_jaccard"] - exact_inter / exact_union) < 1e-9
