@@ -24,13 +24,22 @@ def test_blob_bytes_estimates_match_reality():
         SketchSpec.make("tdigest", "x"),
         SketchSpec.make("kll", "x"),
     ]
+    import numpy as np
     for spec in specs:
         est = spec.blob_bytes()
-        real = len(spec.new_sketch().to_bytes())
-        assert est >= real * 0.5, f"{spec.kind}: est {est} < half of {real}"
-        # bloom/hll/cms estimates should be tight
+        sk = spec.new_sketch()
+        real = len(sk.to_bytes())
+        # blob_bytes is the WORST-CASE bound used for merge-group
+        # sizing: it must never undershoot the actual blob
+        assert est >= real, f"{spec.kind}: est {est} < {real}"
+        # bloom/hll/cms estimates should be tight vs the DENSE form
+        # (low-density hll/cms blobs now auto-serialize sparse, far
+        # below the bound — that is the point of the sparse format)
         if spec.kind in ("bloom", "hll", "cms"):
-            assert abs(est - real) <= real * 0.1 + 128
+            if spec.kind in ("hll", "cms"):
+                sk.update_batch(np.arange(200_000, dtype=np.int64))
+            dense = len(sk.to_bytes())
+            assert abs(est - dense) <= dense * 0.1 + 128, spec.kind
 
 
 def test_suggestion_tables_reference_values():
