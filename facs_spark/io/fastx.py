@@ -263,15 +263,21 @@ def write_fastx(df: DataFrame, path: str, fmt: str = "fastq",
         return
     import re
     import shutil
-    # any "scheme://" URI (hdfs://, s3a://, wasbs://, oss://, ...)
-    # plus the slash-optional "file:" form means "not a plain local
-    # path" — generic, unlike a hardcoded prefix list, but requiring
-    # the // keeps legitimate colon-bearing local filenames working
-    # (samtools-region names like "chr1:100-200_clean.fastq")
-    if re.match(r"^([A-Za-z][A-Za-z0-9+.-]*://|file:)", path):
+    # Any scheme-like prefix on a NON-absolute path is rejected with a
+    # clear error: "hdfs://...", "hdfs:/...", "FILE:/..." would write
+    # remotely then crash in the local rename, and a relative
+    # colon-bearing name like "chr1:100-200.fastq" dies inside Hadoop
+    # Path parsing ("No FileSystem for scheme: chr1") anyway — better
+    # to say so here.  Absolute local paths whose BASENAME contains a
+    # colon (/data/chr1:100-200_clean.fastq, the samtools-region
+    # shape) carry no scheme and write fine.
+    if not path.startswith("/") and \
+            re.match(r"^[A-Za-z][A-Za-z0-9+.-]*:", path):
         raise ValueError(
-            "single_file=True renames via the local filesystem; use the "
-            "directory sink (single_file=False) for remote paths")
+            "single_file=True renames via the local filesystem and the "
+            f"path {path!r} looks like a URI scheme; use an absolute "
+            "local path, or the directory sink (single_file=False) for "
+            "remote filesystems")
     tmp = path + "._spark_tmp"
     out.coalesce(1).write.mode("overwrite").text(tmp)
     parts = sorted(_glob.glob(os.path.join(tmp, "part-*")))

@@ -333,10 +333,12 @@ def grouped_overlap(df: DataFrame, group_col: str,
     CONTENT overlap (shared token multiplicity ignored — sets), while
     ``prep="raw"`` overlaps the raw column values (urls, ids).
     Returns (group_a, group_b, est_a, est_b, est_intersection,
-    est_jaccard, within_bound) for each unordered pair — within_bound
-    is the theta d2 bound check against nothing at runtime (it simply
-    reports whether the intersection estimate is resolvable above the
-    sketch's noise floor: est ≥ d2_bound means a real overlap signal).
+    est_jaccard, signal_above_noise) for each unordered pair —
+    ``signal_above_noise`` reports whether the intersection estimate
+    is resolvable above the sketch's noise floor (est ≥ d2_bound; in
+    exact mode the bound is 0, so any nonzero overlap is a signal).
+    A null group value contributes no pairs (documented skip — a
+    null source key has no meaningful overlap identity).
 
     Scale: |groups| blobs × 8k bytes collect; the pairwise loop is
     |groups|² driver-side float work on ≤k-element arrays — fine to
@@ -350,9 +352,12 @@ def grouped_overlap(df: DataFrame, group_col: str,
     spark = df.sparkSession
     g = grouped_sketches(df, [group_col], spec).collect()
     sketches = {r[group_col]: sketch_from_bytes(bytes(r["sketch"]))
-                for r in g}
+                for r in g if r[group_col] is not None}
+    schema = ("group_a string, group_b string, est_a double, "
+              "est_b double, est_intersection double, "
+              "est_jaccard double, signal_above_noise boolean")
     rows = []
-    for a, b in itertools.combinations(sorted(sketches), 2):
+    for a, b in itertools.combinations(sorted(sketches, key=str), 2):
         sa, sb = sketches[a], sketches[b]
         inter = sa.intersect_estimate(sb)
         union = sa.merge(sb).estimate()
@@ -361,6 +366,9 @@ def grouped_overlap(df: DataFrame, group_col: str,
             "est_a": sa.estimate(), "est_b": sb.estimate(),
             "est_intersection": inter,
             "est_jaccard": inter / union if union else 0.0,
-            "signal_above_noise": bool(inter >= sa.d2_bound(sb)),
+            "signal_above_noise": bool(inter >= sa.d2_bound(sb)
+                                       and inter > 0),
         })
+    if not rows:  # <2 groups: empty result with a stable schema
+        return spark.createDataFrame([], schema)
     return spark.createDataFrame(pd.DataFrame(rows))

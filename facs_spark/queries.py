@@ -426,17 +426,30 @@ Q10_SQL = (f"WITH {_JACCARD_SQL_CORE} "
            f"WHERE jaccard >= {NEARDUP_THRESHOLD} ORDER BY id_a, id_b")
 
 
+_Q11_CLEANUP_REGISTERED = False
+
+
 def _q11_fp_path() -> str:
     """Materialized-fingerprint handoff path shared by the q11 Spark
     query and its DuckDB oracle (same process ⇒ same tempdir and same
     pid).  Pid-keyed so concurrent drivers/benches on a shared host
     never read each other's fingerprints, and a process that skipped
     running q11 fails loudly (missing file) instead of silently
-    comparing against a stale prior session's dump."""
+    comparing against a stale prior session's dump.  The dump is
+    removed at process exit (pid-keyed paths would otherwise
+    accumulate one fingerprint parquet per run in the shared tmpdir)."""
+    import atexit
     import os
+    import shutil
     import tempfile
-    return os.path.join(tempfile.gettempdir(),
+
+    global _Q11_CLEANUP_REGISTERED
+    path = os.path.join(tempfile.gettempdir(),
                         f"facs_spark_q11_fp_{os.getpid()}.parquet")
+    if not _Q11_CLEANUP_REGISTERED:
+        _Q11_CLEANUP_REGISTERED = True
+        atexit.register(shutil.rmtree, path, ignore_errors=True)
+    return path
 
 
 def q11_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -22,7 +22,7 @@ from dataclasses import dataclass, field
 import numpy as np
 
 from .base import frame, unframe
-from .hashing import hash_strings_batch, hash3_matrix, int64_key_matrix, splitmix64
+from .hashing import splitmix64
 
 _MAGIC = b"FSCM"
 _VERSION = 1
@@ -30,10 +30,8 @@ _HDR = struct.Struct("<IIQ")  # d, w, total
 
 
 def _key_hash(values) -> np.ndarray:
-    arr = np.asarray(values)
-    if arr.dtype.kind in "iu":
-        return hash3_matrix(int64_key_matrix(arr), 0)
-    return hash_strings_batch(values, 0)
+    from .hashing import key_hash_batch
+    return key_hash_batch(values, 0)
 
 
 @dataclass

@@ -218,6 +218,24 @@ def length_group_matrices(values):
             yield idx, buf.reshape(len(idx), int(length))
 
 
+def key_hash_batch(values, seed: int = 0) -> np.ndarray:
+    """THE shared value→uint64 hash dispatch for the distinct/count
+    sketches (HLL, CMS, theta): int/uint columns hash their 8-byte
+    little-endian form, floats hash their IEEE-754 bit pattern (so
+    distinct floats get distinct keys instead of crashing in the
+    string path), everything else utf-8 string-hashes with None → "".
+    One copy, three sketches — divergent per-sketch copies of this
+    dispatch are how float inputs crashed ``update_batch``.
+    """
+    arr = np.asarray(values)
+    if arr.dtype.kind in "iu":
+        return hash3_matrix(int64_key_matrix(arr), seed)
+    if arr.dtype.kind == "f":
+        return hash3_matrix(int64_key_matrix(
+            arr.astype(np.float64).view(np.int64)), seed)
+    return hash_strings_batch(list(values), seed)
+
+
 def raw_key_matrices(values):
     """(indices, (n, L) uint8 matrix) pairs for a raw key column —
     THE single build/probe encoding for raw Bloom keys, shared by the

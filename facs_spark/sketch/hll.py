@@ -19,7 +19,7 @@ from dataclasses import dataclass, field
 import numpy as np
 
 from .base import frame, unframe
-from .hashing import hash_strings_batch, int64_key_matrix, hash3_matrix, splitmix64
+from .hashing import splitmix64
 
 _MAGIC = b"FSHL"
 _VERSION = 1
@@ -88,13 +88,10 @@ class HyperLogLog:
         np.maximum.at(self.registers, idx, rank)
 
     def update_batch(self, values) -> None:
-        """Hash + update a batch of strings or int64s."""
-        arr = np.asarray(values)
-        if arr.dtype.kind in "iu":
-            h = hash3_matrix(int64_key_matrix(arr), 0)
-        else:
-            h = hash_strings_batch(values, 0)
-        self.update_hashed(splitmix64(h))
+        """Hash + update a batch of ints, floats, or strings (the
+        shared ``key_hash_batch`` dispatch)."""
+        from .hashing import key_hash_batch
+        self.update_hashed(splitmix64(key_hash_batch(values, 0)))
 
     # -- estimate ----------------------------------------------------
     def estimate(self) -> float:

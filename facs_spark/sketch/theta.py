@@ -34,8 +34,7 @@ from dataclasses import dataclass, field
 import numpy as np
 
 from .base import frame, unframe
-from .hashing import (hash3_matrix, hash_strings_batch, int64_key_matrix,
-                      splitmix64)
+from .hashing import splitmix64
 
 _MAGIC = b"FSTH"
 _VERSION = 1
@@ -45,12 +44,8 @@ _EXACT = 0  # sentinel for theta = 1.0 (2^64 doesn't fit in u64)
 
 
 def _hash_values(values) -> np.ndarray:
-    arr = np.asarray(values)
-    if arr.dtype.kind in "iu":
-        h = hash3_matrix(int64_key_matrix(arr), 0)
-    else:
-        h = hash_strings_batch(list(values), 0)
-    return splitmix64(h)
+    from .hashing import key_hash_batch
+    return splitmix64(key_hash_batch(values, 0))
 
 
 @dataclass
@@ -137,8 +132,12 @@ class ThetaSketch:
     def d2_bound(self, other: "ThetaSketch", sigmas: float = 3.0) -> float:
         """Additive ±bound on ``intersect_estimate`` at ``sigmas``
         standard deviations: the common count is ~binomial at rate θ,
-        sd ≈ sqrt(c)/θ, floored at one sample's worth (1/θ)."""
+        sd ≈ sqrt(c)/θ, floored at one sample's worth (1/θ).  In
+        exact mode (both sides below k, θ = 1) the intersection is
+        known with zero error, so the bound is 0."""
         common, th = self._common_below_min_theta(other)
+        if th == 1.0:
+            return 0.0  # both sides exact ⇒ the intersection is exact
         return sigmas * max(math.sqrt(float(common.size)), 1.0) / th
 
     # -- io ----------------------------------------------------------

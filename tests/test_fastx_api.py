@@ -336,7 +336,9 @@ def test_single_file_uri_guard(spark, fixtures, tmp_path):
     from facs_spark.io.fastx import write_fastx
     df = read_fastx(spark, fixtures["fq"]).limit(2)
     for bad in ("hdfs://nn/x.fastq", "wasbs://c@a.net/x.fastq",
-                "oss://b/x.fastq", "file:/tmp/x.fastq"):
+                "oss://b/x.fastq", "file:/tmp/x.fastq",
+                "hdfs:/nn/x.fastq", "FILE:/tmp/x.fastq",
+                "chr1:100-200.fastq"):  # relative colon = Hadoop scheme
         with pytest.raises(ValueError, match="local filesystem"):
             write_fastx(df, bad, single_file=True)
     ok = str(tmp_path / "chr1:100-200_clean.fastq")
