@@ -97,3 +97,24 @@ def test_bloom_prejoin_string_keys(spark):
     want = probe.join(build, "k")
     assert sorted(map(tuple, got.collect())) == \
         sorted(map(tuple, want.collect()))
+
+
+def test_bloom_key_filter_banked(spark):
+    """The pre-join filter accepts banked blobs (the >1 GiB broadcast
+    path) and prunes identically to the single-blob form."""
+    import pandas as pd
+
+    from facs_spark.ops.joins import bloom_key_filter
+    from facs_spark.ops.sketch_agg import SketchSpec, build_sketch
+    probe = spark.createDataFrame(pd.DataFrame({
+        "k": [i % 64 for i in range(3000)], "v": list(range(3000))}))
+    build = spark.createDataFrame(pd.DataFrame({"k": [5, 9, 33]}))
+    bloom, _ = build_sketch(build, SketchSpec.make(
+        "bloom", "k", prep="raw", capacity=3, error_rate=1e-6))
+    whole = {r["v"] for r in
+             bloom_key_filter(probe, "k", bloom.to_bytes()).collect()}
+    banks = bloom.split_banks(max(64, len(bloom.to_bytes()) // 3))
+    assert len(banks) >= 2, "fixture must actually bank"
+    banked = {r["v"] for r in
+              bloom_key_filter(probe, "k", banks).collect()}
+    assert banked == whole and whole
