@@ -26,8 +26,8 @@ OUT_DDL = ("group_key string, rows_seen long, estimate double, "
 def streaming_grouped_sketch(pages: DataFrame, spec,
                              key_col: str = "lang") -> DataFrame:
     """Per-group running sketch over a stream — any ``SketchSpec``
-    (bloom / hll / cms / tdigest / kll; the spec's ``update`` is the
-    same code the batch UDAF runs).
+    (bloom / hll / cms / tdigest / kll / theta; the spec's ``update``
+    is the same code the batch UDAF runs).
 
     Emits one row per group per micro-batch with the cumulative
     ``rows_seen``, a scalar ``estimate`` (distinct count for HLL,
