@@ -7,6 +7,8 @@
     python -m facs_spark info   -r ref.bloom
     python -m facs_spark monitor -r ref.bloom -d pages_dir/
                                  [-c ckpt_dir] [-t TOLE] [-w WINDOW]
+    python -m facs_spark overlap -d corpus.parquet -g source
+                                 [-c text] [--prep tokens|raw] [-k K]
 
 Dispatch parity: the reference routes build|query|remove|info the same
 way (main.c:44-52); flags follow bq_main's getopt (-t threshold,
@@ -59,6 +61,18 @@ def main(argv=None) -> int:
     i = sub.add_parser("info")
     i.add_argument("-r", "--reference", required=True)
 
+    ov = sub.add_parser("overlap")
+    ov.add_argument("-d", "--data", required=True,
+                    help="parquet path of the corpus table")
+    ov.add_argument("-g", "--group-col", required=True,
+                    help="group column (source, host, lang, ...)")
+    ov.add_argument("-c", "--column", default="text",
+                    help="value column (default: text)")
+    ov.add_argument("--prep", default="tokens", choices=("tokens", "raw"),
+                    help="tokens = content overlap; raw = value overlap")
+    ov.add_argument("-k", type=int, default=4096,
+                    help="theta sketch size (RSE ≈ 1/sqrt(k-1))")
+
     m = sub.add_parser("monitor")
     m.add_argument("-r", "--reference", required=True,
                    help=".bloom filter file")
@@ -93,6 +107,17 @@ def main(argv=None) -> int:
         return 0
     if args.cmd == "info":
         print(json.dumps(api.info(args.reference), indent=2))
+        return 0
+    if args.cmd == "overlap":
+        from .ops.sketch_agg import SketchSpec, grouped_overlap
+        from .session import get_spark
+        spark = get_spark("facs_overlap")
+        df = spark.read.parquet(args.data)
+        rows = grouped_overlap(df, args.group_col,
+                               SketchSpec.make("theta", args.column,
+                                               prep=args.prep, k=args.k))
+        for r in rows.orderBy("group_a", "group_b").collect():
+            print(json.dumps(r.asDict()))
         return 0
     if args.cmd == "monitor":
         import os

@@ -262,3 +262,17 @@ def test_grouped_overlap_matrix(spark, docs):
         assert row["est_a"] == len(truth[a])
         assert row["est_intersection"] == exact_inter, (a, b)
         assert abs(row["est_jaccard"] - exact_inter / exact_union) < 1e-9
+
+
+def test_cli_overlap(spark, capsys):
+    """python -m facs_spark overlap: JSON-lines overlap matrix."""
+    import json as _json
+
+    from facs_spark.__main__ import main
+    rc = main(["overlap", "-d", f"{SF}/documents.parquet",
+               "-g", "source", "-k", "65536"])
+    assert rc == 0
+    lines = [_json.loads(l) for l in capsys.readouterr().out.splitlines()]
+    assert lines and all(
+        {"group_a", "group_b", "est_intersection",
+         "est_jaccard"} <= set(l) for l in lines)
