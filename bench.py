@@ -91,7 +91,49 @@ def throughput_job(spark, n_pages: int) -> dict:
     }
 
 
-def run_queries(spark) -> dict[str, float]:
+def _warm_streaming(spark) -> None:
+    """First-touch the Structured Streaming engine (micro-batch
+    planner, state store provider, memory sink) outside any measured
+    region — streaming init is ~5-40 s of one-off JVM work that used
+    to land inside q28's recorded time and made it the noisiest row
+    in the suite (round-3 VERDICT item #2)."""
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    src = tempfile.mkdtemp(prefix="bench_stream_warm_")
+    ckpt = tempfile.mkdtemp(prefix="bench_stream_warm_ckpt_")
+    try:
+        spark.range(2).withColumn("g", F.col("id") % 2) \
+            .write.mode("overwrite").parquet(src)
+        q = (spark.readStream.schema("id long, g long").parquet(src)
+             .groupBy("g").count()
+             .writeStream.outputMode("complete").format("memory")
+             .queryName("bench_stream_warm")
+             .option("checkpointLocation", ckpt)
+             .trigger(availableNow=True).start())
+        q.awaitTermination()
+        spark.catalog.dropTempView("bench_stream_warm")
+    finally:
+        shutil.rmtree(src, ignore_errors=True)
+        shutil.rmtree(ckpt, ignore_errors=True)
+
+
+def run_queries(spark, trials: int) -> tuple[dict[str, float],
+                                             dict[str, list[float]]]:
+    """Per-query MEDIAN of ``trials`` runs + the raw per-trial times.
+
+    The shared bench host carries neighbor load (observed ±2-5× on
+    identical warm repeats), so a single-shot per-query time cannot
+    distinguish a regression from a noisy neighbor; medians of
+    interleaved trials can (round-3 VERDICT item #8).  Trials are
+    interleaved across the whole suite (full pass 1, full pass 2, ...)
+    so a noise burst hits one trial of every query rather than every
+    trial of one query.
+    """
+    import statistics
+
     import __spark_entry__ as e
 
     # warm the session before timing: fork the Python workers and JIT
@@ -102,14 +144,18 @@ def run_queries(spark) -> dict[str, float]:
     warm = spark.read.parquet(f"{SF_DIR}/documents.parquet") \
         .select("doc_id")
     warm.mapInPandas(lambda it: it, schema="doc_id long").count()
+    _warm_streaming(spark)
 
-    timings: dict[str, float] = {}
-    for name, fn in e.queries().items():
-        t0 = time.perf_counter()
-        df = fn(spark, SF_DIR)
-        df.collect()
-        timings[name] = round(time.perf_counter() - t0, 3)
-    return timings
+    raw: dict[str, list[float]] = {}
+    for _ in range(trials):
+        for name, fn in e.queries().items():
+            t0 = time.perf_counter()
+            df = fn(spark, SF_DIR)
+            df.collect()
+            raw.setdefault(name, []).append(
+                round(time.perf_counter() - t0, 3))
+    medians = {n: round(statistics.median(ts), 3) for n, ts in raw.items()}
+    return medians, raw
 
 
 def main() -> None:
@@ -157,18 +203,26 @@ def main() -> None:
         }))
         return
 
+    trials = int(os.environ.get("BENCH_TRIALS", "3"))
     spark = get_spark("bench", cpus=CPUS, shuffle_partitions=CPUS)
     t_all = time.perf_counter()
-    timings = run_queries(spark)
+    timings, raw = run_queries(spark, trials)
     spark.catalog.clearCache()  # drop query-phase cached frames
     tp = throughput_job(spark, BENCH_PAGES)
-    total = round(time.perf_counter() - t_all, 3)
+    wall = round(time.perf_counter() - t_all, 3)
     spark.stop()
+    # headline value = sum of per-query medians + throughput time —
+    # the noise-robust suite cost (wall_sec is the raw elapsed time
+    # including all trials)
+    total = round(sum(timings.values()) + tp["sec"], 3)
     print(json.dumps({
         "metric": "headline_queries_plus_throughput_sec",
         "value": total,
         "unit": "sec",
         "queries": timings,
+        "query_trials": raw,
+        "trials": trials,
+        "wall_sec": wall,
         "sf": _sf_from_dir(SF_DIR),
         "throughput": tp,
         "pages_per_sec": round(tp["pages_per_sec"], 1),

@@ -272,7 +272,9 @@ def write_fastx(df: DataFrame, path: str, fmt: str = "fastq",
     # colon (/data/chr1:100-200_clean.fastq, the samtools-region
     # shape) carry no scheme and write fine.
     if not path.startswith("/") and \
-            re.match(r"^[A-Za-z][A-Za-z0-9+.-]*:", path):
+            re.match(r"^[A-Za-z][A-Za-z0-9+.-]*:", path) and \
+            not re.match(r"^[A-Za-z]:[\\/]", path):  # C:\x is a drive,
+        # not a scheme (Windows absolute path)
         raise ValueError(
             "single_file=True renames via the local filesystem and the "
             f"path {path!r} looks like a URI scheme; use an absolute "

@@ -11,6 +11,14 @@ over split inputs re-runs only the splits without a checkpoint row
 This is the Spark heir of the reference's save/load_bloom + chunk
 offset rewind resume loop (``facs/bloom.c:217-337``,
 ``facs/query.c:167-231``), with lineage the reference lacks.
+
+Format compatibility: sketch blobs are versioned one-way.  The v2
+sparse HLL/CMS wire format (round 3) is read transparently by this
+release, but a PRIOR release reading a v2 checkpoint would misparse
+it as dense registers rather than fail loudly — do not roll back a
+deployment across persisted checkpoints written by a newer one.
+Future format changes bump the frame MAGIC (not just the version
+byte) so old readers reject new blobs explicitly.
 """
 
 from __future__ import annotations

@@ -46,21 +46,32 @@ def _order_key(id_col: str, seed: int):
                                      F.lit("\x00"))))
 
 
-def cap_per_group(df: DataFrame, group_col: str, id_col: str,
+def cap_per_group(df: DataFrame, group_col: str | list[str], id_col: str,
                   cap: int, seed: int = 0) -> DataFrame:
     """At most ``cap`` rows per group, selected by seeded hash order.
 
-    Groups at or under the cap pass through whole; larger groups keep
-    the ``cap`` rows with the smallest md5(seed||id) — a uniform
-    random (but reproducible) subset.  Ties are impossible for
-    distinct ids; ``id_col`` breaks the order totally regardless.
+    ``group_col`` may be one column or a list — the realistic
+    curation key is composite (host+lang); the window partitions on
+    all of them, still one shuffle.  Groups at or under the cap pass
+    through whole; larger groups keep the ``cap`` rows with the
+    smallest md5(seed||id) — a uniform random (but reproducible)
+    subset.  Ties are impossible for distinct ids; ``id_col`` breaks
+    the order totally regardless.
     """
     if cap < 1:
         raise ValueError(f"cap must be ≥ 1, got {cap}")
-    w = (Window.partitionBy(group_col)
+    groups = [group_col] if isinstance(group_col, str) else list(group_col)
+    if not groups:
+        raise ValueError("cap_per_group needs at least one group column")
+    # collision-proof temp column: a user '_rk' would otherwise be
+    # silently overwritten and dropped
+    rk = "_rk"
+    while rk in df.columns:
+        rk += "_"
+    w = (Window.partitionBy(*groups)
          .orderBy(_order_key(id_col, seed), F.col(id_col)))
-    return (df.withColumn("_rk", F.row_number().over(w))
-            .filter(F.col("_rk") <= cap).drop("_rk"))
+    return (df.withColumn(rk, F.row_number().over(w))
+            .filter(F.col(rk) <= cap).drop(rk))
 
 
 def deterministic_shuffle(df: DataFrame, id_col: str,

@@ -320,29 +320,58 @@ def grouped_sketches(df: DataFrame, group_cols: list[str],
         _grouped_merge, schema=final_schema)
 
 
-def grouped_overlap(df: DataFrame, group_col: str,
-                    spec: SketchSpec) -> DataFrame:
+_OVERLAP_SCHEMA = ("group_a string, group_b string, est_a double, "
+                   "est_b double, est_intersection double, "
+                   "est_jaccard double, signal_above_noise boolean")
+
+
+def _pair_stats(sa, sb):
+    inter = sa.intersect_estimate(sb)
+    union = sa.merge(sb).estimate()
+    return {
+        "est_a": sa.estimate(), "est_b": sb.estimate(),
+        "est_intersection": inter,
+        "est_jaccard": inter / union if union else 0.0,
+        "signal_above_noise": bool(inter >= sa.d2_bound(sb)
+                                   and inter > 0),
+    }
+
+
+def grouped_overlap(df: DataFrame, group_col: str, spec: SketchSpec,
+                    shards: int | None = None) -> DataFrame:
     """Pairwise distinct-overlap matrix between groups via theta
     sketches: one mergeable sketch per group (map-side partials, blob
     shuffle only), then every group pair's intersection/union
-    estimated driver-side from the collected blobs — the
-    corpus-overlap question ("how much content do sources A and B
-    share?") that HLL cannot answer directly.
+    estimated from the blobs — the corpus-overlap question ("how much
+    content do sources A and B share?") that HLL cannot answer
+    directly.
 
     ``spec`` must be a theta spec; ``prep="tokens"`` makes the overlap
     CONTENT overlap (shared token multiplicity ignored — sets), while
     ``prep="raw"`` overlaps the raw column values (urls, ids).
     Returns (group_a, group_b, est_a, est_b, est_intersection,
-    est_jaccard, signal_above_noise) for each unordered pair —
-    ``signal_above_noise`` reports whether the intersection estimate
-    is resolvable above the sketch's noise floor (est ≥ d2_bound; in
-    exact mode the bound is 0, so any nonzero overlap is a signal).
-    A null group value contributes no pairs (documented skip — a
-    null source key has no meaningful overlap identity).
+    est_jaccard, signal_above_noise) for each unordered pair, with
+    group keys cast to STRING in every path (one stable schema; pair
+    order is ``str(a) < str(b)``) — ``signal_above_noise`` reports
+    whether the intersection estimate is resolvable above the
+    sketch's noise floor (est ≥ d2_bound; in exact mode the bound is
+    0, so any nonzero overlap is a signal).  A null group value
+    contributes no pairs (documented skip — a null source key has no
+    meaningful overlap identity).
 
-    Scale: |groups| blobs × 8k bytes collect; the pairwise loop is
-    |groups|² driver-side float work on ≤k-element arrays — fine to
-    thousands of groups; shard the pair loop if you have more.
+    ``shards=None`` (default): collect the |groups| blobs and run the
+    |groups|² pair loop driver-side — right up to a few thousand
+    groups (8 KB blobs, float work on ≤k-element arrays).
+
+    ``shards=S``: the distributed pair grid for host-scale group
+    counts (10⁶ hosts ⇒ 10¹² pairs — no driver loop survives that).
+    Each group's blob is hashed to one of S shards and replicated to
+    the S grid cells (min(s,t), max(s,t)) for t < S; every unordered
+    shard pair is ONE applyInPandas task that evaluates exactly the
+    pairs falling in its cell, so each group pair is computed exactly
+    once, work is spread over S·(S+1)/2 tasks, and only blobs ever
+    shuffle (|groups|·S rows).  Pick S ≈ sqrt(total_pairs /
+    pairs_per_task); results are identical to the driver loop.
     """
     import itertools
 
@@ -350,25 +379,54 @@ def grouped_overlap(df: DataFrame, group_col: str,
     if spec.kind != "theta":
         raise ValueError("grouped_overlap requires a theta SketchSpec")
     spark = df.sparkSession
-    g = grouped_sketches(df, [group_col], spec).collect()
-    sketches = {r[group_col]: sketch_from_bytes(bytes(r["sketch"]))
-                for r in g if r[group_col] is not None}
-    schema = ("group_a string, group_b string, est_a double, "
-              "est_b double, est_intersection double, "
-              "est_jaccard double, signal_above_noise boolean")
-    rows = []
-    for a, b in itertools.combinations(sorted(sketches, key=str), 2):
-        sa, sb = sketches[a], sketches[b]
-        inter = sa.intersect_estimate(sb)
-        union = sa.merge(sb).estimate()
-        rows.append({
-            "group_a": a, "group_b": b,
-            "est_a": sa.estimate(), "est_b": sb.estimate(),
-            "est_intersection": inter,
-            "est_jaccard": inter / union if union else 0.0,
-            "signal_above_noise": bool(inter >= sa.d2_bound(sb)
-                                       and inter > 0),
-        })
-    if not rows:  # <2 groups: empty result with a stable schema
-        return spark.createDataFrame([], schema)
-    return spark.createDataFrame(pd.DataFrame(rows))
+    grouped = (grouped_sketches(df, [group_col], spec)
+               .filter(F.col(group_col).isNotNull())
+               .select(F.col(group_col).cast("string").alias("g"),
+                       "sketch"))
+
+    if shards is None:
+        rows = []
+        collected = grouped.collect()
+        sketches = {r["g"]: sketch_from_bytes(bytes(r["sketch"]))
+                    for r in collected}
+        for a, b in itertools.combinations(sorted(sketches), 2):
+            rows.append({"group_a": a, "group_b": b,
+                         **_pair_stats(sketches[a], sketches[b])})
+        if not rows:  # <2 groups: empty result with a stable schema
+            return spark.createDataFrame([], _OVERLAP_SCHEMA)
+        return spark.createDataFrame(
+            pd.DataFrame(rows), schema=_OVERLAP_SCHEMA)
+
+    if shards < 1:
+        raise ValueError(f"shards must be ≥ 1, got {shards}")
+    ensure_shipped(spark)
+    s_col = F.pmod(F.xxhash64("g"), F.lit(shards)).cast("int")
+    t_col = F.explode(F.array(*[F.lit(t) for t in range(shards)]))
+    cells = (grouped.withColumn("s", s_col)
+             .withColumn("t", t_col.alias("t"))
+             .select(F.least("s", "t").alias("ci"),
+                     F.greatest("s", "t").alias("cj"),
+                     "s", "g", "sketch"))
+
+    def cell_kernel(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        from facs_spark.sketch import sketch_from_bytes as sfb
+        ci, cj = key
+        sks = {g: sfb(bytes(b)) for g, b in zip(pdf["g"], pdf["sketch"])}
+        side = dict(zip(pdf["g"], pdf["s"]))
+        out = []
+        if ci == cj:  # diagonal: all unordered pairs within the shard
+            pair_iter = itertools.combinations(sorted(sks), 2)
+        else:  # off-diagonal: ci-side × cj-side only
+            left = sorted(g for g in sks if side[g] == ci)
+            right = sorted(g for g in sks if side[g] == cj)
+            pair_iter = ((min(a, b), max(a, b))
+                         for a in left for b in right)
+        for a, b in pair_iter:
+            out.append({"group_a": a, "group_b": b,
+                        **_pair_stats(sks[a], sks[b])})
+        cols = ["group_a", "group_b", "est_a", "est_b",
+                "est_intersection", "est_jaccard", "signal_above_noise"]
+        return pd.DataFrame(out, columns=cols)
+
+    return cells.groupBy("ci", "cj").applyInPandas(
+        cell_kernel, schema=_OVERLAP_SCHEMA)

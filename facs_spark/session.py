@@ -49,18 +49,49 @@ def ensure_shipped(spark: SparkSession) -> None:
     _SHIPPED_SESSIONS.add(key)
 
 
+# A pandas-UDF task costs ~50-100 ms of fixed overhead (task launch,
+# Arrow channel, python-worker round-trip) regardless of rows, so a
+# kernel partition is only worth scheduling once it carries at least
+# this many plan-stat bytes.  ~2 MiB of text is ~0.1 s of shingle
+# kernel — comparable to the overhead, the break-even point.
+_KERNEL_SPLIT_BYTES = 2 << 20
+
+
+def _plan_size_bytes(df) -> int | None:
+    """Catalyst's optimized-plan size estimate (cheap: file-stat based
+    for scans, no job).  None when the estimate is unavailable."""
+    try:
+        size = int(df._jdf.queryExecution().optimizedPlan().stats()
+                   .sizeInBytes())
+        # Catalyst signals "unknown" with Long.MaxValue-ish sentinels
+        return size if 0 <= size < (1 << 60) else None
+    except Exception:
+        return None
+
+
 def ensure_parallelism(df, min_partitions: int | None = None):
-    """Repartition iff the plan has fewer partitions than cores.
+    """Repartition iff the plan has fewer partitions than the data
+    warrants — sized by *bytes*, capped at the core count.
 
     Small local inputs (one parquet footer < maxPartitionBytes) scan as
-    1-2 partitions, serializing CPU-heavy kernels behind them.  At
-    cluster scale the condition is false (100 TB scans already have
-    ~10⁶ splits) and this is a no-op — no gratuitous shuffle.
+    1-2 partitions, serializing CPU-heavy kernels behind them — but
+    fanning a 5000-row table out to 32 python-worker tasks costs more
+    in per-task overhead than the kernel computes, so the target is
+    ``ceil(plan_bytes / _KERNEL_SPLIT_BYTES)`` clamped to
+    [1, defaultParallelism].  At cluster scale the condition is false
+    (100 TB scans already have ~10⁶ splits) and this is a no-op — no
+    gratuitous shuffle.
     """
     if df.isStreaming:  # micro-batch sizing is the trigger's job
         return df
     spark = df.sparkSession
-    target = min_partitions or spark.sparkContext.defaultParallelism
+    cores = spark.sparkContext.defaultParallelism
+    if min_partitions is not None:
+        target = min_partitions
+    else:
+        size = _plan_size_bytes(df)
+        target = cores if size is None else max(
+            1, min(cores, -(-size // _KERNEL_SPLIT_BYTES)))
     if df.rdd.getNumPartitions() < target:
         return df.repartition(target)
     return df

@@ -122,6 +122,10 @@ class CountMinSketch:
     @classmethod
     def from_bytes(cls, blob: bytes) -> "CountMinSketch":
         version, payload = unframe(_MAGIC, blob)
+        if version not in (1, 2):
+            raise ValueError(
+                f"unsupported CMS frame version {version} (this release "
+                "reads v1 dense / v2 sparse)")
         d, w, total = _HDR.unpack_from(payload)
         if version == 2:
             (count,) = struct.unpack_from("<I", payload, _HDR.size)

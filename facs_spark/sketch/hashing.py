@@ -231,8 +231,14 @@ def key_hash_batch(values, seed: int = 0) -> np.ndarray:
     if arr.dtype.kind in "iu":
         return hash3_matrix(int64_key_matrix(arr), seed)
     if arr.dtype.kind == "f":
-        return hash3_matrix(int64_key_matrix(
-            arr.astype(np.float64).view(np.int64)), seed)
+        # normalize before viewing bits: -0.0 + 0.0 → +0.0 (IEEE), so
+        # 0.0/-0.0 hash identically (SQL DISTINCT semantics — the
+        # oracles compare against it); NaNs collapse to one canonical
+        # bit pattern for the same reason
+        f = arr.astype(np.float64) + 0.0
+        if np.isnan(f).any():
+            f = np.where(np.isnan(f), np.float64("nan"), f)
+        return hash3_matrix(int64_key_matrix(f.view(np.int64)), seed)
     return hash_strings_batch(list(values), seed)
 
 

@@ -142,6 +142,12 @@ class HyperLogLog:
     @classmethod
     def from_bytes(cls, blob: bytes) -> "HyperLogLog":
         version, payload = unframe(_MAGIC, blob)
+        if version not in (1, 2):
+            # fail loudly on formats from a NEWER release — silently
+            # parsing an unknown layout as dense registers corrupts
+            raise ValueError(
+                f"unsupported HLL frame version {version} (this release "
+                "reads v1 dense / v2 sparse)")
         (p,) = _HDR.unpack_from(payload)
         if version == 2:
             (count,) = struct.unpack_from("<I", payload, _HDR.size)

@@ -102,3 +102,23 @@ def test_shingle_hashes_match_string_set_semantics(texts, n):
             inter = np.intersect1d(got[i], got[j],
                                    assume_unique=True).size
             assert inter == len(want[i] & want[j])
+
+
+def test_shingle_ascii_fast_path_matches_fallback():
+    """The Arrow-buffer + LUT-lowercase fast path (pure-ASCII batches)
+    must produce bit-identical hash sets to the per-doc
+    ``.lower().encode()`` fallback — appending one non-ASCII doc
+    forces the SAME batch down the fallback, so the two paths are
+    compared on identical inputs."""
+    import numpy as np
+
+    from facs_spark.ops.dedup import _shingle_hashes
+
+    docs = [None, "", "   ", "Hello World HELLO world",
+            "tab\tsep\nnewline\rcr", "a", "one two", "x y z " * 300,
+            "\x1c\x1dC0-seps\x1e\x1f here", "MiXeD CaSe ToKeNs 123"]
+    for n in (1, 2, 3, 5):
+        fast = _shingle_hashes(docs, n)
+        forced = _shingle_hashes(docs + ["ünïcode"], n)[:-1]
+        for f, s in zip(fast, forced):
+            assert np.array_equal(f, s), n
