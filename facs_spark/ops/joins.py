@@ -23,7 +23,7 @@ side is itself a computed DataFrame.
 from __future__ import annotations
 
 import numpy as np
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, functions as F
 
 from ..session import ensure_parallelism, ensure_shipped
 from .sketch_agg import SketchSpec, build_sketch
@@ -32,12 +32,31 @@ _PRUNABLE = ("inner", "left_semi", "leftsemi", "semi")
 
 
 def bloom_key_filter(df: DataFrame, key: str, blob: bytes | list,
-                     spark=None) -> DataFrame:
+                     spark=None, key_range: tuple | None = None
+                     ) -> DataFrame:
     """Filter ``df`` to rows whose ``key`` is (probably) in the Bloom
     filter ``blob`` — the map-side half of ``bloom_prejoin``, exposed
-    for pipelines that reuse one filter across several scans."""
+    for pipelines that reuse one filter across several scans.
+
+    ``key_range=(mn, mx)``: the build side's key min/max, applied as a
+    Catalyst ``BETWEEN`` *before* the Bloom kernel.  The Bloom probe
+    itself is a python kernel, opaque to the optimizer, so on its own
+    it prunes rows only AFTER the scan has read them; the range
+    predicate is a plain expression Catalyst pushes into the parquet/
+    Iceberg scan (``PushedFilters``), where row-group zone maps and —
+    when the key correlates with a partition column — partition
+    pruning skip whole files before a byte is read.  Rows outside
+    [mn, mx] cannot be in the filter, so the composition is exact.
+    This is the SURVEY §4 pushdown step: probe-in-scan via the stats
+    any columnar format already keeps (asserted by
+    test_bloom_prejoin_range_pushdown).
+    """
     spark = spark or df.sparkSession
     ensure_shipped(spark)
+    if key_range is not None:
+        mn, mx = key_range
+        if mn is not None and mx is not None:
+            df = df.filter(F.col(key).between(F.lit(mn), F.lit(mx)))
     bc = spark.sparkContext.broadcast(blob)
     schema = df.schema
 
@@ -61,7 +80,8 @@ def bloom_key_filter(df: DataFrame, key: str, blob: bytes | list,
 
 def bloom_prejoin(probe: DataFrame, build: DataFrame, key: str,
                   how: str = "inner", error_rate: float = 0.01,
-                  n_keys: int | None = None) -> DataFrame:
+                  n_keys: int | None = None,
+                  range_prefilter: bool = True) -> DataFrame:
     """Equi-join with a Bloom runtime filter: ``probe ⋈ build`` on
     ``key``, where probe-side rows are pruned map-side by a Bloom
     filter of the build side's keys before any shuffle.
@@ -75,12 +95,38 @@ def bloom_prejoin(probe: DataFrame, build: DataFrame, key: str,
     ``n_keys``: optional build-side cardinality hint for filter
     sizing (skips a count job; an upper bound is fine — oversizing
     only lowers the FPR).
+
+    ``range_prefilter=True`` (default) additionally collects the
+    build side's key min/max (one tiny agg job — the build side is
+    the small side by assumption; combined with the count when
+    ``n_keys`` is omitted) and plants ``key BETWEEN mn AND mx`` ahead
+    of the Bloom kernel, which Catalyst pushes into the probe-side
+    scan for row-group / partition pruning (see ``bloom_key_filter``).
+
+    Relation to Spark's own runtime filters: with
+    ``spark.sql.optimizer.runtime.bloomFilter.enabled`` Catalyst
+    injects a bloom filter into shuffle joins it plans itself, within
+    creation-side size thresholds.  This explicit operator wins when
+    the filter must be REUSED across several scans/queries, when the
+    build side exceeds the injection thresholds (banked >1 GiB
+    filters), when the probe feeds a python-kernel pipeline Catalyst
+    cannot see through, or when the build side is a computed
+    DataFrame the optimizer will not consider.
     """
     if how not in _PRUNABLE:
         raise ValueError(
             f"bloom_prejoin only supports {_PRUNABLE}, got {how!r}: "
             "outer joins must keep unmatched probe rows")
-    if n_keys is None:
+    key_range = None
+    if range_prefilter:
+        aggs = [F.min(key), F.max(key)]
+        if n_keys is None:
+            aggs.append(F.count(F.lit(1)))
+        row = build.agg(*aggs).collect()[0]
+        key_range = (row[0], row[1])
+        if n_keys is None:
+            n_keys = row[2]
+    elif n_keys is None:
         n_keys = build.count()
     spec = SketchSpec.make("bloom", key, prep="raw",
                            capacity=max(n_keys, 1), error_rate=error_rate)
@@ -89,5 +135,5 @@ def bloom_prejoin(probe: DataFrame, build: DataFrame, key: str,
         bloom = spec.new_sketch()
     blob = bloom.to_bytes()
     banked = bloom.split_banks(1 << 30) if len(blob) > (1 << 30) else blob
-    pruned = bloom_key_filter(probe, key, banked)
+    pruned = bloom_key_filter(probe, key, banked, key_range=key_range)
     return pruned.join(build, key, how)

@@ -1069,6 +1069,100 @@ ORDER BY day, event_type
 
 
 # =====================================================================
+# q38 — a REAL watermark through streaming/monitor.py: the events
+# table cast to TIMESTAMP_LTZ (an instant — watermarks are undefined
+# on NTZ), split into an "old days" file and a "last 3 days" file,
+# streamed as two update-mode micro-batches.  Batch 1 (days ≤ max−3d)
+# advances the watermark to max_old − 2d, so batch 1's old windows
+# are finalized and EVICTED at the end of batch 2 — bounded state,
+# asserted on the state-store metrics by
+# test_stream_watermark_evicts_state.  No row ever arrives below the
+# current watermark (batch 2 holds only the NEWEST days), so the
+# result stays inside Spark's guaranteed watermark direction — data
+# within the threshold is never dropped.  (The drop direction is
+# deliberately NOT part of the oracle: the Structured Streaming
+# contract says beyond-threshold data "may or may not" be aggregated,
+# and empirically update mode aggregates it — an oracle built on
+# drops would encode undefined behavior.)  Every window is therefore
+# complete, update mode emits each window in exactly the batch(es)
+# that touch it, counts are monotone, and MAX(n) per key equals the
+# plain batch GROUP BY — the q28-style batch≡stream oracle, now with
+# eviction actually happening mid-stream.
+# =====================================================================
+def _q38_stage(spark, sf_dir: str):
+    """Stage the two-file LTZ fixture; returns (src_dir, ckpt_dir).
+    File mtimes order the micro-batches (the file source processes
+    oldest-first): the old-days backfill first, the fresh tail
+    second — the realistic backfill-then-ingest shape."""
+    import glob as _glob
+    import os
+    import shutil
+    import tempfile
+    import time as _time
+
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    ev = (spark.read.parquet(f"{sf_dir}/events.parquet")
+          .withColumn("ts", F.col("ts").cast("timestamp")))
+    max_day = ev.agg(F.date_trunc("day", F.max("ts"))).collect()[0][0]
+    cutoff = max_day - __import__("datetime").timedelta(days=2)
+    is_new = F.date_trunc("day", F.col("ts")) >= F.lit(cutoff)
+    src = tempfile.mkdtemp(prefix="q38_src_")
+    ckpt = tempfile.mkdtemp(prefix="q38_ckpt_")
+    now = _time.time()
+    for i, (name, subset) in enumerate(
+            [("0_backfill", ev.filter(~is_new)),
+             ("1_fresh", ev.filter(is_new))]):
+        tmp = tempfile.mkdtemp(prefix=f"q38_write_{name}_")
+        subset.coalesce(1).write.mode("overwrite").parquet(tmp)
+        part = _glob.glob(os.path.join(tmp, "part-*.parquet"))[0]
+        dst = os.path.join(src, f"{name}.parquet")
+        shutil.move(part, dst)
+        shutil.rmtree(tmp, ignore_errors=True)
+        os.utime(dst, (now - 100 + i * 50, now - 100 + i * 50))
+    return src, ckpt
+
+
+def q38_stream_watermarked_counts(spark: SparkSession,
+                                  sf_dir: str) -> DataFrame:
+    import shutil
+    import uuid
+
+    from .streaming.monitor import run_monitor_once, windowed_event_counts
+    src, ckpt = _q38_stage(spark, sf_dir)
+    try:
+        ev = (spark.readStream
+              .schema("event_id long, ts timestamp, user_id long, "
+                      "event_type string, value double, props string")
+              .option("maxFilesPerTrigger", "1")
+              .parquet(src))
+        agg = windowed_event_counts(ev, ts_col="ts", window="1 day",
+                                    watermark="2 days")
+        out = agg.select(
+            F.date_format("win.start", "yyyy-MM-dd").alias("day"),
+            "event_type", "n")
+        qname = "q38_sink_" + uuid.uuid4().hex[:8]
+        run_monitor_once(out, ckpt, query_name=qname,
+                         output_mode="update")
+        # update mode re-emits a window each time a batch touches it;
+        # counts are monotone, so MAX(n) per key is the final value
+        return spark.sql(
+            f"SELECT day, event_type, MAX(n) AS n FROM {qname} "
+            "GROUP BY day, event_type ORDER BY day, event_type")
+    finally:
+        shutil.rmtree(src, ignore_errors=True)
+        shutil.rmtree(ckpt, ignore_errors=True)
+
+
+Q38_SQL = """
+SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day, event_type,
+       COUNT(*) AS n
+FROM events
+GROUP BY 1, 2
+ORDER BY day, event_type
+"""
+
+
+# =====================================================================
 # q30 — multi-way join breadth (TPC-H Q5 shape): 6-table local-supply
 # revenue per nation.  Dims (region/nation/supplier/customer)
 # broadcast; the two fact joins shuffle on their keys; revenue in
@@ -1163,15 +1257,14 @@ def q34_bloom_prejoin(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = (_read(spark, sf_dir, "lineitem")
           .select(F.col("l_partkey").alias("p_partkey"),
                   "l_quantity", "l_extendedprice"))
-    part_all = _read(spark, sf_dir, "part")
-    part = (part_all.filter(F.col("p_brand") == "Brand#23")
+    part = (_read(spark, sf_dir, "part")
+            .filter(F.col("p_brand") == "Brand#23")
             .select("p_partkey", "p_brand"))
-    # n_keys hint: the unfiltered table's row count is a metadata-only
-    # parquet-footer read and a valid upper bound (oversizing only
-    # lowers the FPR) — skips bloom_prejoin's count job on the
-    # filtered build side (round-3 VERDICT item #6)
+    # one combined (min, max, count) agg job on the build side sizes
+    # the filter AND plants the scan-pushed range prefilter — no
+    # separate count job (round-3 VERDICT items #4/#6)
     joined = bloom_prejoin(li, part, "p_partkey", how="inner",
-                           error_rate=1e-6, n_keys=part_all.count())
+                           error_rate=1e-6)
     return (joined.groupBy("p_brand")
             .agg(F.count(F.lit(1)).alias("n_items"),
                  F.sum("l_quantity").cast("long").alias("sum_qty"),
@@ -1399,6 +1492,7 @@ def queries():
         "q35_cap_per_group": q35_cap_per_group,
         "q36_deterministic_shuffle": q36_deterministic_shuffle,
         "q37_theta_overlap": q37_theta_overlap,
+        "q38_stream_watermarked_counts": q38_stream_watermarked_counts,
     }
 
 
@@ -1449,6 +1543,7 @@ def oracle_sql():
         "q35_cap_per_group": Q35_SQL,
         "q36_deterministic_shuffle": Q36_SQL,
         "q37_theta_overlap": Q37_SQL,
+        "q38_stream_watermarked_counts": Q38_SQL,
     }
 
 

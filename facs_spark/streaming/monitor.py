@@ -85,6 +85,29 @@ def windowed_contamination(classified: DataFrame,
                         / F.col("total_read_count")))
 
 
+def windowed_event_counts(events: DataFrame, ts_col: str = "ts",
+                          window: str = "1 day",
+                          watermark: str = "2 days",
+                          keys: tuple[str, ...] = ("event_type",)
+                          ) -> DataFrame:
+    """Watermarked per-window event counts — the generic update-mode
+    monitor aggregation (``windowed_contamination`` minus the
+    classifier).  ``ts_col`` must be an *instant* (TIMESTAMP_LTZ):
+    watermarks are defined on event-time instants, so an NTZ crawl
+    timestamp needs one ``.cast("timestamp")`` upstream.  In update
+    output mode the watermark finalizes and EVICTS windows older than
+    ``watermark`` — state is O(active windows × keys) no matter how
+    long the stream runs, and rows arriving after their window was
+    evicted are dropped (the late-data contract, asserted by
+    test_stream_watermark_evicts_state and oracle-checked end-to-end
+    by q38).
+    """
+    return (events.withWatermark(ts_col, watermark)
+            .groupBy(F.window(F.col(ts_col), window).alias("win"),
+                     *[F.col(k) for k in keys])
+            .agg(F.count(F.lit(1)).alias("n")))
+
+
 def run_monitor_once(report: DataFrame, checkpoint_dir: str,
                      query_name: str = "contamination_monitor",
                      output_mode: str = "complete"):

@@ -202,3 +202,50 @@ def test_bloom_prejoin_filter_is_map_side(spark):
     # exactly the one repartition we created — the filter adds none
     assert _n_nodes(plan, "Exchange") == 1
     assert _n_nodes(plan, "MapInPandas") == 1
+
+
+def test_bloom_prejoin_range_pushdown(spark, tmp_path):
+    """The range prefilter must reach the STORAGE layer: on a
+    partitioned fixture the build side's key min/max shows up as a
+    partition filter (whole directories skipped — the scan lists only
+    the in-range partitions) and as PushedFilters on an unpartitioned
+    scan (row-group zone-map pruning).  The join result must equal
+    the plain join exactly (the prefilter is semantically invisible)."""
+    import pandas as pd
+
+    from facs_spark.ops.joins import bloom_prejoin
+
+    # probe fixture partitioned by a key-derived bucket: key k in
+    # [0, 4000), partition kb = k div 1000 — 4 directories
+    probe = (spark.range(0, 4000)
+             .select(F.col("id").alias("k"),
+                     (F.col("id") % 97).alias("v"),
+                     (F.col("id") / 1000).cast("int").alias("kb")))
+    path = str(tmp_path / "probe_parted")
+    probe.write.partitionBy("kb").mode("overwrite").parquet(path)
+    parted = spark.read.parquet(path)
+    # build side: keys 1200-1299 — entirely inside partition kb=1
+    build = spark.createDataFrame(
+        pd.DataFrame({"k": list(range(1200, 1300))}))
+    joined = bloom_prejoin(parted, build, "k", how="inner",
+                           error_rate=1e-6)
+    plan = _formatted(joined)
+    # the BETWEEN prefilter is pushed into the parquet scan
+    assert "GreaterThanOrEqual(k,1200)" in plan, plan.split("\n\n")[0]
+    assert "LessThanOrEqual(k,1299)" in plan
+    # and composes with partition pruning when the key correlates
+    # with the partition column: derive the kb bounds from the same
+    # range and the scan lists ONE partition instead of four
+    kb_joined = bloom_prejoin(
+        parted.filter(F.col("kb").between(1200 // 1000, 1299 // 1000)),
+        build, "k", how="inner", error_rate=1e-6)
+    kb_plan = _formatted(kb_joined)
+    import re
+    m = re.search(r"Scan parquet[\s\S]*?(partition filters|"
+                  r"PartitionFilters): \[([^\]]*)\]", kb_plan, re.I)
+    assert m and "kb" in m.group(2), kb_plan[:2000]
+    # exactness: identical rows to the plain join
+    plain = parted.join(build, "k", "inner")
+    got = sorted(tuple(r) for r in joined.collect())
+    want = sorted(tuple(r) for r in plain.collect())
+    assert got == want and len(got) == 100

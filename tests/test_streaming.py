@@ -156,3 +156,60 @@ def test_streaming_grouped_sketch_kll(spark, pages_dir, tmp_path):
         from facs_spark.sketch import sketch_from_bytes
         sk = sketch_from_bytes(bytes(r["sketch"]))
         assert abs(rank - 0.5) <= sk.rank_error + 1.0 / n, (lang, rank)
+
+
+def test_stream_watermark_evicts_state(spark, tmp_path):
+    """The q38 pipeline's watermark actually BOUNDS state: after the
+    two-batch drain (old-days backfill, then the fresh tail), the
+    aggregation state holds only the windows the final watermark has
+    not yet finalized — far fewer than the total distinct windows —
+    and the emitted result still equals the batch GROUP BY (no data
+    within the threshold was dropped)."""
+    import uuid
+
+    from facs_spark.queries import _q38_stage
+    from facs_spark.streaming.monitor import windowed_event_counts
+
+    sf_dir = "/root/testdata/sf0.001"
+    src, ckpt = _q38_stage(spark, sf_dir)
+    try:
+        ev = (spark.readStream
+              .schema("event_id long, ts timestamp, user_id long, "
+                      "event_type string, value double, props string")
+              .option("maxFilesPerTrigger", "1")
+              .parquet(src))
+        agg = windowed_event_counts(ev, ts_col="ts", window="1 day",
+                                    watermark="2 days")
+        out = agg.select(
+            F.date_format("win.start", "yyyy-MM-dd").alias("day"),
+            "event_type", "n")
+        qname = "wm_evict_" + uuid.uuid4().hex[:6]
+        q = (out.writeStream.outputMode("update").format("memory")
+             .queryName(qname).option("checkpointLocation", ckpt)
+             .trigger(availableNow=True).start())
+        q.awaitTermination()
+        progress = [p for p in q.recentProgress if p["stateOperators"]]
+        assert len(progress) >= 2, "expected two micro-batches"
+        first, last = progress[0], progress[-1]
+        n_windows_total = first["stateOperators"][0]["numRowsTotal"]
+        n_state_final = last["stateOperators"][0]["numRowsTotal"]
+        # batch 1 held every (day × type) window; the final watermark
+        # (max_old_ts − 2d) finalized all but the trailing ~5 days
+        assert n_state_final < n_windows_total / 3, (
+            n_state_final, n_windows_total)
+        assert last["eventTime"].get("watermark", "").startswith("2024")
+        # and the emitted counts still equal the batch GROUP BY
+        got = {(r["day"], r["event_type"]): r["n"] for r in spark.sql(
+            f"SELECT day, event_type, MAX(n) AS n FROM {qname} "
+            "GROUP BY day, event_type").collect()}
+        want = {(r["day"], r["event_type"]): r["n"] for r in
+                (spark.read.parquet(f"{sf_dir}/events.parquet")
+                 .groupBy(F.date_format(F.date_trunc("day", "ts"),
+                                        "yyyy-MM-dd").alias("day"),
+                          "event_type")
+                 .agg(F.count(F.lit(1)).alias("n"))).collect()}
+        assert got == want
+    finally:
+        import shutil
+        shutil.rmtree(src, ignore_errors=True)
+        shutil.rmtree(ckpt, ignore_errors=True)
