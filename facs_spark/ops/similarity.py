@@ -427,34 +427,35 @@ def ivf_topk(df: DataFrame, id_col: str, vec_col: str, k: int = 10,
     frac = min(1.0, 1.5 * sample / max(n_rows, 1))
     drawn = [r[vec_col] for r in
              df.select(vec_col).sample(fraction=frac, seed=seed).collect()]
-    if len(drawn) < max(8, n_cells // 8):
-        # an overestimated n_rows hint (upper bounds are legal for
-        # the sibling ops) can make frac vanishingly small.  The
-        # short draw itself estimates the true row count
-        # (len/frac), so a SECOND seeded Bernoulli draw at the
-        # corrected fraction stays unbiased — a limit() fallback
-        # would reintroduce exactly the head bias the seeded draw
-        # exists to avoid (round-3 VERDICT item #5).
+    # an overestimated n_rows hint (upper bounds are legal for the
+    # sibling ops) can make frac vanishingly small.  Recover with
+    # further SEEDED BERNOULLI draws — never limit(), which would
+    # reintroduce exactly the head bias the seeded draw exists to
+    # avoid (round-3 VERDICT item #5): a non-empty short draw
+    # estimates the true row count (len/frac) and one corrected draw
+    # suffices; an empty draw carries no estimate, so the fraction
+    # escalates geometrically (≤6 rounds reaches 1.0 from any
+    # realistic overestimate; fraction 1.0 keeps every row, so a
+    # still-empty draw means an empty table).
+    need = max(8, n_cells // 8)
+    attempt = 0
+    while len(drawn) < need and frac < 1.0 and attempt < 8:
         import warnings
         if drawn:
             est_rows = max(len(drawn) / frac, 1.0)
-            frac2 = min(1.0, 2.0 * sample / est_rows)
-            warnings.warn(
-                f"ivf_topk: Bernoulli draw returned {len(drawn)} "
-                f"vectors for sample={sample} (n_rows hint too "
-                f"high?); redrawing at fraction {frac2:.3g}",
-                RuntimeWarning, stacklevel=2)
-            drawn = [r[vec_col] for r in
-                     df.select(vec_col)
-                     .sample(fraction=frac2, seed=seed + 1).collect()]
-        if not drawn:
-            # zero rows at any sampled fraction — only a (near-)empty
-            # table lands here, where limit() IS the whole table and
-            # carries no ordering bias
-            drawn = [r[vec_col] for r in
-                     df.select(vec_col).limit(sample).collect()]
-        if not drawn:
-            raise ValueError("ivf_topk: input has no rows")
+            frac = min(1.0, 2.0 * sample / est_rows)
+        else:
+            frac = min(1.0, frac * 64.0)
+        warnings.warn(
+            f"ivf_topk: Bernoulli draw returned {len(drawn)} vectors "
+            f"for sample={sample} (n_rows hint too high?); redrawing "
+            f"at fraction {frac:.3g}", RuntimeWarning, stacklevel=2)
+        drawn = [r[vec_col] for r in
+                 df.select(vec_col)
+                 .sample(fraction=frac, seed=seed + 1 + attempt).collect()]
+        attempt += 1
+    if not drawn:
+        raise ValueError("ivf_topk: input has no rows")
     if len(drawn) > sample:
         pick = np.random.default_rng(seed).choice(
             len(drawn), size=sample, replace=False)

@@ -1410,21 +1410,27 @@ SHUFFLE_HEAD = 20
 
 
 def q35_cap_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # composite (lang, source) curation key — the realistic cap unit
+    # (host+lang); the oracle replays the identical two-column
+    # partition and md5 ordering, so the SELECTION (not just the
+    # sizes) must match row for row
     from .ops.sampling import cap_per_group
     docs = _read(spark, sf_dir, "documents")
-    capped = cap_per_group(docs, "lang", "doc_id", cap=CAP_PER_LANG, seed=0)
-    return capped.select("lang", "doc_id").orderBy("lang", "doc_id")
+    capped = cap_per_group(docs, ["lang", "source"], "doc_id",
+                           cap=CAP_PER_LANG, seed=0)
+    return (capped.select("lang", "source", "doc_id")
+            .orderBy("lang", "source", "doc_id"))
 
 
 Q35_SQL = f"""
-SELECT lang, doc_id FROM (
-  SELECT lang, doc_id,
+SELECT lang, source, doc_id FROM (
+  SELECT lang, source, doc_id,
          ROW_NUMBER() OVER (
-           PARTITION BY lang
+           PARTITION BY lang, source
            ORDER BY md5('0:' || CAST(doc_id AS VARCHAR)), doc_id) AS rk
   FROM documents) t
 WHERE rk <= {CAP_PER_LANG}
-ORDER BY lang, doc_id
+ORDER BY lang, source, doc_id
 """
 
 

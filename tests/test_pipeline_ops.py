@@ -447,6 +447,48 @@ def test_ivf_centroid_sample_covers_sorted_table(spark):
     assert tail_recall >= 0.9, f"tail-cluster recall {tail_recall}"
 
 
+def test_ivf_short_draw_redraw_stays_unbiased(spark):
+    """A wildly overestimated n_rows hint makes the first Bernoulli
+    centroid draw come up (near-)empty; the corrected-fraction REDRAW
+    must restore full coverage of a cluster-sorted table — a limit()
+    fallback would model only the head clusters and strand the tail
+    (the exact bias the seeded draw exists to avoid)."""
+    import warnings
+
+    import pandas as pd
+
+    from pyspark.sql.window import Window as W
+
+    from facs_spark.ops.similarity import brute_force_topk, ivf_topk
+    rng = np.random.default_rng(5)
+    centers = rng.standard_normal((16, 64)) * 4
+    pts = (np.repeat(centers, 256, axis=0)
+           + 0.2 * rng.standard_normal((4096, 64)))  # sorted by cluster
+    emb = spark.createDataFrame(pd.DataFrame(
+        {"vec_id": np.arange(4096), "embedding": [v.tolist() for v in pts]}))
+    ids = np.arange(4096)
+    exact = (brute_force_topk(emb, pts, ids, "vec_id", "embedding", k=6)
+             .filter(F.col("neighbor_id") != F.col("query_id"))
+             .withColumn("rk", F.row_number().over(
+                 W.partitionBy("query_id").orderBy("rank")))
+             .filter(F.col("rk") <= 5).select("query_id", "neighbor_id"))
+    with warnings.catch_warnings(record=True) as caught:
+        warnings.simplefilter("always")
+        got = (ivf_topk(emb, "vec_id", "embedding", k=5, n_cells=16,
+                        nprobe=2, n_rows=40_000_000)  # hint 10,000× high
+               .select("query_id", "neighbor_id"))
+        n_exact = exact.count()
+        tail = F.col("query_id") >= 3840
+        tail_hits = (got.filter(tail)
+                     .join(exact.filter(tail),
+                           ["query_id", "neighbor_id"]).count())
+        hits = got.join(exact, ["query_id", "neighbor_id"]).count()
+    assert any("redrawing at fraction" in str(w.message) for w in caught), \
+        "expected the short-draw redraw warning"
+    assert hits / n_exact >= 0.95
+    assert tail_hits / exact.filter(tail).count() >= 0.9
+
+
 # ------------------------------------------------------------ checkpoint
 def test_checkpoint_build_and_resume(spark, docs):
     spec = SketchSpec.make("hll", "doc_id", p=12)
