@@ -1,0 +1,116 @@
+"""Event-time operators Spark lacks natively: as-of join and
+gap-based sessionization.
+
+Both are staples of weblog / market-data / training-telemetry
+pipelines, and both are re-expressed Spark-first as ONE keyed shuffle
+plus in-partition window work — never a join explosion:
+
+* ``asof_join`` — for each left row, the single right row with the
+  greatest right ts ≤ left ts (backward; ``forward`` mirrors it) per
+  key.  The naive Spark shape (equi-join on key + filter + row_number)
+  materializes |left per key| × |right per key| rows before pruning —
+  quadratic in key multiplicity, fatal on a hot key at 10¹² rows.
+  This implementation is the union-and-fill pattern: tag both sides,
+  union (schema-aligned), ONE window partitioned by key and ordered
+  by (ts, side) carries the last non-null right payload forward, then
+  keep left rows.  Cost: one shuffle of left+right rows on the key,
+  one in-partition sort — the same price as the window the SQL
+  engines use, linear in input.
+* ``sessionize`` — split each key's ordered event stream into
+  sessions wherever the gap to the previous event exceeds ``gap``;
+  session ids are a running sum over a lag comparison.  One window
+  (one shuffle on the key), no self-join.
+
+Skewed keys ride Spark's AQE skew handling for the exchange; the
+in-partition sort is the unavoidable cost of event-time semantics
+(identical to what ``SESSION_WINDOW``/``ASOF JOIN`` cost in engines
+that ship them).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+from pyspark.sql.window import Window
+
+_SIDE, _RP = "_asof_side", "_asof_rp"
+
+
+def asof_join(left: DataFrame, right: DataFrame, on: list[str] | str,
+              ts_col: str, direction: str = "backward",
+              tolerance: str | None = None,
+              suffix: str = "_right") -> DataFrame:
+    """Left as-of join: every ``left`` row, plus the columns of the
+    single ``right`` row with the same ``on`` key and the greatest
+    ``ts_col`` ≤ left's (``direction="backward"``; ``"forward"`` takes
+    the smallest ts ≥ left's).  Ties (equal ts) match — the inclusive
+    convention DuckDB's ``ASOF JOIN`` and pandas ``merge_asof`` use.
+    Unmatched left rows keep nulls in the right columns (left join).
+
+    ``tolerance``: an SQL interval string ("30 minutes"); matches
+    farther than that from the left ts are nulled out.
+
+    Right rows with a null ``ts_col`` never match; multiple right rows
+    sharing an exact (key, ts) make the winner order-dependent — dedup
+    the right side first if the data allows that.
+
+    Right columns that collide with left column names are renamed with
+    ``suffix``.
+    """
+    if direction not in ("backward", "forward"):
+        raise ValueError(f"direction must be backward|forward, got "
+                         f"{direction!r}")
+    keys = [on] if isinstance(on, str) else list(on)
+    for c in (*keys, ts_col):
+        if c not in left.columns or c not in right.columns:
+            raise ValueError(f"asof_join: column {c!r} must exist on "
+                             "both sides")
+    r_payload = [c for c in right.columns if c not in keys and c != ts_col]
+    if not r_payload:
+        raise ValueError("asof_join: right side has no payload columns")
+    out_names = {c: (c + suffix if c in left.columns else c)
+                 for c in r_payload}
+    # right ts rides inside the payload so tolerance can see it
+    r2 = (right.filter(F.col(ts_col).isNotNull())
+          .select(*keys, F.col(ts_col), F.lit(0).alias(_SIDE),
+                  F.struct(F.col(ts_col).alias("_asof_ts"),
+                           *[F.col(c) for c in r_payload]).alias(_RP)))
+    l2 = left.select("*", F.lit(1).alias(_SIDE))
+    unioned = l2.unionByName(r2, allowMissingColumns=True)
+    order = [F.col(ts_col).asc() if direction == "backward"
+             else F.col(ts_col).desc(), F.col(_SIDE).asc()]
+    w = (Window.partitionBy(*keys).orderBy(*order)
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    filled = F.last(_RP, ignorenulls=True).over(w)
+    if tolerance is not None:
+        iv = F.expr(f"INTERVAL {tolerance}")
+        in_tol = (filled["_asof_ts"] >= F.col(ts_col) - iv
+                  if direction == "backward"
+                  else filled["_asof_ts"] <= F.col(ts_col) + iv)
+        filled = F.when(in_tol, filled)
+    matched = unioned.withColumn(_RP, filled).filter(F.col(_SIDE) == 1)
+    return matched.select(
+        *[F.col(c) for c in left.columns],
+        *[F.col(_RP)[c].alias(out_names[c]) for c in r_payload])
+
+
+def sessionize(df: DataFrame, on: list[str] | str, ts_col: str,
+               gap: str = "30 minutes",
+               session_col: str = "session_id") -> DataFrame:
+    """Gap-based sessions per key: a new session starts at each row
+    whose gap to the key's previous event exceeds ``gap`` (strictly —
+    an exactly-``gap`` pause stays in-session).  Adds ``session_col``,
+    a 1-based running session number per key; rows with a null
+    ``ts_col`` sort first and open the key's first session (document
+    your nulls away — event time should not be null).
+    """
+    keys = [on] if isinstance(on, str) else list(on)
+    if session_col in df.columns:
+        raise ValueError(f"column {session_col!r} already exists")
+    w = Window.partitionBy(*keys).orderBy(F.col(ts_col).asc())
+    prev = F.lag(ts_col).over(w)
+    new_sess = (prev.isNull()
+                | (F.col(ts_col) > prev + F.expr(f"INTERVAL {gap}"))
+                ).cast("long")
+    run = (Window.partitionBy(*keys).orderBy(F.col(ts_col).asc())
+           .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    return df.withColumn(session_col, F.sum(new_sess).over(run))

@@ -1089,11 +1089,21 @@ ORDER BY day, event_type
 # plain batch GROUP BY — the q28-style batch≡stream oracle, now with
 # eviction actually happening mid-stream.
 # =====================================================================
+_Q38_SRC_CACHE: dict = {}
+
+
 def _q38_stage(spark, sf_dir: str):
     """Stage the two-file LTZ fixture; returns (src_dir, ckpt_dir).
     File mtimes order the micro-batches (the file source processes
     oldest-first): the old-days backfill first, the fresh tail
-    second — the realistic backfill-then-ingest shape."""
+    second — the realistic backfill-then-ingest shape.
+
+    The SOURCE staging (two subset writes) is deterministic per
+    sf_dir, so it is cached for the process lifetime — repeated bench
+    trials measure the stream drain, not re-staging.  The CHECKPOINT
+    dir is always fresh: reusing one would make availableNow resume
+    past the already-processed files and drain zero rows.
+    """
     import glob as _glob
     import os
     import shutil
@@ -1101,6 +1111,9 @@ def _q38_stage(spark, sf_dir: str):
     import time as _time
 
     spark.conf.set("spark.sql.session.timeZone", "UTC")
+    cached = _Q38_SRC_CACHE.get(sf_dir)
+    if cached and os.path.isdir(cached):
+        return cached, tempfile.mkdtemp(prefix="q38_ckpt_")
     ev = (spark.read.parquet(f"{sf_dir}/events.parquet")
           .withColumn("ts", F.col("ts").cast("timestamp")))
     max_day = ev.agg(F.date_trunc("day", F.max("ts"))).collect()[0][0]
@@ -1119,6 +1132,7 @@ def _q38_stage(spark, sf_dir: str):
         shutil.move(part, dst)
         shutil.rmtree(tmp, ignore_errors=True)
         os.utime(dst, (now - 100 + i * 50, now - 100 + i * 50))
+    _Q38_SRC_CACHE[sf_dir] = src
     return src, ckpt
 
 
@@ -1149,7 +1163,8 @@ def q38_stream_watermarked_counts(spark: SparkSession,
             f"SELECT day, event_type, MAX(n) AS n FROM {qname} "
             "GROUP BY day, event_type ORDER BY day, event_type")
     finally:
-        shutil.rmtree(src, ignore_errors=True)
+        # src is cached for the process lifetime (see _q38_stage);
+        # only the per-run checkpoint is removed
         shutil.rmtree(ckpt, ignore_errors=True)
 
 
@@ -1159,6 +1174,99 @@ SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day, event_type,
 FROM events
 GROUP BY 1, 2
 ORDER BY day, event_type
+"""
+
+
+# =====================================================================
+# q39 — as-of join (the operator Spark lacks natively, re-expressed
+# as union + one keyed window — no join explosion; ops/temporal.py):
+# odd events are the "queries", even events the per-user reference
+# stream; each query picks up the user's most recent reference event
+# at-or-before its timestamp.  DuckDB's native ASOF LEFT JOIN is the
+# oracle — engine-vs-engine on the same inclusive-tie semantics.
+# =====================================================================
+def q39_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .ops.temporal import asof_join
+    ev = _read(spark, sf_dir, "events")
+    left = ev.filter(F.col("event_id") % 2 == 1) \
+             .select("event_id", "user_id", "ts")
+    right = (ev.filter(F.col("event_id") % 2 == 0)
+             .select("user_id", "ts",
+                     F.col("event_id").alias("ref_id"),
+                     F.col("value").alias("ref_value")))
+    out = asof_join(left, right, on="user_id", ts_col="ts",
+                    direction="backward")
+    return (out.filter(F.col("event_id") % 20 == 1)
+            .select("event_id", "user_id", "ref_id",
+                    F.round("ref_value", 6).alias("ref_value"))
+            .orderBy("event_id"))
+
+
+Q39_SQL = """
+WITH l AS (SELECT event_id, user_id, ts FROM events
+           WHERE event_id % 2 = 1),
+     r AS (SELECT user_id, ts, event_id AS ref_id, value AS ref_value
+           FROM events WHERE event_id % 2 = 0)
+SELECT l.event_id, l.user_id, r.ref_id,
+       ROUND(r.ref_value, 6) AS ref_value
+FROM l ASOF LEFT JOIN r
+  ON l.user_id = r.user_id AND l.ts >= r.ts
+WHERE l.event_id % 20 = 1
+ORDER BY l.event_id
+"""
+
+
+# =====================================================================
+# q40 — gap-based sessionization (ops/temporal.py): per-user sessions
+# split at >30-minute gaps, rolled up to per-user session stats.
+# The oracle replays the identical lag + running-sum construction in
+# SQL; epoch seconds via truncating casts both engines share.
+# =====================================================================
+def q40_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .ops.temporal import sessionize
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    ev = _read(spark, sf_dir, "events").select("user_id", "ts")
+    sess = sessionize(ev, "user_id", "ts", gap="30 minutes")
+    epoch = F.col("ts").cast("timestamp").cast("long")
+    per_session = (sess.withColumn("epoch", epoch)
+                   .groupBy("user_id", "session_id")
+                   .agg(F.count(F.lit(1)).alias("n"),
+                        (F.max("epoch") - F.min("epoch")).alias("span_s")))
+    return (per_session.groupBy("user_id")
+            .agg(F.count(F.lit(1)).alias("n_sessions"),
+                 F.sum("n").alias("n_events"),
+                 F.max("n").alias("longest_session_events"),
+                 F.sum("span_s").alias("total_active_sec"))
+            .orderBy("user_id"))
+
+
+Q40_SQL = """
+WITH flags AS (
+  SELECT user_id, ts,
+         CASE WHEN lag(ts) OVER w IS NULL
+                OR ts - lag(ts) OVER w > INTERVAL 30 MINUTE
+              THEN 1 ELSE 0 END AS new_sess
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+),
+sess AS (
+  SELECT user_id, ts,
+         SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts
+                             ROWS UNBOUNDED PRECEDING) AS session_id
+  FROM flags
+),
+per AS (
+  SELECT user_id, session_id, COUNT(*) AS n,
+         epoch(date_trunc('second', MAX(ts)))
+           - epoch(date_trunc('second', MIN(ts))) AS span_s
+  FROM sess GROUP BY 1, 2
+)
+SELECT user_id,
+       COUNT(*) AS n_sessions,
+       CAST(SUM(n) AS BIGINT) AS n_events,
+       CAST(MAX(n) AS BIGINT) AS longest_session_events,
+       CAST(SUM(span_s) AS BIGINT) AS total_active_sec
+FROM per GROUP BY user_id ORDER BY user_id
 """
 
 
@@ -1499,6 +1607,8 @@ def queries():
         "q36_deterministic_shuffle": q36_deterministic_shuffle,
         "q37_theta_overlap": q37_theta_overlap,
         "q38_stream_watermarked_counts": q38_stream_watermarked_counts,
+        "q39_asof_join": q39_asof_join,
+        "q40_sessionize": q40_sessionize,
     }
 
 
@@ -1550,6 +1660,8 @@ def oracle_sql():
         "q36_deterministic_shuffle": Q36_SQL,
         "q37_theta_overlap": Q37_SQL,
         "q38_stream_watermarked_counts": Q38_SQL,
+        "q39_asof_join": Q39_SQL,
+        "q40_sessionize": Q40_SQL,
     }
 
 

@@ -1,0 +1,131 @@
+"""Event-time operators: as-of join checked against pandas
+merge_asof (an independent reference implementation) across
+directions, tolerance, ties, and unmatched rows; sessionization's
+gap semantics checked on constructed boundaries."""
+
+import numpy as np
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from facs_spark.ops.temporal import asof_join, sessionize
+from facs_spark.session import get_spark
+
+
+@pytest.fixture(scope="module")
+def spark():
+    yield get_spark("facs_spark_temporal_tests", cpus=4,
+                    shuffle_partitions=4)
+
+
+def _frames(seed=0, n_left=400, n_right=300, n_keys=7):
+    rng = np.random.default_rng(seed)
+    base = pd.Timestamp("2024-03-01")
+    left = pd.DataFrame({
+        "k": rng.integers(0, n_keys, n_left),
+        "ts": base + pd.to_timedelta(
+            rng.integers(0, 10_000_000, n_left), unit="s"),
+        "lid": np.arange(n_left),
+    })
+    right = pd.DataFrame({
+        "k": rng.integers(0, n_keys, n_right),
+        "ts": base + pd.to_timedelta(
+            rng.integers(0, 10_000_000, n_right), unit="s"),
+        "rid": np.arange(n_right) + 10_000,
+        "rv": rng.standard_normal(n_right).round(6),
+    })
+    # force exact-tie rows (left ts == right ts, same key) and a key
+    # with no right rows at all
+    left.loc[:4, ["k", "ts"]] = right.loc[:4, ["k", "ts"]].values
+    left.loc[5:9, "k"] = n_keys + 1
+    return left, right
+
+
+def _pandas_asof(left, right, direction, tolerance=None):
+    kw = {"tolerance": pd.Timedelta(tolerance)} if tolerance else {}
+    return pd.merge_asof(
+        left.sort_values("ts", kind="stable"),
+        right.sort_values("ts", kind="stable"),
+        on="ts", by="k", direction=direction, **kw
+    ).sort_values("lid").reset_index(drop=True)
+
+
+@pytest.mark.parametrize("direction,tolerance", [
+    ("backward", None), ("forward", None), ("backward", "1 hour")])
+def test_asof_join_matches_merge_asof(spark, direction, tolerance):
+    left, right = _frames()
+    ldf = spark.createDataFrame(left).repartition(5)
+    rdf = spark.createDataFrame(right).repartition(3)
+    got = asof_join(ldf, rdf, on="k", ts_col="ts", direction=direction,
+                    tolerance=tolerance).toPandas() \
+        .sort_values("lid").reset_index(drop=True)
+    want = _pandas_asof(left, right, direction, tolerance)
+    assert len(got) == len(left), "left join must keep every left row"
+    assert got["lid"].tolist() == want["lid"].tolist()
+    pd.testing.assert_series_equal(
+        got["rid"].astype("float64"), want["rid"].astype("float64"),
+        check_names=False)
+    pd.testing.assert_series_equal(
+        got["rv"].astype("float64"), want["rv"].astype("float64"),
+        check_names=False)
+
+
+def test_asof_join_suffixes_colliding_columns(spark):
+    left, right = _frames()
+    right = right.rename(columns={"rv": "lid"})  # collide with left.lid
+    got = asof_join(spark.createDataFrame(left),
+                    spark.createDataFrame(right), on="k", ts_col="ts")
+    assert "lid_right" in got.columns and "lid" in got.columns
+
+
+def test_asof_join_plan_is_single_exchange(spark):
+    """The union-and-fill shape must cost ONE keyed exchange (the
+    window partition) — no join node, no second shuffle."""
+    left, right = _frames()
+    got = asof_join(spark.createDataFrame(left).repartition(5),
+                    spark.createDataFrame(right).repartition(3),
+                    on="k", ts_col="ts")
+    plan = got._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode
+        .fromString("formatted"))
+    assert plan.lower().count("hashpartitioning") == 1, plan
+    assert "Join" not in plan.split("== Physical Plan ==")[-1] \
+        .split("\n\n")[0], "no join node expected"
+
+
+def test_sessionize_gap_boundaries(spark):
+    """Exactly-gap pauses stay in-session; one second past the gap
+    splits; session ids are 1-based and contiguous per key."""
+    base = pd.Timestamp("2024-01-01")
+    rows = pd.DataFrame({
+        "u": [1, 1, 1, 1, 2],
+        "ts": [base,
+               base + pd.Timedelta(minutes=30),       # == gap → stays
+               base + pd.Timedelta(minutes=60, seconds=1),  # > gap → new
+               base + pd.Timedelta(minutes=61),
+               base],
+    })
+    out = (sessionize(spark.createDataFrame(rows), "u", "ts",
+                      gap="30 minutes")
+           .orderBy("u", "ts").collect())
+    assert [r["session_id"] for r in out] == [1, 1, 2, 2, 1]
+
+
+def test_sessionize_rollup_counts(spark):
+    """Random per-user streams: session count equals the number of
+    >gap jumps + 1, per key (independent numpy reference)."""
+    rng = np.random.default_rng(11)
+    base = pd.Timestamp("2024-01-01")
+    rows = pd.DataFrame({
+        "u": rng.integers(0, 9, 500),
+        "ts": base + pd.to_timedelta(
+            rng.integers(0, 5_000_000, 500), unit="s"),
+    }).drop_duplicates(["u", "ts"])
+    got = (sessionize(spark.createDataFrame(rows), "u", "ts",
+                      gap="45 minutes")
+           .groupBy("u").agg(F.max("session_id").alias("n"))
+           .toPandas().set_index("u")["n"].to_dict())
+    gap = pd.Timedelta("45 minutes")
+    for u, g in rows.sort_values("ts").groupby("u"):
+        want = 1 + int((g["ts"].diff() > gap).sum())
+        assert got[u] == want, u
