@@ -93,6 +93,74 @@ def asof_join(left: DataFrame, right: DataFrame, on: list[str] | str,
         *[F.col(_RP)[c].alias(out_names[c]) for c in r_payload])
 
 
+def range_join(points: DataFrame, intervals: DataFrame, point_col: str,
+               start_col: str, end_col: str,
+               on: list[str] | str | None = None,
+               bin_width: float | int = None,
+               max_bins: int = 4096) -> DataFrame:
+    """Inner join of point rows to every interval row with
+    ``start ≤ point ≤ end`` (plus optional equality keys ``on``) —
+    the inequality-join shape Spark plans as a BroadcastNestedLoop /
+    cartesian product, re-expressed as a BIN EQUI-JOIN:
+
+    * every point maps to bin ``floor(point / bin_width)``;
+    * every interval explodes to the bins it covers (``sequence`` of
+      floor(start/w)..floor(end/w) — at most interval_length/w + 1
+      rows);
+    * the join is a plain equi-join on (keys…, bin) followed by the
+      exact residual predicate.
+
+    Cost: shuffle of points + bin-exploded intervals on (keys, bin),
+    candidate pairs only within a bin — linear in output for
+    well-chosen ``bin_width`` (pick ≈ the typical interval length:
+    wider bins → fewer interval copies but more in-bin candidates;
+    narrower → the reverse).  A duplicate match through two bins is
+    impossible: each point lives in exactly ONE bin.
+
+    ``max_bins`` is the skew guard: an interval covering more than
+    ``max_bins`` bins (a degenerate all-time interval) would explode
+    the build side — the kernel raises through ``raise_error`` with
+    the offending width rather than melting the shuffle; split such
+    intervals upstream or widen ``bin_width``.
+
+    Columns must be numeric (cast timestamps to epoch first — one
+    ``.cast("timestamp").cast("long")`` under an explicit session
+    timezone).  Interval columns that collide with point column names
+    must be renamed by the caller (checked).
+    """
+    if bin_width is None or bin_width <= 0:
+        raise ValueError("range_join needs a positive bin_width")
+    keys = [] if on is None else ([on] if isinstance(on, str) else list(on))
+    clash = (set(intervals.columns) - set(keys)) & set(points.columns)
+    if clash:
+        raise ValueError(f"rename interval columns {sorted(clash)}: they "
+                         "collide with point columns")
+    w = F.lit(bin_width)
+    pb = points.withColumn("_rj_bin", F.floor(F.col(point_col) / w))
+    lo, hi = F.floor(F.col(start_col) / w), F.floor(F.col(end_col) / w)
+    nbins = hi - lo + 1
+    # the sequence bound is CLAMPED structurally (not just guarded):
+    # Catalyst constant-folds literal expressions at plan time, and a
+    # degenerate literal interval would materialize its full bin array
+    # before any runtime guard ran — the clamp keeps every sequence
+    # ≤ max_bins+1 elements while the raise_error branch still fires
+    # for oversized intervals
+    guarded = F.when(
+        nbins > max_bins,
+        F.raise_error(F.concat(
+            F.lit(f"range_join: interval covers more than {max_bins} "
+                  "bins (width "),
+            (F.col(end_col) - F.col(start_col)).cast("string"),
+            F.lit(f" at bin_width {bin_width}); split the interval or "
+                  "widen bin_width")))
+    ).otherwise(F.sequence(lo, F.least(hi, lo + F.lit(max_bins))))
+    ib = (intervals.withColumn("_rj_bin", F.explode(guarded)))
+    joined = pb.join(ib, [*keys, "_rj_bin"]).filter(
+        (F.col(point_col) >= F.col(start_col))
+        & (F.col(point_col) <= F.col(end_col)))
+    return joined.drop("_rj_bin")
+
+
 def sessionize(df: DataFrame, on: list[str] | str, ts_col: str,
                gap: str = "30 minutes",
                session_col: str = "session_id") -> DataFrame:

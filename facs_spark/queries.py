@@ -1240,6 +1240,46 @@ def q40_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
             .orderBy("user_id"))
 
 
+# =====================================================================
+# q41 — range join (ops/temporal.py): every fifth event is a probe;
+# it joins to ALL same-type events within ±1 hour.  Spark would plan
+# the raw inequality join as a nested-loop/cartesian; the operator
+# re-expresses it as a bin equi-join on (event_type, hour-bin) + the
+# exact residual predicate (plan-asserted: no cartesian, no BNLJ).
+# The oracle is DuckDB's plain inequality join over the same epochs.
+# =====================================================================
+def q41_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .ops.temporal import range_join
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    ev = (_read(spark, sf_dir, "events")
+          .withColumn("ep", F.col("ts").cast("timestamp").cast("long")))
+    pts = (ev.filter(F.col("event_id") % 5 == 0)
+           .select("event_type", "event_id", "ep"))
+    iv = ev.select("event_type", F.col("event_id").alias("iv_id"),
+                   (F.col("ep") - 3600).alias("win_s"),
+                   (F.col("ep") + 3600).alias("win_e"))
+    j = range_join(pts, iv, "ep", "win_s", "win_e",
+                   on="event_type", bin_width=3600)
+    return (j.groupBy("event_id")
+            .agg(F.count(F.lit(1)).alias("n_nearby"),
+                 F.min("iv_id").alias("first_nearby"))
+            .orderBy("event_id"))
+
+
+Q41_SQL = """
+WITH ev AS (SELECT event_type, event_id,
+                   CAST(FLOOR(epoch(ts)) AS BIGINT) AS ep FROM events)
+SELECT p.event_id, COUNT(*) AS n_nearby,
+       MIN(i.event_id) AS first_nearby
+FROM ev p JOIN ev i
+  ON p.event_type = i.event_type
+ AND p.ep BETWEEN i.ep - 3600 AND i.ep + 3600
+WHERE p.event_id % 5 = 0
+GROUP BY p.event_id
+ORDER BY p.event_id
+"""
+
+
 Q40_SQL = """
 WITH flags AS (
   SELECT user_id, ts,
@@ -1609,6 +1649,7 @@ def queries():
         "q38_stream_watermarked_counts": q38_stream_watermarked_counts,
         "q39_asof_join": q39_asof_join,
         "q40_sessionize": q40_sessionize,
+        "q41_range_join": q41_range_join,
     }
 
 
@@ -1662,6 +1703,7 @@ def oracle_sql():
         "q38_stream_watermarked_counts": Q38_SQL,
         "q39_asof_join": Q39_SQL,
         "q40_sessionize": Q40_SQL,
+        "q41_range_join": Q41_SQL,
     }
 
 

@@ -129,3 +129,97 @@ def test_sessionize_rollup_counts(spark):
     for u, g in rows.sort_values("ts").groupby("u"):
         want = 1 + int((g["ts"].diff() > gap).sum())
         assert got[u] == want, u
+
+
+def test_sessionize_agrees_with_native_session_window(spark):
+    """Cross-implementation check: per-session (start, end, count)
+    from the lag+sum construction must equal Spark's own
+    F.session_window aggregation — two independent definitions of
+    gap sessions agreeing on random streams.  (session_window closes
+    a session after a gap >= the duration, i.e. an exactly-gap pause
+    SPLITS there; shift our gap by one microsecond to align the
+    boundary conventions.)"""
+    rng = np.random.default_rng(23)
+    base = pd.Timestamp("2024-01-01")
+    rows = pd.DataFrame({
+        "u": rng.integers(0, 8, 600),
+        "ts": base + pd.to_timedelta(
+            rng.integers(0, 3_000_000, 600), unit="s"),
+    }).drop_duplicates(["u", "ts"])
+    df = spark.createDataFrame(rows)
+    mine = (sessionize(df, "u", "ts", gap="30 minutes")
+            .groupBy("u", "session_id")
+            .agg(F.min("ts").alias("start"), F.max("ts").alias("end"),
+                 F.count(F.lit(1)).alias("n")))
+    native = (df.groupBy("u", F.session_window(
+                  "ts", "30 minutes 0.000001 seconds").alias("w"))
+              .agg(F.count(F.lit(1)).alias("n"),
+                   F.min("ts").alias("start"), F.max("ts").alias("end")))
+    a = sorted((r["u"], r["start"], r["end"], r["n"])
+               for r in mine.collect())
+    b = sorted((r["u"], r["start"], r["end"], r["n"])
+               for r in native.collect())
+    assert a == b
+
+
+def test_range_join_matches_naive_inequality_join(spark):
+    """Bin equi-join + residual must equal the naive inequality join
+    row-for-row on random points/intervals, across bin widths that
+    are smaller, comparable, and larger than the interval lengths."""
+    rng = np.random.default_rng(31)
+    from facs_spark.ops.temporal import range_join
+    pts = pd.DataFrame({
+        "g": rng.integers(0, 4, 300),
+        "p": rng.uniform(0, 1000, 300).round(3),
+        "pid": np.arange(300)})
+    s = rng.uniform(-50, 950, 120).round(3)
+    iv = pd.DataFrame({
+        "g": rng.integers(0, 4, 120),
+        "s": s, "e": (s + rng.uniform(0, 80, 120)).round(3),
+        "iid": np.arange(120)})
+    pdf, idf = spark.createDataFrame(pts), spark.createDataFrame(iv)
+    naive = (pdf.alias("p").join(
+        idf.alias("i"),
+        (F.col("p.g") == F.col("i.g"))
+        & (F.col("p.p") >= F.col("i.s"))
+        & (F.col("p.p") <= F.col("i.e")))
+        .select("pid", "iid"))
+    want = sorted((r["pid"], r["iid"]) for r in naive.collect())
+    for width in (7, 60, 500):
+        got = sorted((r["pid"], r["iid"]) for r in
+                     range_join(pdf, idf, "p", "s", "e", on="g",
+                                bin_width=width)
+                     .select("pid", "iid").collect())
+        assert got == want, width
+    assert len(want) > 100  # the fixture actually exercises matches
+
+
+def test_range_join_plan_is_equi_join(spark):
+    """The whole point: no cartesian product, no broadcast nested
+    loop — a hash/sort-merge equi-join on (keys, bin)."""
+    from facs_spark.ops.temporal import range_join
+    pts = spark.range(100).select(
+        F.col("id").alias("pid"), (F.col("id") * 3.0).alias("p"),
+        (F.col("id") % 5).alias("g"))
+    iv = spark.range(50).select(
+        F.col("id").alias("iid"), (F.col("id") * 5.0).alias("s"),
+        (F.col("id") * 5.0 + 10).alias("e"), (F.col("id") % 5).alias("g"))
+    plan = range_join(pts, iv, "p", "s", "e", on="g", bin_width=10) \
+        ._jdf.queryExecution().explainString(
+            spark._jvm.org.apache.spark.sql.execution.ExplainMode
+            .fromString("formatted"))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoop" not in plan
+    assert "Join" in plan
+
+
+def test_range_join_degenerate_interval_guard(spark):
+    """An interval covering more than max_bins bins must fail loudly
+    instead of exploding the shuffle."""
+    from facs_spark.ops.temporal import range_join
+    pts = spark.range(5).select(F.col("id").alias("p"))
+    iv = spark.range(1).select(F.lit(0.0).alias("s"),
+                               F.lit(1e9).alias("e"))
+    with pytest.raises(Exception, match="covers more than"):
+        range_join(pts, iv, "p", "s", "e", bin_width=1,
+                   max_bins=100).collect()
