@@ -74,6 +74,77 @@ def cap_per_group(df: DataFrame, group_col: str | list[str], id_col: str,
             .filter(F.col(rk) <= cap).drop(rk))
 
 
+def _hash13(id_col: str, seed: int):
+    """First 13 hex chars of the md5 order key — a uniform 52-bit
+    draw whose LEXICOGRAPHIC comparison equals numeric comparison
+    (equal-length hex), so any engine that can md5 a string replays
+    the exact selection with a plain string compare."""
+    return F.substring(_order_key(id_col, seed), 1, 13)
+
+
+def hex_threshold(fraction: float) -> str:
+    """13-hex-digit threshold for ``hash < threshold`` ≈ keep
+    ``fraction``: exact to 1/2⁵² — and the comparison, not float
+    arithmetic, is what both engines evaluate.  Fractions ≥ 1 map to
+    ``"g"``, which sorts above every hex string (g > f) — keep-all
+    without a special-cased filter."""
+    if fraction >= 1.0:
+        return "g"
+    return format(max(int(fraction * 16 ** 13), 0), "013x")
+
+
+def stratified_sample(df: DataFrame, group_col: str,
+                      fractions: dict | float, id_col: str,
+                      seed: int = 0) -> DataFrame:
+    """Per-stratum Bernoulli sample that is a pure function of
+    (seed, id): row kept iff md5(seed:id)[:13] < the stratum's hex
+    threshold.  ``fractions`` is one float for all strata or a
+    {group_value: fraction} dict (strata absent from the dict are
+    dropped — the reweighting semantics: unlisted languages are not
+    sampled).  No shuffle AT ALL — the predicate is map-side and
+    pushes below scans like any filter; reproducible across reruns,
+    partitionings, and engines (replay:
+    ``substr(md5('<seed>:' || id), 1, 13) < '<threshold>'``).
+    """
+    if isinstance(fractions, dict):
+        h = _hash13(id_col, seed)
+        keep = F.lit(False)
+        for val, frac in fractions.items():
+            keep = F.when((F.col(group_col) == F.lit(val))
+                          & (h < F.lit(hex_threshold(frac))),
+                          F.lit(True)).otherwise(keep)
+        return df.filter(keep)
+    return df.filter(_hash13(id_col, seed)
+                     < F.lit(hex_threshold(float(fractions))))
+
+
+def hash_split(df: DataFrame, id_col: str, weights: dict,
+               seed: int = 0, split_col: str = "split") -> DataFrame:
+    """Deterministic train/val/test assignment: each row lands in the
+    split whose cumulative-weight band contains its uniform md5 draw.
+    Weights are normalized; assignment is a pure function of
+    (seed, id) — stable under reruns, repartitioning, and appends
+    (new rows never move old rows between splits, the property random
+    splits lack).  Map-side only, no shuffle.
+    """
+    if split_col in df.columns:
+        raise ValueError(f"column {split_col!r} already exists")
+    names = list(weights)
+    if len(names) < 2:
+        raise ValueError("hash_split needs at least two splits")
+    total = float(sum(weights.values()))
+    h = _hash13(id_col, seed)
+    cum = 0.0
+    expr = None
+    for name in names[:-1]:
+        cum += weights[name] / total
+        cond = h < F.lit(hex_threshold(cum))
+        expr = (F.when(cond, F.lit(name)) if expr is None
+                else expr.when(cond, F.lit(name)))
+    expr = expr.otherwise(F.lit(names[-1]))
+    return df.withColumn(split_col, expr)
+
+
 def deterministic_shuffle(df: DataFrame, id_col: str,
                           seed: int = 0) -> DataFrame:
     """Seeded, rerun-stable global permutation (training order).

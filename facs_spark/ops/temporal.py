@@ -38,7 +38,8 @@ _SIDE, _RP = "_asof_side", "_asof_rp"
 def asof_join(left: DataFrame, right: DataFrame, on: list[str] | str,
               ts_col: str, direction: str = "backward",
               tolerance: str | None = None,
-              suffix: str = "_right") -> DataFrame:
+              suffix: str = "_right",
+              skew_bucket: str | None = None) -> DataFrame:
     """Left as-of join: every ``left`` row, plus the columns of the
     single ``right`` row with the same ``on`` key and the greatest
     ``ts_col`` ≤ left's (``direction="backward"``; ``"forward"`` takes
@@ -48,6 +49,18 @@ def asof_join(left: DataFrame, right: DataFrame, on: list[str] | str,
 
     ``tolerance``: an SQL interval string ("30 minutes"); matches
     farther than that from the left ts are nulled out.
+
+    ``skew_bucket``: the hot-key escape hatch.  The plain shape
+    windows by key alone, so ONE key holding a large fraction of both
+    sides becomes one giant sorted partition.  With
+    ``skew_bucket="1 day"`` (any interval; ``ts_col`` must be a
+    timestamp) the window partitions by (key, time-bucket) — bounded
+    by the bucket's traffic — and a second tiny pass carries the last
+    right payload across bucket boundaries: per-(key, bucket) last
+    right payloads (one agg row per bucket), a per-key running carry
+    over those rows, joined back and coalesced under the local fill.
+    Results are identical to the plain shape (tested); the extra cost
+    is one agg + one join on a |keys × buckets|-row table.
 
     Right rows with a null ``ts_col`` never match; multiple right rows
     sharing an exact (key, ts) make the winner order-dependent — dedup
@@ -59,6 +72,7 @@ def asof_join(left: DataFrame, right: DataFrame, on: list[str] | str,
     if direction not in ("backward", "forward"):
         raise ValueError(f"direction must be backward|forward, got "
                          f"{direction!r}")
+    backward = direction == "backward"
     keys = [on] if isinstance(on, str) else list(on)
     for c in (*keys, ts_col):
         if c not in left.columns or c not in right.columns:
@@ -76,18 +90,47 @@ def asof_join(left: DataFrame, right: DataFrame, on: list[str] | str,
                            *[F.col(c) for c in r_payload]).alias(_RP)))
     l2 = left.select("*", F.lit(1).alias(_SIDE))
     unioned = l2.unionByName(r2, allowMissingColumns=True)
-    order = [F.col(ts_col).asc() if direction == "backward"
-             else F.col(ts_col).desc(), F.col(_SIDE).asc()]
-    w = (Window.partitionBy(*keys).orderBy(*order)
-         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
-    filled = F.last(_RP, ignorenulls=True).over(w)
+    order = [F.col(ts_col).asc() if backward else F.col(ts_col).desc(),
+             F.col(_SIDE).asc()]
+
+    if skew_bucket is None:
+        w = (Window.partitionBy(*keys).orderBy(*order)
+             .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+        filled = F.last(_RP, ignorenulls=True).over(w)
+        matched = unioned.withColumn(_RP, filled)
+    else:
+        bkt = "_asof_bkt"
+        u = unioned.withColumn(bkt, F.window(ts_col, skew_bucket)["start"])
+        # pass 1: fill within (key, bucket) — partition size bounded
+        # by the bucket's traffic, hot key or not
+        w = (Window.partitionBy(*keys, bkt).orderBy(*order)
+             .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+        local = F.last(_RP, ignorenulls=True).over(w)
+        # pass 2: each bucket's boundary payload (the right row a
+        # neighboring bucket would carry over), then a per-key running
+        # carry over the strictly-previous buckets in scan order
+        bound_ts = F.when(F.col(_SIDE) == 0, F.col(ts_col))
+        boundary = (F.max_by(_RP, bound_ts) if backward
+                    else F.min_by(_RP, bound_ts))
+        lasts = u.groupBy(*keys, bkt).agg(boundary.alias("_bl"))
+        wc = (Window.partitionBy(*keys)
+              .orderBy(F.col(bkt).asc() if backward else F.col(bkt).desc())
+              .rowsBetween(Window.unboundedPreceding, -1))
+        carry = (lasts.withColumn(
+            "_asof_carry", F.last("_bl", ignorenulls=True).over(wc))
+            .select(*keys, bkt, "_asof_carry"))
+        matched = (u.withColumn(_RP, local)
+                   .join(carry, [*keys, bkt], "left")
+                   .withColumn(_RP, F.coalesce(F.col(_RP),
+                                               F.col("_asof_carry"))))
+
+    filled = F.col(_RP)
     if tolerance is not None:
         iv = F.expr(f"INTERVAL {tolerance}")
-        in_tol = (filled["_asof_ts"] >= F.col(ts_col) - iv
-                  if direction == "backward"
+        in_tol = (filled["_asof_ts"] >= F.col(ts_col) - iv if backward
                   else filled["_asof_ts"] <= F.col(ts_col) + iv)
         filled = F.when(in_tol, filled)
-    matched = unioned.withColumn(_RP, filled).filter(F.col(_SIDE) == 1)
+    matched = matched.withColumn(_RP, filled).filter(F.col(_SIDE) == 1)
     return matched.select(
         *[F.col(c) for c in left.columns],
         *[F.col(_RP)[c].alias(out_names[c]) for c in r_payload])

@@ -1582,6 +1582,77 @@ ORDER BY lang, source, doc_id
 """
 
 
+# =====================================================================
+# q42/q43 — the remaining curation-selection ops, both pure functions
+# of (seed, id) with NO shuffle (map-side filters/projections that
+# push below the scan): stratified per-language sampling and the
+# deterministic train/val/test hash split.  Selection-exact oracles:
+# DuckDB replays the identical md5-prefix threshold compares
+# (equal-length hex compares lexicographically = numerically).
+# =====================================================================
+_Q42_FRACS = {"en": 0.5, "de": 0.25, "fr": 1.0}
+
+
+def q42_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .ops.sampling import stratified_sample
+    docs = _read(spark, sf_dir, "documents")
+    out = stratified_sample(docs, "lang", _Q42_FRACS, "doc_id", seed=5)
+    return out.select("lang", "doc_id").orderBy("lang", "doc_id")
+
+
+def _q42_sql() -> str:
+    from .ops.sampling import hex_threshold
+    cases = " ".join(
+        f"WHEN lang = '{k}' AND substr(md5('5:' || CAST(doc_id AS "
+        f"VARCHAR)), 1, 13) < '{hex_threshold(v)}' THEN TRUE"
+        for k, v in _Q42_FRACS.items())
+    return (f"SELECT lang, doc_id FROM documents "
+            f"WHERE CASE {cases} ELSE FALSE END "
+            "ORDER BY lang, doc_id")
+
+
+_Q43_WEIGHTS = {"train": 0.8, "val": 0.1, "test": 0.1}
+
+
+def q43_hash_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .ops.sampling import hash_split
+    docs = _read(spark, sf_dir, "documents")
+    out = hash_split(docs, "doc_id", _Q43_WEIGHTS, seed=9)
+    return (out.groupBy("split")
+            .agg(F.count(F.lit(1)).alias("n"),
+                 F.min("doc_id").alias("min_id"),
+                 F.sum("doc_id").alias("sum_ids"))
+            .orderBy("split"))
+
+
+def _q43_sql() -> str:
+    # replicate hash_split's EXACT cumulative float accumulation —
+    # 0.8 + 0.1 is 0.9000000000000001 in IEEE, and a hand-written
+    # hex_threshold(0.9) could disagree by a few 2^-52 units, exactly
+    # where a row's draw might land
+    from .ops.sampling import hex_threshold
+    total = float(sum(_Q43_WEIGHTS.values()))
+    names = list(_Q43_WEIGHTS)
+    cum, thr = 0.0, []
+    for name in names[:-1]:
+        cum += _Q43_WEIGHTS[name] / total
+        thr.append(hex_threshold(cum))
+    t_train, t_val = thr
+    return f"""
+WITH assigned AS (
+  SELECT doc_id,
+         CASE WHEN substr(md5('9:' || CAST(doc_id AS VARCHAR)), 1, 13)
+                   < '{t_train}' THEN 'train'
+              WHEN substr(md5('9:' || CAST(doc_id AS VARCHAR)), 1, 13)
+                   < '{t_val}' THEN 'val'
+              ELSE 'test' END AS split
+  FROM documents)
+SELECT split, COUNT(*) AS n, MIN(doc_id) AS min_id,
+       CAST(SUM(doc_id) AS BIGINT) AS sum_ids
+FROM assigned GROUP BY split ORDER BY split
+"""
+
+
 def q36_deterministic_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .ops.sampling import deterministic_shuffle
     docs = _read(spark, sf_dir, "documents")
@@ -1650,6 +1721,8 @@ def queries():
         "q39_asof_join": q39_asof_join,
         "q40_sessionize": q40_sessionize,
         "q41_range_join": q41_range_join,
+        "q42_stratified_sample": q42_stratified_sample,
+        "q43_hash_split": q43_hash_split,
     }
 
 
@@ -1704,6 +1777,8 @@ def oracle_sql():
         "q39_asof_join": Q39_SQL,
         "q40_sessionize": Q40_SQL,
         "q41_range_join": Q41_SQL,
+        "q42_stratified_sample": _q42_sql(),
+        "q43_hash_split": _q43_sql(),
     }
 
 

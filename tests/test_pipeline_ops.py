@@ -656,3 +656,56 @@ def test_deterministic_shuffle_stable(spark, docs):
     assert o1 == o2
     assert o1 != o3
     assert sorted(o1) == sorted(o3)
+
+
+def test_stratified_sample_exact_and_partition_invariant(spark, docs):
+    """Selection is a pure function of (seed, id): identical row sets
+    across partitionings and repeats; per-stratum keep rates land
+    within binomial bounds; strata absent from the dict are dropped;
+    no shuffle appears in the plan (map-side filter)."""
+    from facs_spark.ops.sampling import stratified_sample
+    fr = {"en": 0.5, "de": 0.2}
+    a = {(r["lang"], r["doc_id"]) for r in
+         stratified_sample(docs, "lang", fr, "doc_id", seed=3).collect()}
+    b = {(r["lang"], r["doc_id"]) for r in
+         stratified_sample(docs.repartition(13), "lang", fr, "doc_id",
+                           seed=3).collect()}
+    assert a == b and a
+    langs = {l for l, _ in a}
+    assert langs <= {"en", "de"}, "unlisted strata must be dropped"
+    for lang, frac in fr.items():
+        n_all = docs.filter(F.col("lang") == lang).count()
+        n_kept = sum(1 for l, _ in a if l == lang)
+        sd = (n_all * frac * (1 - frac)) ** 0.5
+        assert abs(n_kept - n_all * frac) < 5 * sd + 1, (lang, n_kept, n_all)
+    plan = stratified_sample(docs, "lang", 0.3, "doc_id") \
+        ._jdf.queryExecution().explainString(
+            spark._jvm.org.apache.spark.sql.execution.ExplainMode
+            .fromString("formatted"))
+    assert "Exchange" not in plan
+
+
+def test_hash_split_partitions_and_append_stability(spark, docs):
+    """Every row gets exactly one split; proportions track the
+    weights; and appending new rows NEVER moves an existing row
+    between splits (the property a random split lacks)."""
+    from facs_spark.ops.sampling import hash_split
+    w = {"train": 0.8, "val": 0.1, "test": 0.1}
+    full = hash_split(docs, "doc_id", w, seed=1)
+    n = docs.count()
+    counts = {r["split"]: r["n"] for r in
+              full.groupBy("split").agg(F.count(F.lit(1)).alias("n"))
+              .collect()}
+    assert sum(counts.values()) == n
+    for name, frac in w.items():
+        sd = (n * frac * (1 - frac)) ** 0.5
+        assert abs(counts.get(name, 0) - n * frac) < 5 * sd + 1, name
+    # append stability: splitting HALF the table assigns the same
+    # splits those rows get in the full table
+    half = docs.filter(F.col("doc_id") % 2 == 0)
+    sub = {r["doc_id"]: r["split"] for r in
+           hash_split(half, "doc_id", w, seed=1)
+           .select("doc_id", "split").collect()}
+    ref = {r["doc_id"]: r["split"] for r in
+           full.select("doc_id", "split").collect()}
+    assert all(ref[k] == v for k, v in sub.items())

@@ -223,3 +223,41 @@ def test_range_join_degenerate_interval_guard(spark):
     with pytest.raises(Exception, match="covers more than"):
         range_join(pts, iv, "p", "s", "e", bin_width=1,
                    max_bins=100).collect()
+
+
+@pytest.mark.parametrize("direction", ["backward", "forward"])
+def test_asof_join_skew_bucket_matches_plain(spark, direction):
+    """The hot-key two-pass shape (window by (key, time-bucket) +
+    cross-bucket carry) must return exactly the plain shape's rows —
+    including left rows in buckets that contain no right rows at all
+    (the carry join covers the gap) and a key where EVERY row piles
+    into one value (the skew case the mode exists for)."""
+    left, right = _frames(seed=7)
+    left["k"] = np.where(left.index % 3 == 0, 99, left["k"])  # hot key
+    right["k"] = np.where(right.index % 3 == 0, 99, right["k"])
+    ldf, rdf = spark.createDataFrame(left), spark.createDataFrame(right)
+    plain = asof_join(ldf, rdf, on="k", ts_col="ts",
+                      direction=direction).toPandas() \
+        .sort_values("lid").reset_index(drop=True)
+    for bucket in ("6 hours", "10 days"):
+        skewed = asof_join(ldf, rdf, on="k", ts_col="ts",
+                           direction=direction,
+                           skew_bucket=bucket).toPandas() \
+            .sort_values("lid").reset_index(drop=True)
+        pd.testing.assert_frame_equal(
+            plain, skewed[plain.columns], check_like=True)
+
+
+def test_asof_join_skew_bucket_with_tolerance(spark):
+    left, right = _frames(seed=13)
+    plain = asof_join(spark.createDataFrame(left),
+                      spark.createDataFrame(right), on="k", ts_col="ts",
+                      tolerance="2 hours").toPandas() \
+        .sort_values("lid").reset_index(drop=True)
+    skewed = asof_join(spark.createDataFrame(left),
+                       spark.createDataFrame(right), on="k", ts_col="ts",
+                       tolerance="2 hours",
+                       skew_bucket="1 day").toPandas() \
+        .sort_values("lid").reset_index(drop=True)
+    pd.testing.assert_frame_equal(plain, skewed[plain.columns],
+                                  check_like=True)
