@@ -37,11 +37,17 @@ def clean_corpus(docs: DataFrame, ref_corpus: DataFrame,
                  error_rate: float = 1e-6,
                  cap_col: str | None = None,
                  cap: int | None = None,
-                 cap_seed: int = 0) -> tuple[DataFrame, DataFrame]:
+                 cap_seed: int = 0,
+                 split_weights: dict | None = None,
+                 split_seed: int = 0) -> tuple[DataFrame, DataFrame]:
     """Returns (cleaned_docs, stats_row).
 
     ``stats_row``: one-row DataFrame with counts surviving each stage
     (the pipeline's funnel — the observability a 10¹²-page run needs).
+
+    ``split_weights`` (e.g. ``{"train": .8, "val": .1, "test": .1}``)
+    appends the deterministic hash-split assignment as a final
+    ``split`` column — map-side, append-stable, no extra shuffle.
     """
     spark = docs.sparkSession
     n_input = docs.count()
@@ -110,6 +116,10 @@ def clean_corpus(docs: DataFrame, ref_corpus: DataFrame,
         "dropped_contaminated": n_neardup - n_clean,
         "dropped_capped": n_clean - n_capped,
     }]))
+    if split_weights is not None:
+        from .sampling import hash_split
+        cleaned = hash_split(cleaned, id_col, split_weights,
+                             seed=split_seed)
     # every intermediate cache is released; only the returned frame
     # (already counted, so fully materialized) stays cached
     good.unpersist()

@@ -616,6 +616,15 @@ def test_clean_corpus_capstone(spark, docs):
     per_lang = capped.groupBy("lang").agg(
         F.count(F.lit(1)).alias("n")).collect()
     assert per_lang and all(r["n"] <= 10 for r in per_lang)
+    # with split_weights the survivors additionally carry a total,
+    # disjoint train/val/test assignment
+    split_df, _ = clean_corpus(
+        docs, ref, min_quality=0.3, neardup_threshold=0.8,
+        contamination_tole=0.4,
+        split_weights={"train": 0.7, "val": 0.3})
+    rows = split_df.select("split").groupBy("split").count().collect()
+    assert {r["split"] for r in rows} <= {"train", "val"}
+    assert sum(r["count"] for r in rows) == n_clean
 
 
 def test_cap_per_group_sampling(spark, docs):
