@@ -120,6 +120,45 @@ def _warm_streaming(spark) -> None:
         shutil.rmtree(ckpt, ignore_errors=True)
 
 
+def dedup_job(spark, n_pages: int) -> dict:
+    """Scaling job #2: the MinHash near-dup pipeline (signatures →
+    banded LSH candidates → exact-Jaccard verify) over the same
+    deterministic synthetic pages table.  Covers the dedup suite's
+    shuffle+kernel mix the classify job doesn't touch: mapInPandas
+    signature kernel, window cell cap, bucket self-join, verify
+    join."""
+    from pyspark.sql import functions as F
+
+    from facs_spark.ops.dedup import minhash_dedup
+
+    base = (spark.read.parquet(_pages_parquet(spark, n_pages))
+            .select(F.xxhash64("url").alias("doc_id"), "text"))
+    # plant ~5% near-duplicates (one appended token ⇒ J ≈ 0.95) so
+    # the exact-verify stage processes a realistic candidate volume.
+    # Row-hash selection, NOT df.sample: sample()'s per-partition
+    # draw changes with the scan's split planning, which depends on
+    # defaultParallelism — the two scaling levels would dedup
+    # different inputs (observed: 20050 vs 19818 pairs)
+    twins = (base.filter(F.pmod(F.xxhash64("text"), F.lit(20)) == 0)
+             .select((F.col("doc_id") + 1).alias("doc_id"),
+                     F.concat(F.col("text"), F.lit(" zq")).alias("text")))
+    pages = base.unionByName(twins)
+    # warm-up on a slice, then measure steady state, best of 2
+    minhash_dedup(pages.sample(0.02, seed=1), "doc_id", "text").count()
+    best, pairs = None, 0
+    for _ in range(2):
+        t0 = time.perf_counter()
+        pairs = minhash_dedup(pages, "doc_id", "text").count()
+        dt = time.perf_counter() - t0
+        best = dt if best is None else min(best, dt)
+    return {
+        "pages": n_pages,
+        "neardup_pairs": int(pairs),
+        "sec": round(best, 3),
+        "pages_per_sec": round(n_pages / best, 1),
+    }
+
+
 def run_queries(spark, trials: int) -> tuple[dict[str, float],
                                              dict[str, list[float]]]:
     """Per-query MEDIAN of ``trials`` runs + the raw per-trial times.
@@ -161,14 +200,19 @@ def run_queries(spark, trials: int) -> tuple[dict[str, float],
 def main() -> None:
     from facs_spark.session import get_spark
 
-    if "--throughput-only" in sys.argv:
+    job_flag = ("--dedup-only" if "--dedup-only" in sys.argv
+                else "--throughput-only")
+    if "--throughput-only" in sys.argv or "--dedup-only" in sys.argv:
         spark = get_spark("bench_tp", cpus=CPUS, shuffle_partitions=CPUS)
-        tp = throughput_job(spark, BENCH_PAGES)
+        job = dedup_job if job_flag == "--dedup-only" else throughput_job
+        tp = job(spark, BENCH_PAGES)
         spark.stop()
         print(json.dumps({"cpus": CPUS, **tp}))
         return
 
-    if "--scaling" in sys.argv:
+    if "--scaling" in sys.argv or "--scaling-dedup" in sys.argv:
+        sub_flag = ("--dedup-only" if "--scaling-dedup" in sys.argv
+                    else "--throughput-only")
         levels = [int(x) for x in
                   os.environ.get("SCALING_LEVELS", "8,32").split(",")]
         trials = int(os.environ.get("SCALING_TRIALS", "3"))
@@ -176,7 +220,12 @@ def main() -> None:
         # 32-core job finishes in ~2.5 s and scheduling overhead caps
         # the ratio (measured eff 0.49 at 1M vs ≥0.8 at 4M) — default
         # the protocol to 4M unless the caller pinned BENCH_PAGES
-        n_pages = int(os.environ.get("BENCH_PAGES", "4000000"))
+        # (dedup default 400k: its per-page kernel+shuffle work is
+        # ~20× the classify job's, so the measured region is already
+        # long at a fraction of the page count)
+        default_pages = "400000" if sub_flag == "--dedup-only" \
+            else "4000000"
+        n_pages = int(os.environ.get("BENCH_PAGES", default_pages))
         results = {}
         # interleave trials across levels so shared-host noise hits
         # both levels alike; keep the best run per level
@@ -185,7 +234,7 @@ def main() -> None:
                 env = dict(os.environ, SPARK_GRAFT_CPUS=str(lvl),
                            BENCH_PAGES=str(n_pages))
                 out = subprocess.run(
-                    [sys.executable, __file__, "--throughput-only"],
+                    [sys.executable, __file__, sub_flag],
                     capture_output=True, text=True, env=env, check=True)
                 r = json.loads(out.stdout.strip().splitlines()[-1])
                 if (lvl not in results
@@ -195,7 +244,9 @@ def main() -> None:
         eff = ((results[hi]["pages_per_sec"] / results[lo]["pages_per_sec"])
                / (hi / lo))
         print(json.dumps({
-            "metric": "scaling_efficiency",
+            "metric": ("scaling_efficiency_dedup"
+                       if sub_flag == "--dedup-only"
+                       else "scaling_efficiency"),
             "value": round(eff, 3),
             "unit": "ratio",
             "levels": {str(l): results[l] for l in levels},

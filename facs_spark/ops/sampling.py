@@ -8,11 +8,18 @@ for training order.  Both ops here are *reproducible by construction*
 produce identical samples, and resuming a pipeline never changes
 what was picked.
 
-* ``cap_per_group`` — keep at most ``cap`` rows per group, chosen by
-  a seeded hash order (NOT "first N": head-of-table selection biases
-  toward early-crawled pages; hash order is an unbiased uniform
-  sample that needs no group-size pre-pass).  One shuffle on the
-  group key; the per-group work is a window rank.
+* ``cap_per_group`` — keep at most ``cap`` rows per group (single or
+  composite key), chosen by a seeded hash order (NOT "first N":
+  head-of-table selection biases toward early-crawled pages; hash
+  order is an unbiased uniform sample that needs no group-size
+  pre-pass).  One shuffle on the group key; the per-group work is a
+  window rank.
+* ``stratified_sample`` — per-stratum Bernoulli keep via an
+  md5-prefix threshold compare.  Shuffle-FREE (a map-side filter
+  that pushes below the scan like any predicate).
+* ``hash_split`` — deterministic train/val/test assignment from
+  cumulative-weight bands over the same uniform draw; append-stable
+  (new rows never move old rows between splits).  Map-side only.
 * ``deterministic_shuffle`` — a seeded global permutation via
   ORDER BY md5(seed || id) (range-partitioned sort, the standard
   Spark total-order path).  Training-order shuffling that is stable
