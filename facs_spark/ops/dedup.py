@@ -125,8 +125,13 @@ def _batch_bytes(texts) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
     return blob, lens, doc_off
 
 
-def _shingle_hashes(texts, n: int) -> list[np.ndarray]:
+def _shingle_hashes(texts, n: int,
+                    with_totals: bool = False):
     """Per-doc uint64 hash sets of token n-gram shingles (vectorized).
+    With ``with_totals=True`` returns ``(sets, totals)`` where
+    ``totals[d]`` is the doc's WINDOW count including duplicates
+    (0 for empty docs; 1 for 0<tokens<n) — distinct vs total is the
+    within-doc repetition signal (ops/textstats.repetition_ratio).
 
     One concatenated lowercase byte buffer for the whole batch; token
     boundaries from one whitespace-mask diff; every token hashed by
@@ -143,10 +148,12 @@ def _shingle_hashes(texts, n: int) -> list[np.ndarray]:
         ndocs = len(texts)
         out: list[np.ndarray] = [None] * ndocs  # type: ignore[list-item]
         if ndocs == 0:
-            return []
+            return ([], np.zeros(0, dtype=np.int64)) if with_totals else []
         arr, lens, doc_off = _batch_bytes(texts)
         if arr.size == 0:
-            return [np.zeros(0, dtype=np.uint64)] * ndocs
+            empties = [np.zeros(0, dtype=np.uint64)] * ndocs
+            return (empties, np.zeros(ndocs, dtype=np.int64)) \
+                if with_totals else empties
         # token boundaries over the whole buffer (separators between
         # docs are spaces, so tokens never span docs)
         is_tok = _NONWS_LUT[arr]
@@ -156,7 +163,9 @@ def _shingle_hashes(texts, n: int) -> list[np.ndarray]:
         tok_e = np.flatnonzero(edge == -1)
         ntok = tok_s.size
         if ntok == 0:
-            return [np.zeros(0, dtype=np.uint64)] * ndocs
+            empties = [np.zeros(0, dtype=np.uint64)] * ndocs
+            return (empties, np.zeros(ndocs, dtype=np.int64)) \
+                if with_totals else empties
         # token hashes: one (count, L) gather + hash3_matrix call per
         # distinct token length
         tok_len = tok_e - tok_s
@@ -193,6 +202,10 @@ def _shingle_hashes(texts, n: int) -> list[np.ndarray]:
                 r = th[o:o + c] * _poly_powers(c)
                 out[d] = splitmix64(
                     np.array([r.sum(dtype=np.uint64)], dtype=np.uint64))
+        if with_totals:
+            totals = np.where(tok_cnt == 0, 0,
+                              np.maximum(tok_cnt - n + 1, 1)).astype(np.int64)
+            return out, totals
         return out
 
 

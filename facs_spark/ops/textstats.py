@@ -179,3 +179,34 @@ def doc_digests(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
         F.md5(F.col(text_col)).alias("md5"),
         F.crc32(F.col(text_col)).alias("crc32"),
         F.length(F.col(text_col)).alias("text_len"))
+
+
+def repetition_ratio(df: DataFrame, id_col: str, text_col: str,
+                     shingle_n: int = 3) -> DataFrame:
+    """Within-document repetition: 1 − distinct/total token
+    ``shingle_n``-gram windows — the standard boilerplate/spam
+    quality signal (a doc that repeats the same phrases has few
+    distinct windows).  Rides the shared vectorized shingle kernel
+    (``ops/dedup._shingle_hashes(with_totals=True)``), so the cost is
+    one batch pass with no per-token Python; 0.0 for empty docs.
+    Output: (id, total_shingles, distinct_shingles, repetition).
+    """
+    ensure_shipped(df.sparkSession)
+
+    def kernel(iterator):
+        from facs_spark.ops.dedup import _shingle_hashes
+        for batch in iterator:
+            sets_, totals = _shingle_hashes(batch[text_col].tolist(),
+                                            shingle_n, with_totals=True)
+            uniq = np.fromiter((h.size for h in sets_), dtype=np.int64,
+                               count=len(sets_))
+            rep = np.where(totals > 0,
+                           1.0 - uniq / np.maximum(totals, 1), 0.0)
+            yield pd.DataFrame({id_col: batch[id_col],
+                                "total_shingles": totals,
+                                "distinct_shingles": uniq,
+                                "repetition": rep})
+
+    return ensure_parallelism(df.select(id_col, text_col)).mapInPandas(
+        kernel, schema=(f"{id_col} long, total_shingles long, "
+                        "distinct_shingles long, repetition double"))

@@ -1583,6 +1583,48 @@ ORDER BY lang, source, doc_id
 
 
 # =====================================================================
+# q44 — within-doc repetition (the boilerplate/spam quality signal):
+# 1 − distinct/total token 3-gram windows per doc, from the shared
+# shingle kernel.  The oracle rebuilds both counts with DuckDB list
+# machinery (total = tokens−2; distinct via the same single-space
+# shingle construction q10/q12 already rely on).
+# =====================================================================
+def q44_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .ops.textstats import repetition_ratio
+    docs = _read(spark, sf_dir, "documents")
+    out = repetition_ratio(docs, "doc_id", "text", shingle_n=3)
+    return (out.select("doc_id", "total_shingles", "distinct_shingles",
+                       F.round("repetition", 6).alias("repetition"))
+            .filter(F.col("doc_id") % 10 == 0)
+            .orderBy("doc_id"))
+
+
+Q44_SQL = """
+WITH toks AS (SELECT doc_id, string_split(lower(text), ' ') AS tk
+              FROM documents WHERE doc_id % 10 = 0),
+tot AS (SELECT doc_id,
+               CASE WHEN len(tk) = 0 THEN 0
+                    WHEN len(tk) < 3 THEN 1
+                    ELSE len(tk) - 2 END AS total
+        FROM toks),
+nums AS (SELECT CAST(unnest(range(1, (SELECT MAX(len(tk)) FROM toks) + 1))
+                AS INT) AS i),
+sh AS (SELECT DISTINCT doc_id,
+              array_to_string(list_slice(tk, n.i, n.i + 2), ' ') AS s
+       FROM toks JOIN nums n ON n.i <= len(tk) - 2),
+d AS (SELECT doc_id, COUNT(*) AS dst FROM sh GROUP BY doc_id)
+SELECT t.doc_id, t.total AS total_shingles,
+       COALESCE(d.dst, LEAST(t.total, 1)) AS distinct_shingles,
+       ROUND(CASE WHEN t.total > 0
+                  THEN 1.0 - COALESCE(d.dst, LEAST(t.total, 1))
+                       * 1.0 / t.total
+                  ELSE 0.0 END, 6) AS repetition
+FROM tot t LEFT JOIN d USING (doc_id)
+ORDER BY t.doc_id
+"""
+
+
+# =====================================================================
 # q42/q43 — the remaining curation-selection ops, both pure functions
 # of (seed, id) with NO shuffle (map-side filters/projections that
 # push below the scan): stratified per-language sampling and the
@@ -1723,6 +1765,7 @@ def queries():
         "q41_range_join": q41_range_join,
         "q42_stratified_sample": q42_stratified_sample,
         "q43_hash_split": q43_hash_split,
+        "q44_repetition": q44_repetition,
     }
 
 
@@ -1779,6 +1822,7 @@ def oracle_sql():
         "q41_range_join": Q41_SQL,
         "q42_stratified_sample": _q42_sql(),
         "q43_hash_split": _q43_sql(),
+        "q44_repetition": Q44_SQL,
     }
 
 

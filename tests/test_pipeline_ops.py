@@ -718,3 +718,35 @@ def test_hash_split_partitions_and_append_stability(spark, docs):
     ref = {r["doc_id"]: r["split"] for r in
            full.select("doc_id", "split").collect()}
     assert all(ref[k] == v for k, v in sub.items())
+
+
+def test_repetition_ratio_kernel_semantics(spark):
+    """Constructed docs with known window counts: a perfectly
+    repetitive doc scores high, an all-distinct doc scores 0, and the
+    short/empty edge cases follow the shingle kernel's conventions
+    (0 tokens → 0/0/0.0; 0<tokens<n → one whole-run shingle)."""
+    from facs_spark.ops.textstats import repetition_ratio
+    rows = [
+        (1, "a b c " * 20),          # 60 tokens, 58 windows, few distinct
+        (2, " ".join(f"w{i}" for i in range(30))),  # all distinct
+        (3, ""),                      # empty
+        (4, "one two"),               # short: 1 shingle
+        (5, None),                    # null text == empty
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r for r in
+           repetition_ratio(df, "doc_id", "text", shingle_n=3).collect()}
+    assert out[1]["total_shingles"] == 58
+    assert out[1]["distinct_shingles"] == 3  # abc, bca, cab
+    assert out[1]["repetition"] > 0.9
+    assert out[2]["total_shingles"] == 28
+    assert out[2]["distinct_shingles"] == 28
+    assert out[2]["repetition"] == 0.0
+    assert tuple(out[3][k] for k in
+                 ("total_shingles", "distinct_shingles", "repetition")) \
+        == (0, 0, 0.0)
+    assert tuple(out[4][k] for k in
+                 ("total_shingles", "distinct_shingles")) == (1, 1)
+    assert tuple(out[5][k] for k in
+                 ("total_shingles", "distinct_shingles", "repetition")) \
+        == (0, 0, 0.0)
