@@ -72,6 +72,10 @@ def main(argv=None) -> int:
                     help="tokens = content overlap; raw = value overlap")
     ov.add_argument("-k", type=int, default=4096,
                     help="theta sketch size (RSE ≈ 1/sqrt(k-1))")
+    ov.add_argument("--shards", type=int, default=None,
+                    help="distributed pair grid with S shards (use for "
+                         "group counts beyond a few thousand; default: "
+                         "driver pair loop)")
 
     m = sub.add_parser("monitor")
     m.add_argument("-r", "--reference", required=True,
@@ -115,7 +119,8 @@ def main(argv=None) -> int:
         df = spark.read.parquet(args.data)
         rows = grouped_overlap(df, args.group_col,
                                SketchSpec.make("theta", args.column,
-                                               prep=args.prep, k=args.k))
+                                               prep=args.prep, k=args.k),
+                               shards=args.shards)
         for r in rows.orderBy("group_a", "group_b").collect():
             print(json.dumps(r.asDict()))
         return 0

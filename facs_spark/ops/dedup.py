@@ -234,8 +234,10 @@ def minhash_signatures(df: DataFrame, id_col: str, text_col: str,
                                  dtype=np.int64, count=len(hashes))
             keep = counts > 0
             if not keep.any():
+                # dtype=object: an empty plain list infers float64,
+                # which pyarrow cannot convert to array<long>
                 yield pd.DataFrame({id_col: np.zeros(0, dtype=np.int64),
-                                    "buckets": []})
+                                    "buckets": pd.Series([], dtype=object)})
                 continue
             doc_ids = batch[id_col].to_numpy()[keep]
             kept = [h for h in hashes if h.size]

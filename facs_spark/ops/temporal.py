@@ -78,6 +78,11 @@ def asof_join(left: DataFrame, right: DataFrame, on: list[str] | str,
         if c not in left.columns or c not in right.columns:
             raise ValueError(f"asof_join: column {c!r} must exist on "
                              "both sides")
+    reserved = {_SIDE, _RP, "_asof_bkt", "_asof_carry", "_asof_ts"}
+    hit = reserved & (set(left.columns) | set(right.columns))
+    if hit:
+        raise ValueError(f"asof_join: column names {sorted(hit)} are "
+                         "reserved internals — rename them first")
     r_payload = [c for c in right.columns if c not in keys and c != ts_col]
     if not r_payload:
         raise ValueError("asof_join: right side has no payload columns")
@@ -178,6 +183,9 @@ def range_join(points: DataFrame, intervals: DataFrame, point_col: str,
     if clash:
         raise ValueError(f"rename interval columns {sorted(clash)}: they "
                          "collide with point columns")
+    if "_rj_bin" in (*points.columns, *intervals.columns):
+        raise ValueError("range_join: column name '_rj_bin' is a "
+                         "reserved internal — rename it first")
     w = F.lit(bin_width)
     pb = points.withColumn("_rj_bin", F.floor(F.col(point_col) / w))
     lo, hi = F.floor(F.col(start_col) / w), F.floor(F.col(end_col) / w)

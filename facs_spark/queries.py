@@ -1049,9 +1049,16 @@ def q28_stream_windowed_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
              .option("checkpointLocation", ckpt)
              .trigger(availableNow=True).start())
         q.awaitTermination()
-        # the memory sink's rows live in the driver, so the staging and
-        # checkpoint dirs are safe to remove once the drain completes
-        return spark.sql(f"SELECT * FROM {qname}").orderBy("day", "event_type")
+        # materialize, then DROP the memory-sink view: each call
+        # registers a fresh uuid-named sink and bench runs the query
+        # several times — undropped sinks would accumulate their full
+        # contents in driver memory for the session lifetime
+        out_df = spark.sql(f"SELECT * FROM {qname}") \
+            .orderBy("day", "event_type")
+        rows = out_df.collect()
+        schema = out_df.schema
+        spark.catalog.dropTempView(qname)
+        return spark.createDataFrame(rows, schema)
     finally:
         shutil.rmtree(src, ignore_errors=True)
         shutil.rmtree(ckpt, ignore_errors=True)
@@ -1158,10 +1165,16 @@ def q38_stream_watermarked_counts(spark: SparkSession,
         run_monitor_once(out, ckpt, query_name=qname,
                          output_mode="update")
         # update mode re-emits a window each time a batch touches it;
-        # counts are monotone, so MAX(n) per key is the final value
-        return spark.sql(
+        # counts are monotone, so MAX(n) per key is the final value.
+        # Materialize + DROP the sink view (see q28) so repeated bench
+        # trials don't accumulate sink tables in driver memory.
+        out_df = spark.sql(
             f"SELECT day, event_type, MAX(n) AS n FROM {qname} "
             "GROUP BY day, event_type ORDER BY day, event_type")
+        rows = out_df.collect()
+        schema = out_df.schema
+        spark.catalog.dropTempView(qname)
+        return spark.createDataFrame(rows, schema)
     finally:
         # src is cached for the process lifetime (see _q38_stage);
         # only the per-run checkpoint is removed
@@ -1600,7 +1613,9 @@ def q44_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 Q44_SQL = """
-WITH toks AS (SELECT doc_id, string_split(lower(text), ' ') AS tk
+WITH toks AS (SELECT doc_id,
+                     list_filter(string_split(lower(text), ' '),
+                                 t -> t <> '') AS tk
               FROM documents WHERE doc_id % 10 = 0),
 tot AS (SELECT doc_id,
                CASE WHEN len(tk) = 0 THEN 0

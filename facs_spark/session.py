@@ -56,6 +56,15 @@ def ensure_shipped(spark: SparkSession) -> None:
 # kernel — comparable to the overhead, the break-even point.
 _KERNEL_SPLIT_BYTES = 2 << 20
 
+# Catalyst's size estimate for a file scan is the COMPRESSED file
+# size, but kernel cost tracks the decompressed bytes it processes —
+# text parquet typically compresses 3-6×, so scale the estimate up
+# before dividing by the break-even constant (the same idea as
+# spark.sql.sources.fileCompressionFactor, which Catalyst only
+# applies to some estimates).  Over-estimating merely adds partitions
+# toward the core-count cap; under-estimating serializes the kernel.
+_COMPRESSION_FACTOR = 4.0
+
 
 def _plan_size_bytes(df) -> int | None:
     """Catalyst's optimized-plan size estimate (cheap: file-stat based
@@ -91,7 +100,8 @@ def ensure_parallelism(df, min_partitions: int | None = None):
     else:
         size = _plan_size_bytes(df)
         target = cores if size is None else max(
-            1, min(cores, -(-size // _KERNEL_SPLIT_BYTES)))
+            1, min(cores, -(-int(size * _COMPRESSION_FACTOR)
+                            // _KERNEL_SPLIT_BYTES)))
     if df.rdd.getNumPartitions() < target:
         return df.repartition(target)
     return df

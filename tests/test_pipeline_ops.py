@@ -750,3 +750,15 @@ def test_repetition_ratio_kernel_semantics(spark):
     assert tuple(out[5][k] for k in
                  ("total_shingles", "distinct_shingles", "repetition")) \
         == (0, 0, 0.0)
+
+
+def test_minhash_signatures_all_blank_batch(spark):
+    """A batch of only empty/whitespace/null docs must yield zero
+    signature rows, not crash Arrow serialization (the empty buckets
+    column must be object-dtyped — a plain [] infers float64, which
+    pyarrow cannot convert to array<long>)."""
+    from facs_spark.ops.dedup import minhash_dedup, minhash_signatures
+    df = spark.createDataFrame([(1, ""), (2, "   "), (3, None)],
+                               "doc_id long, text string")
+    assert minhash_signatures(df, "doc_id", "text").count() == 0
+    assert minhash_dedup(df, "doc_id", "text").count() == 0
