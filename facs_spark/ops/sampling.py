@@ -125,6 +125,29 @@ def stratified_sample(df: DataFrame, group_col: str,
                      < F.lit(hex_threshold(float(fractions))))
 
 
+def weighted_sample(df: DataFrame, prob, id_col: str,
+                    seed: int = 0) -> DataFrame:
+    """Per-ROW Bernoulli keep with probability ``prob`` (a Column or
+    column name, clamped to [0, 1]) — quality-weighted downsampling
+    ("keep longer/higher-quality docs more often") that is still a
+    pure function of (seed, id): row kept iff
+    ``md5(seed:id)[:13] < hex(floor(prob · 2⁵²))``.  Both sides of
+    the compare are 13-char lowercase hex, so lexicographic equals
+    numeric and ANY engine replays the identical selection
+    (``substr(md5(..),1,13) < lower(lpad(hex(CAST(FLOOR(p*2^52) AS
+    BIGINT)),13,'0'))``); the probability arithmetic is one IEEE
+    multiply+floor, identical across engines.  Map-side only, no
+    shuffle; ``prob ≥ 1`` keeps unconditionally.
+    """
+    p = F.col(prob) if isinstance(prob, str) else prob
+    p = F.least(F.greatest(p.cast("double"), F.lit(0.0)), F.lit(1.0))
+    thr = F.lower(F.lpad(F.hex(F.floor(p * F.lit(float(1 << 52)))
+                               .cast("long")), 13, "0"))
+    keep = F.when(p >= 1.0, F.lit(True)) \
+        .otherwise(_hash13(id_col, seed) < thr)
+    return df.filter(keep)
+
+
 def hash_split(df: DataFrame, id_col: str, weights: dict,
                seed: int = 0, split_col: str = "split") -> DataFrame:
     """Deterministic train/val/test assignment: each row lands in the

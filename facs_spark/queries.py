@@ -1640,6 +1640,33 @@ ORDER BY t.doc_id
 
 
 # =====================================================================
+# q45 — weighted Bernoulli sampling: keep probability grows with doc
+# length (prefer substantive docs), selection replayed exactly by the
+# oracle via the shared 13-hex-digit threshold compare (per-ROW
+# threshold here — floor(p·2⁵²) in hex, one IEEE multiply both
+# engines compute identically).
+# =====================================================================
+def q45_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .ops.sampling import weighted_sample
+    docs = _read(spark, sf_dir, "documents")
+    prob = F.length("text") / F.lit(400.0)
+    out = weighted_sample(docs, prob, "doc_id", seed=11)
+    return out.select("doc_id").orderBy("doc_id")
+
+
+Q45_SQL = """
+SELECT doc_id FROM documents
+WHERE CASE WHEN len(text) / 400.0 >= 1.0 THEN TRUE
+           ELSE substr(md5('11:' || CAST(doc_id AS VARCHAR)), 1, 13)
+                < lower(lpad(hex(CAST(FLOOR(
+                      GREATEST(LEAST(len(text) / 400.0, 1.0), 0.0)
+                      * 4503599627370496.0) AS BIGINT)), 13, '0'))
+      END
+ORDER BY doc_id
+"""
+
+
+# =====================================================================
 # q42/q43 — the remaining curation-selection ops, both pure functions
 # of (seed, id) with NO shuffle (map-side filters/projections that
 # push below the scan): stratified per-language sampling and the
@@ -1781,6 +1808,7 @@ def queries():
         "q42_stratified_sample": q42_stratified_sample,
         "q43_hash_split": q43_hash_split,
         "q44_repetition": q44_repetition,
+        "q45_weighted_sample": q45_weighted_sample,
     }
 
 
@@ -1838,6 +1866,7 @@ def oracle_sql():
         "q42_stratified_sample": _q42_sql(),
         "q43_hash_split": _q43_sql(),
         "q44_repetition": Q44_SQL,
+        "q45_weighted_sample": Q45_SQL,
     }
 
 

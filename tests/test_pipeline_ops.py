@@ -762,3 +762,29 @@ def test_minhash_signatures_all_blank_batch(spark):
                                "doc_id long, text string")
     assert minhash_signatures(df, "doc_id", "text").count() == 0
     assert minhash_dedup(df, "doc_id", "text").count() == 0
+
+
+def test_weighted_sample_rates_and_determinism(spark, docs):
+    """Keep-rate tracks the per-row probability (binomial bounds over
+    probability strata); selection is partitioning-independent; p≥1
+    keeps everything; p≤0 keeps nothing."""
+    from facs_spark.ops.sampling import weighted_sample
+    prob = (F.col("doc_id") % 10) / F.lit(10.0)
+    kept = {r["doc_id"] for r in
+            weighted_sample(docs, prob, "doc_id", seed=2).collect()}
+    kept2 = {r["doc_id"] for r in
+             weighted_sample(docs.repartition(11), prob, "doc_id",
+                             seed=2).collect()}
+    assert kept == kept2
+    ids = [r["doc_id"] for r in docs.select("doc_id").collect()]
+    for d in range(10):
+        stratum = [i for i in ids if i % 10 == d]
+        got = sum(1 for i in stratum if i in kept)
+        p = d / 10.0
+        sd = (len(stratum) * p * (1 - p)) ** 0.5
+        assert abs(got - len(stratum) * p) <= 5 * sd + 1, (d, got)
+    n = docs.count()
+    assert weighted_sample(docs, F.lit(1.0), "doc_id").count() == n
+    assert weighted_sample(docs, F.lit(2.5), "doc_id").count() == n
+    assert weighted_sample(docs, F.lit(0.0), "doc_id").count() == 0
+    assert weighted_sample(docs, F.lit(-3.0), "doc_id").count() == 0
