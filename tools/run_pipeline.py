@@ -36,7 +36,7 @@ def main(argv=None) -> int:
     ap.add_argument("--input", required=True)
     ap.add_argument("--column", required=True)
     ap.add_argument("--sketch", default="bloom",
-                    choices=["bloom", "hll", "cms", "tdigest", "kll"])
+                    choices=["bloom", "hll", "cms", "tdigest", "kll", "theta"])
     ap.add_argument("--prep", default=None,
                     help="kgram|tokens|raw (default: kgram for bloom)")
     ap.add_argument("--k", type=int, default=15)
@@ -57,7 +57,7 @@ def main(argv=None) -> int:
                                error_rate=args.error_rate)
     elif args.sketch == "cms":
         spec = SketchSpec.make("cms", args.column, prep=prep)
-    elif args.sketch in ("tdigest", "kll"):
+    elif args.sketch in ("tdigest", "kll", "theta"):
         spec = SketchSpec.make(args.sketch, args.column)
     else:
         spec = SketchSpec.make("hll", args.column, prep=prep)
