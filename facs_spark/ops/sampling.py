@@ -137,10 +137,15 @@ def weighted_sample(df: DataFrame, prob, id_col: str,
     (``substr(md5(..),1,13) < lower(lpad(hex(CAST(FLOOR(p*2^52) AS
     BIGINT)),13,'0'))``); the probability arithmetic is one IEEE
     multiply+floor, identical across engines.  Map-side only, no
-    shuffle; ``prob ≥ 1`` keeps unconditionally.
+    shuffle; ``prob ≥ 1`` keeps unconditionally; NaN/null probabilities DROP the row (a broken score must not become certain inclusion).
     """
     p = F.col(prob) if isinstance(prob, str) else prob
-    p = F.least(F.greatest(p.cast("double"), F.lit(0.0)), F.lit(1.0))
+    p = p.cast("double")
+    # NaN (a broken quality score) DROPS the row — Spark's
+    # greatest/least would otherwise clamp NaN to 1.0 and keep it
+    # unconditionally, the opposite of what an undefined score merits
+    p = F.when(F.isnan(p) | p.isNull(), F.lit(0.0)).otherwise(p)
+    p = F.least(F.greatest(p, F.lit(0.0)), F.lit(1.0))
     thr = F.lower(F.lpad(F.hex(F.floor(p * F.lit(float(1 << 52)))
                                .cast("long")), 13, "0"))
     keep = F.when(p >= 1.0, F.lit(True)) \

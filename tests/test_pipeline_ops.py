@@ -788,3 +788,11 @@ def test_weighted_sample_rates_and_determinism(spark, docs):
     assert weighted_sample(docs, F.lit(2.5), "doc_id").count() == n
     assert weighted_sample(docs, F.lit(0.0), "doc_id").count() == 0
     assert weighted_sample(docs, F.lit(-3.0), "doc_id").count() == 0
+
+
+def test_weighted_sample_nan_drops(spark, docs):
+    """A NaN/null probability must DROP the row, not clamp to 1."""
+    from facs_spark.ops.sampling import weighted_sample
+    nan_prob = F.when(F.col("doc_id") % 2 == 0,
+                      F.lit(float("nan"))).otherwise(F.lit(None))
+    assert weighted_sample(docs, nan_prob, "doc_id").count() == 0

@@ -57,7 +57,9 @@ def main(argv=None) -> int:
                                error_rate=args.error_rate)
     elif args.sketch == "cms":
         spec = SketchSpec.make("cms", args.column, prep=prep)
-    elif args.sketch in ("tdigest", "kll", "theta"):
+    elif args.sketch == "theta":
+        spec = SketchSpec.make("theta", args.column, prep=prep)
+    elif args.sketch in ("tdigest", "kll"):
         spec = SketchSpec.make(args.sketch, args.column)
     else:
         spec = SketchSpec.make("hll", args.column, prep=prep)
