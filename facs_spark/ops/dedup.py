@@ -6,8 +6,9 @@ near-dup, SimHash, n-gram Jaccard — all Spark-first:
 * exact: hash-groupBy (one shuffle on a 64-bit key, not the text);
 * MinHash: per-doc signatures in a vectorized kernel (one pass over
   the shingle set per batch — permutations via the standard
-  ``(a·h + b) mod p`` universal family), banded into LSH buckets, a
-  self-join ON the bucket key only (candidate pairs ≪ n²), then an
+  ``(a·h + b) mod p`` universal family), banded into LSH buckets,
+  ONE groupBy exchange gathering each cell's id array with the pair
+  expansion in JVM codegen (candidate pairs ≪ n²), then an
   exact-Jaccard verify of candidates;
 * SimHash: 64-bit signed-projection fingerprint, bucket by rotated
   prefix blocks (Hamming-ball search), verify by true Hamming
@@ -297,34 +298,45 @@ def minhash_candidates(sig: DataFrame, id_col: str,
                        max_bucket: int = 200) -> DataFrame:
     """Distinct candidate pairs from shared (band, bucket) cells.
 
-    Pure DataFrame self-join on the (band, bucket) key — the only
-    shuffled payload is (band, bucket, id) longs.  ``max_bucket`` caps
-    degenerate buckets (boilerplate skew): a bucket with B docs yields
-    B²/2 pairs, so one viral template would melt the join — the cap is
-    the skew guard (SURVEY §4 salting row).  Cell sizes come from a
-    window over the (band, bucket) partition (one shuffle; the
-    self-join then reuses that exchange) rather than a groupBy + join
-    back (two).  Over-cap cells are NOT dropped: every member pairs
-    against the cell's min-id representative (linear in cell size), so
-    a >``max_bucket`` template cluster still chains into one
-    near-dup component instead of silently evading dedup.
+    ONE exchange: ``groupBy(band, bucket)`` gathers each cell's sorted
+    id array (hash agg — no sort, no second pass over the exchange),
+    and the in-cell pair expansion is a JVM higher-order-function
+    cascade (``transform``/``slice``/``flatten`` — whole-stage
+    codegen, no python).  The earlier window + self-join shape cost
+    the same single exchange but added a full partition SORT, a
+    second traversal for the join probe, and a union branch.
+
+    ``max_bucket`` caps degenerate cells (boilerplate skew): a cell
+    with B docs yields B²/2 pairs, so one viral template would melt
+    the shuffle — the cap is the skew guard (SURVEY §4 salting row).
+    Over-cap cells are NOT dropped: every member pairs against the
+    cell's min-id representative (linear in cell size), so a
+    >``max_bucket`` template cluster still chains into one near-dup
+    component instead of silently evading dedup.  (The collected id
+    array is bounded by the cell size either way — the same bound the
+    window shape buffered per partition group.)
     """
-    from pyspark.sql.window import Window
-    w = Window.partitionBy("band", "bucket")
-    cells = (sig.withColumn("n", F.count(F.lit(1)).over(w))
-             .withColumn("rep", F.min(id_col).over(w))
-             .filter(F.col("n") >= 2))
-    normal = cells.filter(F.col("n") <= max_bucket)
-    a = normal.select("band", "bucket", F.col(id_col).alias("id_a"))
-    b = normal.select("band", "bucket", F.col(id_col).alias("id_b"))
-    quad = (a.join(b, ["band", "bucket"])
-            .filter(F.col("id_a") < F.col("id_b"))
-            .select("id_a", "id_b"))
-    rep = (cells.filter((F.col("n") > max_bucket)
-                        & (F.col(id_col) != F.col("rep")))
-           .select(F.col("rep").alias("id_a"),
-                   F.col(id_col).alias("id_b")))
-    return quad.union(rep).distinct()
+    cells = (sig.groupBy("band", "bucket")
+             .agg(F.array_sort(F.collect_list(id_col)).alias("ids"))
+             .filter(F.size("ids") >= 2))
+    n = F.size("ids")
+    # n ≤ cap: all unordered pairs (i < j); else: min-id rep × rest
+    all_pairs = F.flatten(F.transform(
+        F.sequence(F.lit(1), n - 1),
+        lambda i: F.transform(
+            F.slice(F.col("ids"), i + 1, n - i),
+            lambda y: F.struct(
+                F.element_at(F.col("ids"), i).alias("id_a"),
+                y.alias("id_b")))))
+    rep_pairs = F.transform(
+        F.slice(F.col("ids"), 2, n - 1),
+        lambda y: F.struct(F.element_at(F.col("ids"), 1).alias("id_a"),
+                           y.alias("id_b")))
+    pairs = F.when(n <= max_bucket, all_pairs).otherwise(rep_pairs)
+    return (cells.select(F.explode(pairs).alias("p"))
+            .select(F.col("p.id_a").alias("id_a"),
+                    F.col("p.id_b").alias("id_b"))
+            .distinct())
 
 
 def exact_jaccard_pairs(df: DataFrame, pairs: DataFrame, id_col: str,
@@ -488,33 +500,38 @@ def simhash_near_pairs(fp: DataFrame, id_col: str, max_hamming: int = 6,
     in-cell pairing, i.e. exactly the pigeonhole-guaranteed all-pairs
     semantics (what an exact brute-force oracle expects).
     """
-    from pyspark.sql.window import Window
     blocks = _simhash_block_tables(fp, id_col, max_hamming)
-    w = Window.partitionBy("blk", "val")
-    cells = (blocks
-             .withColumn("n", F.count(F.lit(1)).over(w))
-             .withColumn("rep", F.min(F.struct(
+    # same one-exchange groupBy + in-JVM pair cascade as
+    # minhash_candidates (see there): the cell's sorted (id, print)
+    # structs expand to pairs via transform/slice/flatten — no window
+    # sort, no self-join, no union branch
+    cells = (blocks.groupBy("blk", "val")
+             .agg(F.array_sort(F.collect_list(F.struct(
                  F.col(id_col).alias("i"),
-                 F.col("simhash").alias("s"))).over(w))
-             .filter(F.col("n") >= 2))
-    normal = cells if max_bucket is None \
-        else cells.filter(F.col("n") <= max_bucket)
-    left = normal.select(F.col(id_col).alias("id_a"),
-                         F.col("simhash").alias("sim_a"), "blk", "val")
-    right = normal.select(F.col(id_col).alias("id_b"),
-                          F.col("simhash").alias("sim_b"), "blk", "val")
-    pairs = (left.join(right, ["blk", "val"])
-             .filter(F.col("id_a") < F.col("id_b"))
-             .select("id_a", "id_b", "sim_a", "sim_b"))
-    if max_bucket is not None:
-        rep = (cells.filter((F.col("n") > max_bucket)
-                            & (F.col(id_col) != F.col("rep.i")))
-               .select(F.col("rep.i").alias("id_a"),
-                       F.col("rep.s").alias("sim_a"),
-                       F.col(id_col).alias("id_b"),
-                       F.col("simhash").alias("sim_b")))
-        pairs = pairs.unionByName(rep)
-    pairs = pairs.distinct()
+                 F.col("simhash").alias("s")))).alias("xs"))
+             .filter(F.size("xs") >= 2))
+    n = F.size("xs")
+
+    def pair_of(x, y):
+        return F.struct(x["i"].alias("id_a"), x["s"].alias("sim_a"),
+                        y["i"].alias("id_b"), y["s"].alias("sim_b"))
+
+    all_pairs = F.flatten(F.transform(
+        F.sequence(F.lit(1), n - 1),
+        lambda i: F.transform(
+            F.slice(F.col("xs"), i + 1, n - i),
+            lambda y: pair_of(F.element_at(F.col("xs"), i), y))))
+    if max_bucket is None:
+        pairs_col = all_pairs
+    else:
+        rep_pairs = F.transform(
+            F.slice(F.col("xs"), 2, n - 1),
+            lambda y: pair_of(F.element_at(F.col("xs"), 1), y))
+        pairs_col = F.when(n <= max_bucket, all_pairs) \
+            .otherwise(rep_pairs)
+    pairs = (cells.select(F.explode(pairs_col).alias("p"))
+             .select("p.id_a", "p.id_b", "p.sim_a", "p.sim_b")
+             .distinct())
     dist = F.bit_count(F.col("sim_a").bitwiseXOR(F.col("sim_b")))
     return (pairs.withColumn("hamming", dist)
             .filter(F.col("hamming") <= max_hamming)

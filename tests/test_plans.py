@@ -159,28 +159,29 @@ def test_bucketed_join_is_shuffle_free(spark, tmp_path):
         spark.sql("DROP DATABASE IF EXISTS bkt")
 
 
-def test_simhash_candidates_window_cap_plan(spark):
-    """The per-cell skew cap must come from a WINDOW over the (blk,
-    val) partition, not a groupBy + join-back: every Exchange in the
-    candidate plan carries only long cell/pair keys (never text), the
-    cap appears as Window nodes, and the only aggregation is the
-    pair-distinct.  Exchange count pinned at the window shape's 4
-    (3 × (blk,val) subtrees that ReuseExchange collapses at runtime
-    + the distinct) — the groupBy+join-back shape was strictly wider."""
+def test_simhash_candidates_cell_cap_plan(spark):
+    """The candidate stage must be the one-exchange groupBy + in-JVM
+    pair-cascade shape: exactly TWO keyed exchanges (the (blk, val)
+    cell gather and the pair-distinct), every shuffle key a long cell/
+    pair key (never text), NO join node, NO sort (hash agg gathers the
+    cells; the window shape this replaced sorted every partition), and
+    the pair expansion in codegen (Generate/explode), not python."""
     import re
 
     from facs_spark.ops.dedup import simhash_near_pairs
     fp = spark.createDataFrame([(i, i * 7) for i in range(50)],
                                "doc_id long, simhash long")
     plan = _formatted(simhash_near_pairs(fp, "doc_id", max_hamming=3))
-    assert _n_nodes(plan, "Window") >= 1, "cap must be window-based"
     n_ex = _n_nodes(plan, "Exchange")
-    assert n_ex <= 4, f"{n_ex} exchanges — cap shape regressed"
+    assert n_ex <= 2, f"{n_ex} exchanges — cap shape regressed"
     keys = re.findall(r"Arguments: hashpartitioning\(([^)]*)\)", plan)
     for k in keys:
         assert k.startswith(("blk#", "id_a#")), f"unexpected shuffle key {k}"
-    # the only aggregate is the final pair-distinct (partial+final)
-    assert _n_nodes(plan, r"\w*HashAggregate") == 2
+    assert _n_nodes(plan, "Sort") == 0, "no sort expected (hash agg)"
+    assert "Join" not in plan.split("\n\n")[0], "no join node expected"
+    assert _n_nodes(plan, "Generate") >= 1  # explode of the pair arrays
+    # cell-gather (partial+final) + pair-distinct (partial+final)
+    assert _n_nodes(plan, r"\w*HashAggregate") == 4
 
 
 def test_bloom_prejoin_filter_is_map_side(spark):
