@@ -104,10 +104,13 @@ def _warm_streaming(spark) -> None:
 
     src = tempfile.mkdtemp(prefix="bench_stream_warm_")
     ckpt = tempfile.mkdtemp(prefix="bench_stream_warm_ckpt_")
+    ckpt2 = tempfile.mkdtemp(prefix="bench_stream_warm_ckpt2_")
     try:
         spark.range(2).withColumn("g", F.col("id") % 2) \
+            .withColumn("ts", F.timestamp_seconds(F.col("id"))) \
             .write.mode("overwrite").parquet(src)
-        q = (spark.readStream.schema("id long, g long").parquet(src)
+        q = (spark.readStream.schema("id long, g long, ts timestamp")
+             .parquet(src)
              .groupBy("g").count()
              .writeStream.outputMode("complete").format("memory")
              .queryName("bench_stream_warm")
@@ -115,9 +118,30 @@ def _warm_streaming(spark) -> None:
              .trigger(availableNow=True).start())
         q.awaitTermination()
         spark.catalog.dropTempView("bench_stream_warm")
+        # the watermark + update-mode state path (q38's shape) has its
+        # own first-touch cost distinct from complete mode's
+        q2 = (spark.readStream.schema("id long, g long, ts timestamp")
+              .parquet(src)
+              .withWatermark("ts", "1 minute")
+              .groupBy(F.window("ts", "1 minute"), "g").count()
+              .writeStream.outputMode("update").format("memory")
+              .queryName("bench_stream_warm2")
+              .option("checkpointLocation", ckpt2)
+              .trigger(availableNow=True).start())
+        q2.awaitTermination()
+        spark.catalog.dropTempView("bench_stream_warm2")
     finally:
         shutil.rmtree(src, ignore_errors=True)
         shutil.rmtree(ckpt, ignore_errors=True)
+        shutil.rmtree(ckpt2, ignore_errors=True)
+    # q38's source fixture (two subset writes + a max-ts agg) is
+    # deterministic per sf_dir and process-cached — staging it here
+    # keeps it out of trial 1's measured time (round-4 VERDICT item #6)
+    import shutil as _sh
+
+    from facs_spark.queries import _q38_stage
+    _, q38_ckpt = _q38_stage(spark, SF_DIR)
+    _sh.rmtree(q38_ckpt, ignore_errors=True)
 
 
 def dedup_job(spark, n_pages: int) -> dict:
@@ -125,8 +149,10 @@ def dedup_job(spark, n_pages: int) -> dict:
     banded LSH candidates → exact-Jaccard verify) over the same
     deterministic synthetic pages table.  Covers the dedup suite's
     shuffle+kernel mix the classify job doesn't touch: mapInPandas
-    signature kernel, window cell cap, bucket self-join, verify
-    join."""
+    signature kernel, one-exchange groupBy cell gather with the
+    capped pair expansion as an in-JVM transform/slice/flatten
+    cascade (no window sort, no self-join), then the exact-Jaccard
+    verify join."""
     from pyspark.sql import functions as F
 
     from facs_spark.ops.dedup import minhash_dedup
@@ -197,8 +223,45 @@ def run_queries(spark, trials: int) -> tuple[dict[str, float],
     return medians, raw
 
 
+def _record(payload: dict, stdout_keys: list[str] | None = None) -> None:
+    """Persist the FULL result to BENCH.json and print a stdout line.
+
+    The driver records only a small tail of stdout (BENCH_r04.json came
+    back truncated, ``"parsed": null`` — the raw-trials dict pushed the
+    line past the tail buffer and destroyed the record it was meant to
+    protect).  So: the durable record is the file; stdout carries a
+    compact line (``stdout_keys`` subset, or everything if None) that
+    fits the tail buffer.
+    """
+    with open(os.path.join(REPO, "BENCH.json"), "w") as fh:
+        json.dump(payload, fh, indent=1)
+        fh.write("\n")
+    line = (payload if stdout_keys is None
+            else {k: payload[k] for k in stdout_keys if k in payload})
+    print(json.dumps(line))
+
+
+def summary(path: str = None) -> str:
+    """One-line per-round summary computed FROM the recorded JSON (the
+    BENCH.md headline must be reproducible from the record — round-4
+    VERDICT item #1).  Prints: suite total (sum of per-query medians +
+    throughput sec), slowest query, throughput."""
+    with open(path or os.path.join(REPO, "BENCH.json")) as fh:
+        d = json.load(fh)
+    q = d["queries"]
+    slowest = max(q, key=q.get)
+    return (f"suite {round(sum(q.values()) + d['throughput']['sec'], 1)} s "
+            f"({len(q)} query medians of {d['trials']} trials + "
+            f"{d['throughput']['sec']} s throughput) | slowest {slowest} "
+            f"{q[slowest]} s | {d['pages_per_sec']} pages/s @ {d['cpus']} cores")
+
+
 def main() -> None:
     from facs_spark.session import get_spark
+
+    if "--summary" in sys.argv:
+        print(summary())
+        return
 
     job_flag = ("--dedup-only" if "--dedup-only" in sys.argv
                 else "--throughput-only")
@@ -243,7 +306,7 @@ def main() -> None:
         lo, hi = min(levels), max(levels)
         eff = ((results[hi]["pages_per_sec"] / results[lo]["pages_per_sec"])
                / (hi / lo))
-        print(json.dumps({
+        payload = {
             "metric": ("scaling_efficiency_dedup"
                        if sub_flag == "--dedup-only"
                        else "scaling_efficiency"),
@@ -251,7 +314,13 @@ def main() -> None:
             "unit": "ratio",
             "levels": {str(l): results[l] for l in levels},
             "pages": n_pages,
-        }))
+        }
+        with open(os.path.join(
+                REPO, f"BENCH_scaling{'_dedup' if sub_flag == '--dedup-only' else ''}.json"),
+                "w") as fh:
+            json.dump(payload, fh, indent=1)
+            fh.write("\n")
+        print(json.dumps(payload))
         return
 
     trials = int(os.environ.get("BENCH_TRIALS", "3"))
@@ -266,7 +335,10 @@ def main() -> None:
     # the noise-robust suite cost (wall_sec is the raw elapsed time
     # including all trials)
     total = round(sum(timings.values()) + tp["sec"], 3)
-    print(json.dumps({
+    # full record (incl. raw trials) → BENCH.json; compact line (no
+    # query_trials — that dict is what overflowed the driver's stdout
+    # tail buffer in round 4) → stdout for the driver
+    _record({
         "metric": "headline_queries_plus_throughput_sec",
         "value": total,
         "unit": "sec",
@@ -278,7 +350,9 @@ def main() -> None:
         "throughput": tp,
         "pages_per_sec": round(tp["pages_per_sec"], 1),
         "cpus": CPUS,
-    }))
+    }, stdout_keys=["metric", "value", "unit", "queries", "trials",
+                    "wall_sec", "sf", "throughput", "pages_per_sec",
+                    "cpus"])
 
 
 if __name__ == "__main__":

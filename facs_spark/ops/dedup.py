@@ -101,14 +101,26 @@ def _batch_bytes(texts) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
     ``lower()`` on the same text).
     """
     import pyarrow as pa
-    arr = pa.array(texts, type=pa.string())
+    try:
+        arr = pa.array(texts, type=pa.string())
+    except (pa.lib.ArrowInvalid, pa.lib.ArrowCapacityError):
+        # > 2 GiB of string data in one batch overflows string's
+        # 32-bit offsets — large_string uses 64-bit offsets and the
+        # same two-buffer layout (offset dtype handled below)
+        arr = pa.array(texts, type=pa.large_string())
+    if isinstance(arr, pa.ChunkedArray):
+        # arrow-backed pandas inputs convert chunked; large_string's
+        # 64-bit offsets guarantee combine_chunks yields ONE chunk
+        arr = arr.cast(pa.large_string()).combine_chunks()
     if arr.null_count:
         arr = arr.fill_null("")
+    off_dtype = (np.int64 if pa.types.is_large_string(arr.type)
+                 else np.int32)
     ndocs = len(arr)
     buffers = arr.buffers()
     data = (np.frombuffer(buffers[2], dtype=np.uint8)
             if buffers[2] is not None else np.zeros(0, dtype=np.uint8))
-    offs = np.frombuffer(buffers[1], dtype=np.int32)[
+    offs = np.frombuffer(buffers[1], dtype=off_dtype)[
         arr.offset:arr.offset + ndocs + 1].astype(np.int64)
     data = data[offs[0]:offs[-1]]
     offs = offs - offs[0]
@@ -343,33 +355,65 @@ def exact_jaccard_pairs(df: DataFrame, pairs: DataFrame, id_col: str,
                         text_col: str, shingle_n: int = 3) -> DataFrame:
     """Exact token-shingle Jaccard for candidate pairs (verify stage).
 
-    Joins the (small) candidate list back to text twice — broadcast
-    when it fits — and computes |A∩B|/|A∪B| in a vectorized kernel.
+    ONE scan of the text table, ONE shingle-kernel pass per candidate
+    DOC (the old shape joined text twice and re-shingled a doc once
+    per pair side — a doc in p pairs paid p kernel passes and its text
+    crossed the Arrow channel 2p times).  Shape:
+
+    1. semi-join text to the distinct ids appearing on either pair
+       side (candidate ids broadcast — they are bounded by 2·|pairs|);
+    2. shingle each candidate doc once → sorted-unique hash ARRAY
+       (longs — text never shuffles past this point);
+    3. explode each pair into its two sides, ONE equi-join against the
+       hash table, groupBy the pair gathering (sh_a, sh_b);
+    4. Jaccard = |A∩B| / (|A|+|B|−|A∩B|) computed JVM-side
+       (``array_intersect`` on sorted-unique arrays, whole-stage
+       codegen — the verify math leaves Python entirely).
+
+    Pairs with either id missing from ``df`` are dropped (the old
+    inner-join behavior); two empty shingle sets score 1.0, one empty
+    set scores 0.0 (ditto).
+
+    Scale contract: the broadcast in step 1 is 8 B per distinct
+    candidate id — fine up to ~10⁸ pairs; past that, replace it with a
+    shuffle semi-join (drop the hint) and the rest of the shape is
+    unchanged (hash arrays, not text, ride the remaining exchanges).
     """
     ensure_shipped(df.sparkSession)
-    txt = df.select(F.col(id_col), F.col(text_col))
-    joined = (pairs
-              .join(txt.withColumnRenamed(id_col, "id_a")
-                       .withColumnRenamed(text_col, "text_a"), "id_a")
-              .join(txt.withColumnRenamed(id_col, "id_b")
-                       .withColumnRenamed(text_col, "text_b"), "id_b"))
+    need = (pairs.select(F.explode(F.array("id_a", "id_b")).alias(id_col))
+            .distinct())
+    cand = df.select(F.col(id_col), F.col(text_col)) \
+        .join(F.broadcast(need), id_col)
 
     def kernel(iterator):
         for batch in iterator:
-            ha = _shingle_hashes(batch["text_a"].tolist(), shingle_n)
-            hb = _shingle_hashes(batch["text_b"].tolist(), shingle_n)
-            jac = []
-            for x, y in zip(ha, hb):
-                if x.size == 0 and y.size == 0:
-                    jac.append(1.0)
-                    continue
-                inter = np.intersect1d(x, y, assume_unique=True).size
-                jac.append(inter / (x.size + y.size - inter))
-            yield pd.DataFrame({"id_a": batch["id_a"], "id_b": batch["id_b"],
-                                "jaccard": jac})
+            hs = _shingle_hashes(batch[text_col].tolist(), shingle_n)
+            yield pd.DataFrame({
+                id_col: batch[id_col],
+                "sh": [h.view(np.int64) for h in hs]})
 
-    return joined.mapInPandas(
-        kernel, schema="id_a long, id_b long, jaccard double")
+    hv = cand.mapInPandas(kernel, schema=f"{id_col} long, sh array<long>")
+    sides = pairs.select(
+        "id_a", "id_b",
+        F.explode(F.array(
+            F.struct(F.col("id_a").alias(id_col), F.lit(0).alias("_side")),
+            F.struct(F.col("id_b").alias(id_col), F.lit(1).alias("_side")),
+        )).alias("_s")
+    ).select("id_a", "id_b", F.col(f"_s.{id_col}").alias(id_col),
+             F.col("_s._side").alias("_side"))
+    gathered = (sides.join(hv, id_col)
+                .groupBy("id_a", "id_b")
+                .agg(F.first(F.when(F.col("_side") == 0, F.col("sh")),
+                             ignorenulls=True).alias("sh_a"),
+                     F.first(F.when(F.col("_side") == 1, F.col("sh")),
+                             ignorenulls=True).alias("sh_b")))
+    inter = F.size(F.array_intersect("sh_a", "sh_b"))
+    denom = F.size("sh_a") + F.size("sh_b") - inter
+    return (gathered
+            .filter(F.col("sh_a").isNotNull() & F.col("sh_b").isNotNull())
+            .select("id_a", "id_b",
+                    F.when(denom == 0, F.lit(1.0))
+                     .otherwise(inter / denom).alias("jaccard")))
 
 
 def minhash_dedup(df: DataFrame, id_col: str, text_col: str,

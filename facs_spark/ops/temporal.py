@@ -62,9 +62,13 @@ def asof_join(left: DataFrame, right: DataFrame, on: list[str] | str,
     Results are identical to the plain shape (tested); the extra cost
     is one agg + one join on a |keys × buckets|-row table.
 
-    Right rows with a null ``ts_col`` never match; multiple right rows
-    sharing an exact (key, ts) make the winner order-dependent — dedup
-    the right side first if the data allows that.
+    Null semantics follow SQL joins (the DuckDB ASOF convention this
+    op is oracle-checked against): right rows with a null ``ts_col``
+    or a null key never match anything; left rows with a null
+    ``ts_col`` or a null key are kept but get null right columns
+    (null never equals null).  Multiple right rows sharing an exact
+    (key, ts) make the winner order-dependent — dedup the right side
+    first if the data allows that.
 
     Right columns that collide with left column names are renamed with
     ``suffix``.
@@ -88,8 +92,14 @@ def asof_join(left: DataFrame, right: DataFrame, on: list[str] | str,
         raise ValueError("asof_join: right side has no payload columns")
     out_names = {c: (c + suffix if c in left.columns else c)
                  for c in r_payload}
-    # right ts rides inside the payload so tolerance can see it
-    r2 = (right.filter(F.col(ts_col).isNotNull())
+    # right ts rides inside the payload so tolerance can see it;
+    # null-ts AND null-key right rows are dropped up front — a null key
+    # must match nothing (SQL join semantics), but the window's
+    # partitionBy would group null keys together and pair them up
+    not_null_right = F.col(ts_col).isNotNull()
+    for k in keys:
+        not_null_right = not_null_right & F.col(k).isNotNull()
+    r2 = (right.filter(not_null_right)
           .select(*keys, F.col(ts_col), F.lit(0).alias(_SIDE),
                   F.struct(F.col(ts_col).alias("_asof_ts"),
                            *[F.col(c) for c in r_payload]).alias(_RP)))
@@ -105,7 +115,16 @@ def asof_join(left: DataFrame, right: DataFrame, on: list[str] | str,
         matched = unioned.withColumn(_RP, filled)
     else:
         bkt = "_asof_bkt"
-        u = unioned.withColumn(bkt, F.window(ts_col, skew_bucket)["start"])
+        # arithmetic epoch bucketing, NOT F.window(): Catalyst rewrites
+        # the time-window expression into an Expand + ts-not-null
+        # filter, which would silently DROP null-ts left rows from the
+        # output; floor(unix_micros/width) groups identically (epoch-
+        # aligned, like window()'s default) and is null-preserving.
+        # width is a constant-folded literal: epoch + interval.
+        iv_us = F.unix_micros(F.timestamp_seconds(F.lit(0))
+                              + F.expr(f"INTERVAL {skew_bucket}"))
+        u = unioned.withColumn(
+            bkt, F.floor(F.unix_micros(F.col(ts_col)) / iv_us))
         # pass 1: fill within (key, bucket) — partition size bounded
         # by the bucket's traffic, hot key or not
         w = (Window.partitionBy(*keys, bkt).orderBy(*order)
@@ -135,6 +154,14 @@ def asof_join(left: DataFrame, right: DataFrame, on: list[str] | str,
         in_tol = (filled["_asof_ts"] >= F.col(ts_col) - iv if backward
                   else filled["_asof_ts"] <= F.col(ts_col) + iv)
         filled = F.when(in_tol, filled)
+    # a left row with a null ts or null key matches nothing: under
+    # desc ordering Spark sorts null ts LAST, so the window fill would
+    # otherwise hand a forward-direction null-ts row the smallest-ts
+    # right payload (and backward would hand it null — inconsistent)
+    left_matchable = F.col(ts_col).isNotNull()
+    for k in keys:
+        left_matchable = left_matchable & F.col(k).isNotNull()
+    filled = F.when(left_matchable, filled)
     matched = matched.withColumn(_RP, filled).filter(F.col(_SIDE) == 1)
     return matched.select(
         *[F.col(c) for c in left.columns],

@@ -70,6 +70,36 @@ def test_asof_join_matches_merge_asof(spark, direction, tolerance):
         check_names=False)
 
 
+@pytest.mark.parametrize("direction", ["backward", "forward"])
+@pytest.mark.parametrize("skew_bucket", [None, "1 hour"])
+def test_asof_join_null_ts_and_null_keys_never_match(
+        spark, direction, skew_bucket):
+    """SQL null semantics: a null ts or null key on EITHER side matches
+    nothing (left rows are kept with null right columns).  Regression:
+    under desc ordering Spark sorts null ts LAST, so the forward fill
+    used to hand a null-ts left row the smallest-ts right payload; and
+    partitionBy groups null keys, pairing them unlike any SQL join."""
+    from datetime import datetime, timedelta
+
+    b = datetime(2024, 1, 1)
+    h = timedelta(hours=1)
+    ldf = spark.createDataFrame(
+        [(1, b + h, 0), (1, None, 1),
+         (None, b + 2 * h, 2), (1, b + 3 * h, 3)],
+        "k long, ts timestamp, lid long")
+    rdf = spark.createDataFrame(
+        [(1, b + h / 2, 100), (1, None, 101),
+         (None, b + h, 102), (1, b + 2.5 * h, 103)],
+        "k long, ts timestamp, rid long")
+    got = {r["lid"]: r["rid"] for r in asof_join(
+        ldf, rdf, on="k", ts_col="ts", direction=direction,
+        skew_bucket=skew_bucket).collect()}
+    if direction == "backward":
+        assert got == {0: 100, 1: None, 2: None, 3: 103}
+    else:
+        assert got == {0: 103, 1: None, 2: None, 3: None}
+
+
 def test_asof_join_suffixes_colliding_columns(spark):
     left, right = _frames()
     right = right.rename(columns={"rv": "lid"})  # collide with left.lid
