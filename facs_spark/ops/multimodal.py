@@ -2,11 +2,19 @@
 columns with typed metadata.
 
 The Spark-side machinery (schemas, partition-aware batch shapes,
-mapInPandas signatures, metadata extraction) is real and tested; the
-actual media decode is STUBBED behind ``decode_image``/``decode_audio``
-(the codec libraries are not in this container) with a deterministic
-fake, clearly marked.  Swapping the stub for PIL/soundfile is a
-one-function change — the distributed plumbing does not move.
+mapInPandas signatures, metadata extraction) is real and tested.
+Decode support comes in two tiers:
+
+* **real codecs, pure python** — WAV (RIFF/WAVE, PCM16 mono:
+  ``decode_wav``/``encode_wav``) and BMP (Windows BITMAPINFOHEADER,
+  24-bit uncompressed: ``decode_bmp``/``encode_bmp``).  These parse
+  actual container bytes end-to-end; ``decode_audio``/``decode_image``
+  dispatch to them on magic.
+* **stubbed codecs** — compressed formats (JPEG/PNG/MP3/...) need
+  libjpeg/ffmpeg, which this container lacks; those payloads raise a
+  clearly-marked ``NotImplementedError`` exactly where a PIL/soundfile
+  call slots in.  The FIMG/FAUD deterministic fakes remain for
+  plumbing fixtures.
 
 Schema convention for a media column ``m``:
     m            binary        -- opaque payload
@@ -29,16 +37,113 @@ MEDIA_META_SCHEMA = ("struct<mime:string, width:int, height:int, "
                      "duration_ms:int, sha1:string>")
 
 
-def synth_media(df: DataFrame, id_col: str, kind: str = "image") -> DataFrame:
-    """Attach a deterministic fake media payload per row (fixture).
+# --------------------------------------------------------- real codecs
+# WAV and BMP are the two mainstream container formats whose reference
+# encodings are uncompressed and fully specified in a page of header
+# layout — decodable in pure python/numpy with zero codec libraries.
+# (Microsoft/IBM RIFF WAVE spec 1991; Windows BITMAPINFOHEADER.)
 
-    ``kind="image"``: magic(4s) | width(u16) | height(u16) | body.
-    ``kind="audio"``: magic(4s) | sample_rate(u32) | n_samples(u32) |
-    int16-LE samples.  Enough structure for the metadata extractor to
-    parse either like a container header.
+def encode_wav(samples: np.ndarray, rate: int) -> bytes:
+    """PCM16 mono RIFF/WAVE bytes for an int16 sample array."""
+    data = np.ascontiguousarray(samples, dtype="<i2").tobytes()
+    fmt = _struct.pack("<HHIIHH", 1, 1, rate, rate * 2, 2, 16)
+    chunks = (b"WAVE"
+              + b"fmt " + _struct.pack("<I", len(fmt)) + fmt
+              + b"data" + _struct.pack("<I", len(data)) + data)
+    return b"RIFF" + _struct.pack("<I", len(chunks)) + chunks
+
+
+def decode_wav(blob: bytes) -> tuple[np.ndarray, int]:
+    """Parse RIFF/WAVE bytes → (int16 mono waveform, sample_rate).
+
+    A real chunk-walking parser (not tied to this module's encoder):
+    chunks may come in any order with unknown chunks interleaved
+    (LIST/INFO, fact, ...), each padded to an even byte boundary per
+    the RIFF spec.  Supports PCM (format 1) 16-bit; mono or the first
+    channel of interleaved multi-channel.
+    """
+    if len(blob) < 12 or blob[:4] != b"RIFF" or blob[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE payload")
+    pos, end = 12, min(len(blob), 8 + _struct.unpack_from("<I", blob, 4)[0])
+    fmt = None
+    data = None
+    while pos + 8 <= end:
+        cid, size = blob[pos:pos + 4], _struct.unpack_from("<I", blob, pos + 4)[0]
+        body = blob[pos + 8:pos + 8 + size]
+        if cid == b"fmt ":
+            fmt = _struct.unpack_from("<HHIIHH", body, 0)
+        elif cid == b"data":
+            data = body
+        pos += 8 + size + (size & 1)  # chunks are even-aligned
+    if fmt is None or data is None:
+        raise ValueError("RIFF/WAVE missing fmt or data chunk")
+    audio_fmt, channels, rate, _byterate, _align, bits = fmt
+    if audio_fmt != 1 or bits != 16:
+        raise NotImplementedError(
+            f"WAV format {audio_fmt}/{bits}-bit needs a codec library; "
+            "only PCM16 decodes in pure python here")
+    wave = np.frombuffer(data, dtype="<i2",
+                         count=len(data) // 2 // channels * channels)
+    if channels > 1:
+        wave = wave.reshape(-1, channels)[:, 0].copy()
+    return wave, rate
+
+
+def encode_bmp(px: np.ndarray) -> bytes:
+    """24-bit uncompressed BMP bytes for an (H, W, 3) uint8 RGB array."""
+    h, w, _ = px.shape
+    stride = (w * 3 + 3) & ~3  # rows padded to 4 bytes
+    rows = np.zeros((h, stride), dtype=np.uint8)
+    rows[:, :w * 3] = px[::-1, :, ::-1].reshape(h, w * 3)  # bottom-up BGR
+    data = rows.tobytes()
+    info = _struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0, len(data),
+                        2835, 2835, 0, 0)
+    header = _struct.pack("<2sIHHI", b"BM", 14 + 40 + len(data), 0, 0,
+                          14 + 40)
+    return header + info + data
+
+
+def decode_bmp(blob: bytes) -> np.ndarray:
+    """Parse BMP bytes → (H, W, 3) uint8 RGB.  Supports the ubiquitous
+    BITMAPINFOHEADER 24-bit BI_RGB layout (top-down or bottom-up)."""
+    if blob[:2] != b"BM":
+        raise ValueError("not a BMP payload")
+    data_off = _struct.unpack_from("<I", blob, 10)[0]
+    hdr_size, w, h = _struct.unpack_from("<Iii", blob, 14)
+    planes, bits, compression = _struct.unpack_from("<HHI", blob, 26)
+    if hdr_size < 40 or bits != 24 or compression != 0:
+        raise NotImplementedError(
+            f"BMP {bits}-bit compression={compression} needs a codec "
+            "library; only 24-bit BI_RGB decodes in pure python here")
+    flip = h > 0  # positive height = bottom-up storage
+    h = abs(h)
+    stride = (w * 3 + 3) & ~3
+    rows = np.frombuffer(blob, np.uint8, count=h * stride,
+                         offset=data_off).reshape(h, stride)
+    px = rows[:, :w * 3].reshape(h, w, 3)[:, :, ::-1]  # BGR → RGB
+    return (px[::-1] if flip else px).copy()
+
+
+def synth_samples(i: int) -> np.ndarray:
+    """Deterministic int16 sample pattern for doc ``i`` — chosen to be
+    replayable in plain SQL (the q47 oracle rebuilds it with
+    ``generate_series``): ``s[j] = (i*31 + j*7) % 201 - 100``."""
+    n = 256 + (i * 37) % 1024
+    j = np.arange(n, dtype=np.int64)
+    return ((i * 31 + j * 7) % 201 - 100).astype("<i2")
+
+
+def synth_media(df: DataFrame, id_col: str, kind: str = "image") -> DataFrame:
+    """Attach a deterministic media payload per row (fixture).
+
+    ``kind="image"``: fake container magic(4s)|width(u16)|height(u16)|body.
+    ``kind="audio"``: fake container magic(4s)|rate(u32)|n(u32)|int16 LE.
+    ``kind="wav"``: a REAL RIFF/WAVE PCM16 file per row (the
+    ``synth_samples`` pattern — SQL-replayable for oracle checks).
+    ``kind="bmp"``: a REAL 24-bit BMP per row (deterministic pixels).
     """
     ensure_shipped(df.sparkSession)
-    if kind not in ("image", "audio"):
+    if kind not in ("image", "audio", "wav", "bmp"):
         raise ValueError(f"unknown media kind {kind!r}")
 
     def kernel(iterator):
@@ -52,7 +157,7 @@ def synth_media(df: DataFrame, id_col: str, kind: str = "image") -> DataFrame:
                     body = (int(i).to_bytes(8, "little")
                             * ((w * h) // 8 + 1))[: w * h]
                     blobs.append(b"FIMG" + _struct.pack("<HH", w, h) + body)
-                else:
+                elif kind == "audio":
                     rate = 8000
                     n = 256 + (int(i) * 37) % 1024
                     t = np.arange(n, dtype=np.float64)
@@ -60,6 +165,17 @@ def synth_media(df: DataFrame, id_col: str, kind: str = "image") -> DataFrame:
                                           * t / rate)).astype("<i2")
                     blobs.append(b"FAUD" + _struct.pack("<II", rate, n)
                                  + wave.tobytes())
+                elif kind == "wav":
+                    blobs.append(encode_wav(synth_samples(int(i)), 8000))
+                else:  # bmp
+                    w = 8 + (int(i) * 5) % 24
+                    h = 8 + (int(i) * 11) % 24
+                    yy, xx = np.mgrid[0:h, 0:w]
+                    px = np.stack([(yy * 7 + int(i)) % 256,
+                                   (xx * 13 + int(i) * 3) % 256,
+                                   (yy + xx + int(i) * 5) % 256],
+                                  axis=-1).astype(np.uint8)
+                    blobs.append(encode_bmp(px))
             yield pd.DataFrame({id_col: ids, "media": blobs})
 
     return ensure_parallelism(df.select(id_col)).mapInPandas(
@@ -90,6 +206,19 @@ def media_metadata(df: DataFrame, id_col: str,
                     metas["width"].append(0)
                     metas["height"].append(0)
                     metas["duration_ms"].append(int(n * 1000 / max(rate, 1)))
+                elif b[:4] == b"RIFF" and b[8:12] == b"WAVE":
+                    wave, rate = decode_wav(b)
+                    metas["mime"].append("audio/wav")
+                    metas["width"].append(0)
+                    metas["height"].append(0)
+                    metas["duration_ms"].append(
+                        int(wave.size * 1000 / max(rate, 1)))
+                elif b[:2] == b"BM":
+                    _, w, h = _struct.unpack_from("<Iii", b, 14)
+                    metas["mime"].append("image/bmp")
+                    metas["width"].append(int(w))
+                    metas["height"].append(abs(int(h)))
+                    metas["duration_ms"].append(0)
                 else:
                     metas["mime"].append("application/octet-stream")
                     metas["width"].append(0)
@@ -109,37 +238,39 @@ def media_metadata(df: DataFrame, id_col: str,
 
 
 def decode_image(blob: bytes) -> np.ndarray:
-    """STUB — real codecs unavailable in this container.
-
-    Contract: returns an (H, W, 3) uint8 array.  The deterministic
-    fake decodes the FIMG fixture container; any other payload raises,
-    exactly where a PIL/libjpeg call would slot in.
+    """Dispatch on magic: BMP decodes for REAL (pure-python 24-bit
+    BI_RGB parser); FIMG is the deterministic plumbing fake;
+    compressed formats (JPEG/PNG/...) raise where a PIL/libjpeg call
+    would slot in.  Contract: returns an (H, W, 3) uint8 RGB array.
     """
+    if blob[:2] == b"BM":
+        return decode_bmp(blob)
     if blob[:4] == b"FIMG":
         w, h = _struct.unpack_from("<HH", blob, 4)
         body = np.frombuffer(blob, np.uint8, offset=8)
         px = np.resize(body, w * h * 3).reshape(h, w, 3)
         return px
     raise NotImplementedError(
-        "real image decode requires PIL/libjpeg — not present in this "
-        "container; plug the codec in here")
+        "compressed image decode (JPEG/PNG/...) requires PIL/libjpeg — "
+        "not present in this container; plug the codec in here")
 
 
 def decode_audio(blob: bytes) -> tuple[np.ndarray, int]:
-    """STUB — real codecs unavailable in this container.
-
-    Contract: returns (int16 waveform, sample_rate).  The
-    deterministic fake decodes the FAUD fixture container; any other
-    payload raises, exactly where a soundfile/ffmpeg call would slot
-    in.
+    """Dispatch on magic: RIFF/WAVE decodes for REAL (pure-python
+    PCM16 parser); FAUD is the deterministic plumbing fake; compressed
+    formats (MP3/OGG/...) raise where a soundfile/ffmpeg call would
+    slot in.  Contract: returns (int16 waveform, sample_rate).
     """
+    if blob[:4] == b"RIFF":
+        return decode_wav(blob)
     if blob[:4] == b"FAUD":
         rate, n = _struct.unpack_from("<II", blob, 4)
         wave = np.frombuffer(blob, dtype="<i2", count=n, offset=12)
         return wave, rate
     raise NotImplementedError(
-        "real audio decode requires soundfile/ffmpeg — not present in "
-        "this container; plug the codec in here")
+        "compressed audio decode (MP3/OGG/...) requires "
+        "soundfile/ffmpeg — not present in this container; plug the "
+        "codec in here")
 
 
 def audio_features(df: DataFrame, id_col: str, media_col: str = "media",

@@ -322,18 +322,20 @@ def grouped_sketches(df: DataFrame, group_cols: list[str],
 
 _OVERLAP_SCHEMA = ("group_a string, group_b string, est_a double, "
                    "est_b double, est_intersection double, "
-                   "est_jaccard double, signal_above_noise boolean")
+                   "est_jaccard double, d2_bound double, "
+                   "signal_above_noise boolean")
 
 
 def _pair_stats(sa, sb):
     inter = sa.intersect_estimate(sb)
     union = sa.merge(sb).estimate()
+    bound = sa.d2_bound(sb)
     return {
         "est_a": sa.estimate(), "est_b": sb.estimate(),
         "est_intersection": inter,
         "est_jaccard": inter / union if union else 0.0,
-        "signal_above_noise": bool(inter >= sa.d2_bound(sb)
-                                   and inter > 0),
+        "d2_bound": bound,
+        "signal_above_noise": bool(inter >= bound and inter > 0),
     }
 
 
@@ -425,7 +427,8 @@ def grouped_overlap(df: DataFrame, group_col: str, spec: SketchSpec,
             out.append({"group_a": a, "group_b": b,
                         **_pair_stats(sks[a], sks[b])})
         cols = ["group_a", "group_b", "est_a", "est_b",
-                "est_intersection", "est_jaccard", "signal_above_noise"]
+                "est_intersection", "est_jaccard", "d2_bound",
+                "signal_above_noise"]
         return pd.DataFrame(out, columns=cols)
 
     return cells.groupBy("ci", "cj").applyInPandas(

@@ -554,7 +554,9 @@ def test_audio_plumbing(spark, docs):
         n_samples = meta[d]["duration_ms"] * 8000 // 1000
         assert len(rows) == max(1, n_samples // (8000 * 32 // 1000))
     with pytest.raises(NotImplementedError):
-        decode_audio(b"RIFFnotreal")
+        decode_audio(b"ID3\x03mp3-compressed-stream")  # needs ffmpeg
+    with pytest.raises(ValueError):
+        decode_audio(b"RIFFnotreal")  # malformed RIFF (no WAVE tag)
 
 
 def test_decode_stub_contract():
@@ -563,6 +565,108 @@ def test_decode_stub_contract():
     assert img.shape == (8, 16, 3)
     with pytest.raises(NotImplementedError):
         decode_image(b"\x89PNG\r\n\x1a\nnotreal")
+
+
+def test_wav_codec_roundtrip_and_stdlib_parity():
+    """The pure-python RIFF parser decodes REAL WAV bytes: round-trips
+    the encoder, agrees bit-for-bit with CPython's stdlib ``wave``
+    reader, survives unknown chunks + odd-size padding, and takes the
+    first channel of interleaved stereo."""
+    import io
+    import struct
+    import wave as stdwave
+
+    from facs_spark.ops.multimodal import decode_wav, encode_wav, synth_samples
+
+    samples = synth_samples(7)
+    blob = encode_wav(samples, 8000)
+    got, rate = decode_wav(blob)
+    assert rate == 8000 and np.array_equal(got, samples)
+    # stdlib wave parses our encoder's output identically
+    with stdwave.open(io.BytesIO(blob)) as w:
+        assert w.getframerate() == 8000 and w.getnchannels() == 1
+        std = np.frombuffer(w.readframes(w.getnframes()), dtype="<i2")
+    assert np.array_equal(std, samples)
+    # chunk-walk: an unknown odd-size chunk before fmt/data must be
+    # skipped with even alignment (RIFF spec)
+    fmt = struct.pack("<HHIIHH", 1, 1, 8000, 16000, 2, 16)
+    data = samples.tobytes()
+    body = (b"WAVE" + b"LIST" + struct.pack("<I", 5) + b"INFOx" + b"\x00"
+            + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+            + b"data" + struct.pack("<I", len(data)) + data)
+    got2, rate2 = decode_wav(b"RIFF" + struct.pack("<I", len(body)) + body)
+    assert rate2 == 8000 and np.array_equal(got2, samples)
+    # stereo: first channel extracted
+    stereo = np.empty(samples.size * 2, dtype="<i2")
+    stereo[0::2], stereo[1::2] = samples, -samples
+    fmt_st = struct.pack("<HHIIHH", 1, 2, 8000, 32000, 4, 16)
+    body_st = (b"WAVE" + b"fmt " + struct.pack("<I", 16) + fmt_st
+               + b"data" + struct.pack("<I", stereo.nbytes)
+               + stereo.tobytes())
+    got3, _ = decode_wav(b"RIFF" + struct.pack("<I", len(body_st)) + body_st)
+    assert np.array_equal(got3, samples)
+    # non-PCM stays a loud stub
+    fmt_f = struct.pack("<HHIIHH", 3, 1, 8000, 32000, 4, 32)  # float32
+    body_f = (b"WAVE" + b"fmt " + struct.pack("<I", 16) + fmt_f
+              + b"data" + struct.pack("<I", 0))
+    with pytest.raises(NotImplementedError):
+        decode_wav(b"RIFF" + struct.pack("<I", len(body_f)) + body_f)
+
+
+def test_bmp_codec_roundtrip():
+    """The pure-python BMP parser: encoder round-trip at padded and
+    unpadded widths, top-down negative-height layout, loud stub for
+    compressed/paletted BMPs."""
+    import struct
+
+    from facs_spark.ops.multimodal import decode_bmp, encode_bmp
+    rng = np.random.default_rng(3)
+    for w, h in [(8, 5), (7, 3), (1, 1), (33, 2)]:  # 7, 33: padded rows
+        px = rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
+        assert np.array_equal(decode_bmp(encode_bmp(px)), px)
+    # top-down variant (negative height): the file rows — stored
+    # bottom-up by the encoder, i.e. px reversed — are now read as
+    # image rows directly, so the decoded image is px flipped
+    px = rng.integers(0, 256, size=(4, 6, 3), dtype=np.uint8)
+    blob = bytearray(encode_bmp(px))
+    blob[22:26] = struct.pack("<i", -4)  # flip header to top-down
+    assert np.array_equal(decode_bmp(bytes(blob)), px[::-1])
+    with pytest.raises(NotImplementedError):
+        bad = bytearray(encode_bmp(px))
+        bad[28:30] = struct.pack("<H", 8)  # 8-bit paletted
+        decode_bmp(bytes(bad))
+
+
+def test_real_media_through_spark_pipeline(spark, docs):
+    """End-to-end over REAL container bytes: synth real WAV + BMP
+    columns, metadata parses the actual headers, and the feature
+    kernels run on genuinely decoded samples/pixels (numpy reference
+    check per doc)."""
+    from facs_spark.ops.multimodal import (audio_features, image_features,
+                                           synth_media, synth_samples)
+    ids = docs.select("doc_id").limit(20)
+    wav = synth_media(ids, "doc_id", kind="wav")
+    meta = {r["doc_id"]: r
+            for r in media_metadata(wav, "doc_id").collect()}
+    assert all(r["mime"] == "audio/wav" for r in meta.values())
+    for d, r in meta.items():
+        assert r["duration_ms"] == synth_samples(d).size * 1000 // 8000
+    feats = audio_features(wav, "doc_id", window_ms=32).collect()
+    by_doc = {}
+    for r in feats:
+        by_doc.setdefault(r["doc_id"], {})[r["win_idx"]] = r
+    for d, wins in by_doc.items():
+        s = synth_samples(d).astype(np.float64)
+        step = 256
+        n_win = s.size // step
+        assert len(wins) == n_win
+        w0 = s[:step]
+        assert wins[0]["rms"] == pytest.approx(np.sqrt((w0 * w0).mean()))
+    bmp = synth_media(ids, "doc_id", kind="bmp")
+    bmeta = media_metadata(bmp, "doc_id").collect()
+    assert all(r["mime"] == "image/bmp" and r["width"] >= 8 for r in bmeta)
+    bf = image_features(bmp, "doc_id").collect()
+    assert len(bf) == 20 and all(len(r["features"]) == 5 for r in bf)
 
 
 def test_dedup_clusters_and_drop(spark, docs):
