@@ -1191,6 +1191,123 @@ ORDER BY day, event_type
 
 
 # =====================================================================
+# q47 — STREAMING gap sessionization (streaming/monitor.py
+# streaming_sessions): the events table streamed as two micro-batches
+# (backfill + fresh tail) plus a far-future sentinel tick, sessions
+# built by session_window + watermark in APPEND mode — each session
+# row is emitted exactly once when the watermark passes its close, so
+# the sink holds only finalized sessions and sessions straddling the
+# batch boundary are merged in the state store.  The sentinel pushes
+# the final watermark past every real session (the stream-end tick a
+# bounded drain needs; a long-lived monitor just keeps running), and
+# is excluded from the result.  Oracle: DuckDB replays the batch gap
+# rule (lag + running sum) — per-session (start, end, n) must match
+# row for row, the strongest batch≡stream check.
+# =====================================================================
+_Q47_SRC_CACHE: dict = {}
+SESSION_GAP = "30 minutes"
+
+
+def _q47_stage(spark, sf_dir: str):
+    """Three-file streaming fixture (mtimes order the micro-batches):
+    old days, fresh tail, sentinel tick 30 days out under the
+    reserved user_id −1.  Source staging is deterministic per sf_dir
+    and process-cached; the checkpoint dir is always fresh (see
+    _q38_stage)."""
+    import datetime
+    import glob as _glob
+    import os
+    import shutil
+    import tempfile
+    import time as _time
+
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    cached = _Q47_SRC_CACHE.get(sf_dir)
+    if cached and os.path.isdir(cached):
+        return cached, tempfile.mkdtemp(prefix="q47_ckpt_")
+    ev = (spark.read.parquet(f"{sf_dir}/events.parquet")
+          .withColumn("ts", F.col("ts").cast("timestamp")))
+    max_ts = ev.agg(F.max("ts")).collect()[0][0]
+    cutoff = max_ts - datetime.timedelta(days=2)
+    sentinel = spark.createDataFrame(
+        [(-1, max_ts + datetime.timedelta(days=30), -1, "tick", 0.0, "{}")],
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string")
+    src = tempfile.mkdtemp(prefix="q47_src_")
+    now = _time.time()
+    for i, (name, subset) in enumerate(
+            [("0_backfill", ev.filter(F.col("ts") < F.lit(cutoff))),
+             ("1_fresh", ev.filter(F.col("ts") >= F.lit(cutoff))),
+             ("2_tick", sentinel)]):
+        tmp = tempfile.mkdtemp(prefix=f"q47_write_{name}_")
+        subset.coalesce(1).write.mode("overwrite").parquet(tmp)
+        part = _glob.glob(os.path.join(tmp, "part-*.parquet"))[0]
+        dst = os.path.join(src, f"{name}.parquet")
+        shutil.move(part, dst)
+        shutil.rmtree(tmp, ignore_errors=True)
+        os.utime(dst, (now - 100 + i * 30,) * 2)
+    _Q47_SRC_CACHE[sf_dir] = src
+    return src, tempfile.mkdtemp(prefix="q47_ckpt_")
+
+
+def q47_stream_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
+    import uuid
+
+    from .streaming.monitor import run_monitor_once, streaming_sessions
+    src, ckpt = _q47_stage(spark, sf_dir)
+    try:
+        ev = (spark.readStream
+              .schema("event_id long, ts timestamp, user_id long, "
+                      "event_type string, value double, props string")
+              .option("maxFilesPerTrigger", "1")
+              .parquet(src))
+        sess = streaming_sessions(ev, "ts", gap=SESSION_GAP,
+                                  watermark="1 hour")
+        out = sess.select(
+            "user_id",
+            F.col("sess_start").cast("long").alias("start_s"),
+            F.col("sess_end").cast("long").alias("end_s"),
+            "n_events")
+        qname = "q47_sink_" + uuid.uuid4().hex[:8]
+        run_monitor_once(out, ckpt, query_name=qname,
+                         output_mode="append")
+        out_df = spark.sql(
+            f"SELECT * FROM {qname} WHERE user_id >= 0 "
+            "ORDER BY user_id, start_s")
+        rows = out_df.collect()
+        schema = out_df.schema
+        spark.catalog.dropTempView(qname)
+        return spark.createDataFrame(rows, schema)
+    finally:
+        shutil.rmtree(ckpt, ignore_errors=True)
+
+
+Q47_SQL = """
+WITH flags AS (
+  SELECT user_id, ts,
+         CASE WHEN LAG(ts) OVER w IS NULL
+                OR ts > LAG(ts) OVER w + INTERVAL 30 MINUTE
+              THEN 1 ELSE 0 END AS new_sess
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+),
+sess AS (
+  SELECT user_id, ts,
+         SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts
+                             ROWS UNBOUNDED PRECEDING) AS sid
+  FROM flags
+)
+SELECT user_id,
+       CAST(FLOOR(epoch(MIN(ts))) AS BIGINT) AS start_s,
+       CAST(FLOOR(epoch(MAX(ts))) AS BIGINT) AS end_s,
+       COUNT(*) AS n_events
+FROM sess GROUP BY user_id, sid
+ORDER BY user_id, start_s
+"""
+
+
+# =====================================================================
 # q39 — as-of join (the operator Spark lacks natively, re-expressed
 # as union + one keyed window — no join explosion; ops/temporal.py):
 # odd events are the "queries", even events the per-user reference
@@ -1569,6 +1686,86 @@ SELECT
 
 
 # =====================================================================
+# q46 — the DISTRIBUTED pair grid of grouped_overlap (shards=S): the
+# corpus-overlap matrix over all 20 sources computed through the
+# sharded applyInPandas path (q37 gates the driver-loop path on one
+# pair; this gates every cell of the grid).  The sketch feeds each
+# doc's single-space token set (prep="tokens"), so the oracle can
+# replay the EXACT per-source distinct-token sets with string_split +
+# UNNEST; the query's verification arm recomputes the same exact
+# pairwise intersections in Spark and gates every estimate against
+# the sketch's own d2 noise bound (column added for exactly this).
+# At sf0.01 the token universe is below k so the theta sketches run
+# in exact mode and the grid's integers must match to the row; at
+# scale the same gates are the probabilistic d2 guarantee.
+# =====================================================================
+def q46_sharded_overlap_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .ops.sketch_agg import grouped_overlap
+    from .sketch.theta import ThetaSketch
+    docs = _read(spark, sf_dir, "documents")
+    spec = SketchSpec.make("theta", "text", prep="tokens", k=512)
+    ov = grouped_overlap(docs, "source", spec, shards=4)
+
+    # exact verification arm — same token construction as the sketch
+    # prep ("single-space split", ops/sketch_agg.py) and the oracle
+    toks = (docs.select("source", F.explode(F.split("text", " "))
+                        .alias("tok")).distinct())
+    sizes = toks.groupBy("source").agg(F.count(F.lit(1)).alias("n"))
+    a, b = sizes.alias("a"), sizes.alias("b")
+    allp = (a.join(b, F.col("a.source") < F.col("b.source"))
+            .select(F.col("a.source").alias("ga"),
+                    F.col("b.source").alias("gb"),
+                    F.col("a.n").alias("na"), F.col("b.n").alias("nb")))
+    ta, tb = toks.alias("ta"), toks.alias("tb")
+    inter = (ta.join(tb, (F.col("ta.tok") == F.col("tb.tok"))
+                     & (F.col("ta.source") < F.col("tb.source")))
+             .groupBy(F.col("ta.source").alias("ga"),
+                      F.col("tb.source").alias("gb"))
+             .agg(F.count(F.lit(1)).alias("x")))
+    exact = (allp.join(inter, ["ga", "gb"], "left")
+             .select("ga", "gb", "na", "nb",
+                     F.coalesce("x", F.lit(0)).alias("xi")))
+    rel = ThetaSketch(k=512).relative_error
+    return (ov.join(exact, (ov.group_a == exact.ga)
+                    & (ov.group_b == exact.gb))
+            .select("group_a", "group_b",
+                    F.col("xi").cast("long").alias("exact_intersection"),
+                    (F.col("na") + F.col("nb") - F.col("xi")).cast("long")
+                    .alias("exact_union"),
+                    (F.abs(F.col("est_intersection") - F.col("xi"))
+                     <= F.col("d2_bound"))
+                    .alias("intersection_within_bound"),
+                    ((F.abs(F.col("est_a") - F.col("na"))
+                      <= 3 * rel * F.col("na") + 1)
+                     & (F.abs(F.col("est_b") - F.col("nb"))
+                        <= 3 * rel * F.col("nb") + 1))
+                    .alias("sizes_within_bound"))
+            .orderBy("group_a", "group_b"))
+
+
+Q46_SQL = """
+WITH toks AS (
+  SELECT DISTINCT source, UNNEST(string_split(text, ' ')) AS tok
+  FROM documents
+),
+sizes AS (SELECT source, COUNT(*) AS n FROM toks GROUP BY source),
+inter AS (
+  SELECT a.source AS ga, b.source AS gb, COUNT(*) AS x
+  FROM toks a JOIN toks b ON a.tok = b.tok AND a.source < b.source
+  GROUP BY 1, 2
+)
+SELECT a.source AS group_a, b.source AS group_b,
+       CAST(COALESCE(i.x, 0) AS BIGINT) AS exact_intersection,
+       CAST(a.n + b.n - COALESCE(i.x, 0) AS BIGINT) AS exact_union,
+       TRUE AS intersection_within_bound,
+       TRUE AS sizes_within_bound
+FROM sizes a JOIN sizes b ON a.source < b.source
+LEFT JOIN inter i ON i.ga = a.source AND i.gb = b.source
+ORDER BY group_a, group_b
+"""
+
+
+# =====================================================================
 # q35/q36 — corpus-curation sampling (ops/sampling.py): per-group cap
 # with seeded-hash selection, and the seeded deterministic global
 # shuffle.  Both are reproducible by construction (selection/order is
@@ -1818,6 +2015,8 @@ def queries():
         "q43_hash_split": q43_hash_split,
         "q44_repetition": q44_repetition,
         "q45_weighted_sample": q45_weighted_sample,
+        "q46_sharded_overlap_grid": q46_sharded_overlap_grid,
+        "q47_stream_sessions": q47_stream_sessions,
     }
 
 
@@ -1876,6 +2075,8 @@ def oracle_sql():
         "q43_hash_split": _q43_sql(),
         "q44_repetition": Q44_SQL,
         "q45_weighted_sample": Q45_SQL,
+        "q46_sharded_overlap_grid": Q46_SQL,
+        "q47_stream_sessions": Q47_SQL,
     }
 
 

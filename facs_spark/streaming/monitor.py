@@ -108,6 +108,44 @@ def windowed_event_counts(events: DataFrame, ts_col: str = "ts",
             .agg(F.count(F.lit(1)).alias("n")))
 
 
+def streaming_sessions(events: DataFrame, ts_col: str = "ts",
+                       gap: str = "30 minutes",
+                       watermark: str = "1 hour",
+                       keys: tuple[str, ...] = ("user_id",)) -> DataFrame:
+    """Gap-based sessionization on a STREAM — the streaming form of
+    ``ops.temporal.sessionize`` via ``F.session_window``: per key, an
+    event extends the current session while it arrives within ``gap``
+    of the session's end; otherwise it opens a new one.  Sessions that
+    straddle micro-batches are MERGED in the state store (Spark's
+    session-window state merge), so batch boundaries never split a
+    session.
+
+    Run it in **append** output mode: a session row is emitted exactly
+    once, when the watermark passes its close (end + gap) — the sink
+    holds only finalized sessions and state is O(open sessions), no
+    matter how long the stream runs.  Consequence of the append
+    contract: sessions still open when the source drains stay in
+    state, unemitted.  A bounded drain that must flush everything
+    (tests, the q47 oracle) appends a far-future sentinel row under a
+    reserved key to push the watermark past every real session — the
+    standard stream-end tick; a long-lived monitor just keeps running.
+
+    Returns one row per finalized session: the key columns,
+    ``sess_start``/``sess_end`` (first/last EVENT time — note
+    session_window.end includes the +gap close, so ``sess_end`` is
+    ``end - gap``) and ``n_events``.
+    """
+    g = F.expr(f"INTERVAL {gap}")
+    agg = (events.withWatermark(ts_col, watermark)
+           .groupBy(F.session_window(F.col(ts_col), gap).alias("sw"),
+                    *[F.col(k) for k in keys])
+           .agg(F.count(F.lit(1)).alias("n_events")))
+    return agg.select(*keys,
+                      F.col("sw.start").alias("sess_start"),
+                      (F.col("sw.end") - g).alias("sess_end"),
+                      "n_events")
+
+
 def run_monitor_once(report: DataFrame, checkpoint_dir: str,
                      query_name: str = "contamination_monitor",
                      output_mode: str = "complete"):

@@ -213,3 +213,66 @@ def test_stream_watermark_evicts_state(spark, tmp_path):
         import shutil
         shutil.rmtree(src, ignore_errors=True)
         shutil.rmtree(ckpt, ignore_errors=True)
+
+
+def test_streaming_sessions_merge_and_flush(spark, tmp_path):
+    """session_window + watermark in append mode: a session whose
+    events straddle two micro-batches is MERGED in the state store
+    (one emitted row, not two); finalized sessions are emitted exactly
+    once when the watermark passes their close; only the sentinel's
+    open session remains in state at drain end."""
+    import uuid
+
+    from facs_spark.streaming.monitor import (run_monitor_once,
+                                              streaming_sessions)
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    m = 60  # seconds
+    base = 1_700_000_000
+    # user 1: events at 0m,10m | 20m,60m → sessions [0,20]×3, [60]×1
+    # (the 10m→20m step crosses the file boundary → state merge);
+    # user 2: 5m in file A only → [5]×1
+    file_a = [(1, base + 0 * m), (1, base + 10 * m), (2, base + 5 * m)]
+    file_b = [(1, base + 20 * m), (1, base + 60 * m)]
+    tick = [(-1, base + 90 * 24 * 3600)]
+    src = tmp_path / "src"
+    src.mkdir()
+    import os as _os
+    import time as _time
+    now = _time.time()
+    for i, (name, rows) in enumerate([("0_a", file_a), ("1_b", file_b),
+                                      ("2_tick", tick)]):
+        df = spark.createDataFrame(
+            [(int(u), int(t)) for u, t in rows],
+            "user_id long, ep long").select(
+            "user_id", F.timestamp_seconds("ep").alias("ts"))
+        tmp = tmp_path / f"w_{name}"
+        df.coalesce(1).write.mode("overwrite").parquet(str(tmp))
+        import glob as _glob
+        part = _glob.glob(str(tmp / "part-*.parquet"))[0]
+        dst = str(src / f"{name}.parquet")
+        _os.rename(part, dst)
+        _os.utime(dst, (now - 90 + i * 30,) * 2)
+    stream = (spark.readStream.schema("user_id long, ts timestamp")
+              .option("maxFilesPerTrigger", "1").parquet(str(src)))
+    sess = streaming_sessions(stream, "ts", gap="30 minutes",
+                              watermark="10 minutes")
+    qname = "sess_" + uuid.uuid4().hex[:6]
+    q = run_monitor_once(
+        sess.select("user_id",
+                    F.col("sess_start").cast("long").alias("s"),
+                    F.col("sess_end").cast("long").alias("e"),
+                    "n_events"),
+        str(tmp_path / "ckpt"), query_name=qname, output_mode="append")
+    rows = sorted((r["user_id"], r["s"], r["e"], r["n_events"])
+                  for r in spark.sql(
+                      f"SELECT * FROM {qname} WHERE user_id >= 0")
+                  .collect())
+    spark.catalog.dropTempView(qname)
+    assert rows == [
+        (1, base, base + 20 * m, 3),      # merged across files a/b
+        (1, base + 60 * m, base + 60 * m, 1),
+        (2, base + 5 * m, base + 5 * m, 1),
+    ], rows
+    # state at drain end: only the sentinel's own un-closed session
+    progress = [p for p in q.recentProgress if p["stateOperators"]]
+    assert progress[-1]["stateOperators"][0]["numRowsTotal"] == 1
