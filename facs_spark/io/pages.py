@@ -10,9 +10,12 @@ a URI swap, not a code change:
   hidden-partition pruning, snapshot isolation, and metadata-only
   planning; ``snapshot_id``/``as_of`` pins time travel for resumable
   re-runs against a frozen snapshot).
-* anything else → a parquet path/glob (what this sandbox tests with —
-  it ships no Iceberg runtime jar, so the Iceberg branch raises a
-  clear error here rather than pretending).
+* ``snap:/path`` → the local snapshot-manifest format
+  (``io/snapshots.py``): the same isolation/time-travel/atomic-commit
+  semantics implemented over plain parquet, so they are exercised for
+  REAL in this sandbox (which ships no Iceberg runtime jar — the
+  Iceberg branch raises a clear error here rather than pretending).
+* anything else → a parquet path/glob.
 
 At 10¹² rows the table should be partitioned by something low-card +
 time-ish (``days(warc_ts)``) and optionally bucketed by ``url`` hash;
@@ -73,10 +76,14 @@ def read_pages(spark: SparkSession, source: str,
                 "is not available in this session; add "
                 "org.apache.iceberg:iceberg-spark-runtime to spark.jars."
             ) from exc
+    elif source.startswith("snap:"):
+        from .snapshots import read_snaptable
+        df = read_snaptable(spark, source, snapshot_id=snapshot_id)
     else:
         if snapshot_id is not None:
-            raise ValueError("snapshot_id is an Iceberg feature; "
-                             "parquet sources have no snapshots")
+            raise ValueError("snapshot_id needs a snapshotted source "
+                             "(iceberg: or snap:); plain parquet paths "
+                             "have no snapshots")
         df = spark.read.parquet(source)
     return validate_pages_schema(df) if validate else df
 
@@ -108,6 +115,10 @@ def write_pages(df: DataFrame, target: str, mode: str = "append",
                 "is not available in this session; add "
                 "org.apache.iceberg:iceberg-spark-runtime to spark.jars."
             ) from exc
+        return
+    if target.startswith("snap:"):
+        from .snapshots import write_snaptable
+        write_snaptable(df, target, mode=mode)
         return
     if partition_by_day:
         (df.withColumn("warc_day", F.to_date("warc_ts"))

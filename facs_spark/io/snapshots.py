@@ -1,0 +1,164 @@
+"""Minimal snapshot-manifest table format over parquet ("snaptable").
+
+The north-rule deployment target stores the pages table in Iceberg,
+whose load-bearing semantics for this engine are (a) snapshot
+isolation — a reader pinned to a snapshot sees a frozen file set no
+matter what writers do, (b) time travel — any historical snapshot
+stays readable, and (c) atomic commits — a failed write leaves no
+half-table.  This sandbox ships no Iceberg runtime jar (documented in
+``io/pages.py``), so those claims were config-swap only; this module
+makes them REAL and testable locally with the same call shape:
+``read_pages(spark, "snap:/path", snapshot_id=...)``.
+
+Layout (all under one table root):
+
+    data/<commit-uuid>-<part>.parquet   immutable data files
+    snapshots/snap-<N>.json             manifest: file list + parent
+    HEAD                                current snapshot id (atomic
+                                        rename — the commit point)
+
+A manifest lists the RELATIVE data files constituting the table at
+snapshot N (Iceberg's manifest-list, flattened: at 10¹² rows you want
+Iceberg's partition-pruned metadata tree; at sandbox scale a flat
+list is the same semantics with one fewer indirection).  ``append``
+writes new files then commits parent_files + new_files; ``overwrite``
+commits only new_files; either way old snapshots keep their file
+lists and data files are never deleted or rewritten, so a pinned read
+is reproducible forever (compaction/GC would be a separate, explicit
+expiry step, as in Iceberg's ``expire_snapshots``).
+
+Commit protocol: data files land first (invisible until referenced),
+the manifest is written, and HEAD is repointed by ``os.replace`` —
+atomic on POSIX — so readers see the old or the new snapshot, never
+a torn state.  Writer-writer races resolve by last-HEAD-wins
+(single-writer assumption, documented; Iceberg's optimistic retry
+loop slots in at the marked point).
+"""
+
+from __future__ import annotations
+
+import glob
+import json
+import os
+import shutil
+import time
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+def _root(path: str) -> str:
+    return path[len("snap:"):] if path.startswith("snap:") else path
+
+
+def _manifest_path(root: str, sid: int) -> str:
+    return os.path.join(root, "snapshots", f"snap-{sid:08d}.json")
+
+
+def current_snapshot_id(path: str) -> int | None:
+    """The table's HEAD snapshot id, or None for an empty table."""
+    head = os.path.join(_root(path), "HEAD")
+    if not os.path.exists(head):
+        return None
+    with open(head) as fh:
+        return int(fh.read().strip())
+
+
+def snapshots(path: str) -> list[dict]:
+    """All snapshots oldest-first: [{snapshot_id, parent_id,
+    operation, n_files, committed_at}] — the table's history."""
+    root = _root(path)
+    out = []
+    for mf in sorted(glob.glob(os.path.join(root, "snapshots",
+                                            "snap-*.json"))):
+        with open(mf) as fh:
+            m = json.load(fh)
+        out.append({k: m[k] for k in ("snapshot_id", "parent_id",
+                                      "operation", "committed_at")}
+                   | {"n_files": len(m["files"])})
+    return out
+
+
+def _read_manifest(root: str, sid: int) -> dict:
+    mf = _manifest_path(root, sid)
+    if not os.path.exists(mf):
+        raise ValueError(f"snaptable {root!r} has no snapshot {sid}")
+    with open(mf) as fh:
+        return json.load(fh)
+
+
+def read_snaptable(spark: SparkSession, path: str,
+                   snapshot_id: int | None = None) -> DataFrame:
+    """Read the table at HEAD, or time-travel to ``snapshot_id``.
+
+    The returned plan scans exactly the files the manifest pins, so a
+    reader holding a snapshot id is isolated from every later commit
+    — the storage half of resumable runs (``ops/checkpoint.py`` is
+    the compute half): a resumed job re-reads the SAME input bytes
+    its checkpoint was built from.
+    """
+    root = _root(path)
+    sid = current_snapshot_id(root) if snapshot_id is None else snapshot_id
+    if sid is None:
+        raise ValueError(f"snaptable {root!r} is empty (no HEAD); "
+                         "write before reading")
+    m = _read_manifest(root, sid)
+    files = [os.path.join(root, f) for f in m["files"]]
+    if not files:  # an overwrite with an empty frame is legal
+        from pyspark.sql.types import StructType
+        return spark.createDataFrame(
+            [], StructType.fromJson(json.loads(m["schema_json"])))
+    return spark.read.parquet(*files)
+
+
+def write_snaptable(df: DataFrame, path: str,
+                    mode: str = "append") -> int:
+    """Commit ``df`` as a new snapshot; returns its snapshot id.
+
+    ``append`` adds files to the parent's set; ``overwrite`` replaces
+    the visible set (old snapshots stay readable — nothing is
+    deleted).  Data files are written through Spark's parquet writer
+    (distributed, one file per partition) into a scratch dir inside
+    the table root, then renamed into ``data/`` — same filesystem, so
+    the rename is metadata-only; on object stores this step is the
+    copy-free multipart commit Iceberg does via its file IO.
+    """
+    if mode not in ("append", "overwrite"):
+        raise ValueError(f"unsupported snaptable mode {mode!r}")
+    root = _root(path)
+    os.makedirs(os.path.join(root, "data"), exist_ok=True)
+    os.makedirs(os.path.join(root, "snapshots"), exist_ok=True)
+
+    commit = uuid.uuid4().hex[:12]
+    scratch = os.path.join(root, f".tmp-{commit}")
+    df.write.mode("overwrite").parquet(scratch)
+    new_files = []
+    for i, part in enumerate(sorted(glob.glob(
+            os.path.join(scratch, "part-*.parquet")))):
+        rel = os.path.join("data", f"{commit}-{i:05d}.parquet")
+        os.replace(part, os.path.join(root, rel))
+        new_files.append(rel)
+    shutil.rmtree(scratch, ignore_errors=True)
+
+    # ---- commit point (single-writer; an optimistic CAS-on-HEAD
+    # retry loop would slot in here for concurrent writers)
+    parent = current_snapshot_id(root)
+    files = new_files if (mode == "overwrite" or parent is None) else \
+        _read_manifest(root, parent)["files"] + new_files
+    sid = (parent or 0) + 1
+    manifest = {
+        "snapshot_id": sid, "parent_id": parent, "operation": mode,
+        "committed_at": time.strftime("%Y-%m-%dT%H:%M:%SZ",
+                                      time.gmtime()),
+        "schema_json": df.schema.json(),
+        "files": files,
+    }
+    tmp_mf = _manifest_path(root, sid) + f".{commit}.tmp"
+    with open(tmp_mf, "w") as fh:
+        json.dump(manifest, fh)
+    os.replace(tmp_mf, _manifest_path(root, sid))
+    tmp_head = os.path.join(root, f"HEAD.{commit}.tmp")
+    with open(tmp_head, "w") as fh:
+        fh.write(str(sid))
+    os.replace(tmp_head, os.path.join(root, "HEAD"))  # atomic commit
+    return sid
