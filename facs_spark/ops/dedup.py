@@ -226,11 +226,13 @@ def _shingle_hashes(texts, n: int,
 def minhash_signatures(df: DataFrame, id_col: str, text_col: str,
                        num_hashes: int = 128, shingle_n: int = 3,
                        bands: int = 32) -> DataFrame:
-    """(id, band, bucket) rows — one per doc per LSH band.
+    """(id, bucket) rows — one per doc per LSH band.
 
     Signature h_i(doc) = min over shingles s of (a_i·H(s)+b_i mod p);
     the i-loop is vectorized as an (num_hashes, n_shingles) broadcast.
-    Band bucket = hash of the band's signature rows.
+    Bucket = 64-bit hash of (band index, band's signature rows) — the
+    band identity is salted INTO the bucket, so downstream cell
+    grouping keys on the single long.
     """
     ensure_shipped(df.sparkSession)
     if num_hashes % bands:
@@ -285,9 +287,17 @@ def minhash_signatures(df: DataFrame, id_col: str, text_col: str,
             sig = np.concatenate(sig_cols, axis=1)  # (num_hashes, ndocs)
             band_sig = sig.reshape(bands, rows_per_band, ndocs)
             with np.errstate(over="ignore"):
+                # the band INDEX is salted into the bucket hash, so
+                # the bucket long alone identifies the (band, bucket)
+                # LSH cell — the candidate exchange then shuffles one
+                # long key instead of (band int, bucket long), and the
+                # groupBy key compare is single-column
+                band_salt = splitmix64(
+                    np.arange(bands, dtype=np.uint64))[:, None]
                 bucket = splitmix64(
                     (band_sig.sum(axis=1, dtype=np.uint64)
-                     ^ splitmix64(band_sig[:, 0, :].copy()))
+                     ^ splitmix64(band_sig[:, 0, :].copy())
+                     ^ band_salt)
                     .ravel(order="F"))  # doc-major (bands per doc)
             buckets = (bucket >> np.uint64(1)).astype(np.int64) \
                 .reshape(ndocs, bands)
@@ -301,17 +311,17 @@ def minhash_signatures(df: DataFrame, id_col: str, text_col: str,
 
     sig = ensure_parallelism(df.select(id_col, text_col)).mapInPandas(
         kernel, schema=f"{id_col} long, buckets array<long>")
-    return sig.select(
-        id_col, F.posexplode("buckets").alias("band", "bucket")
-    ).withColumn("band", F.col("band").cast("int"))
+    return sig.select(id_col, F.explode("buckets").alias("bucket"))
 
 
 def minhash_candidates(sig: DataFrame, id_col: str,
                        max_bucket: int = 200) -> DataFrame:
-    """Distinct candidate pairs from shared (band, bucket) cells.
+    """Distinct candidate pairs from shared LSH-cell buckets.
 
-    ONE exchange: ``groupBy(band, bucket)`` gathers each cell's sorted
-    id array (hash agg — no sort, no second pass over the exchange),
+    ONE exchange: ``groupBy(bucket)`` (the band index is salted into
+    the bucket long upstream, so the single-column key IS the
+    (band, bucket) cell) gathers each cell's sorted id array (hash
+    agg — no sort, no second pass over the exchange),
     and the in-cell pair expansion is a JVM higher-order-function
     cascade (``transform``/``slice``/``flatten`` — whole-stage
     codegen, no python).  The earlier window + self-join shape cost
@@ -328,7 +338,7 @@ def minhash_candidates(sig: DataFrame, id_col: str,
     array is bounded by the cell size either way — the same bound the
     window shape buffered per partition group.)
     """
-    cells = (sig.groupBy("band", "bucket")
+    cells = (sig.groupBy("bucket")
              .agg(F.array_sort(F.collect_list(id_col)).alias("ids"))
              .filter(F.size("ids") >= 2))
     n = F.size("ids")
@@ -348,6 +358,10 @@ def minhash_candidates(sig: DataFrame, id_col: str,
     return (cells.select(F.explode(pairs).alias("p"))
             .select(F.col("p.id_a").alias("id_a"),
                     F.col("p.id_b").alias("id_b"))
+            # a doc can self-pair only through a 64-bit bucket
+            # collision among its own bands — vanishing, but the
+            # guard is free (codegen) and keeps the contract exact
+            .filter(F.col("id_a") != F.col("id_b"))
             .distinct())
 
 
