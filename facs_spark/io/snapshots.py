@@ -111,6 +111,44 @@ def read_snaptable(spark: SparkSession, path: str,
     return spark.read.parquet(*files)
 
 
+def expire_snapshots(path: str, keep_last: int = 1) -> dict:
+    """Drop all but the newest ``keep_last`` snapshots and delete data
+    files no surviving snapshot references (Iceberg's
+    ``expire_snapshots`` maintenance action).  This is the ONLY
+    operation that deletes bytes — reads pinned to an expired
+    snapshot fail loudly afterwards, which is the contract: expiry is
+    an explicit retention decision, not a side effect of writing.
+
+    Returns {"expired": [ids], "files_deleted": n} for audit logs.
+    """
+    if keep_last < 1:
+        raise ValueError("keep_last must be ≥ 1 (HEAD must survive)")
+    root = _root(path)
+    head = current_snapshot_id(root)
+    if head is None:
+        return {"expired": [], "files_deleted": 0}
+    all_ids = sorted(int(os.path.basename(p)[5:-5]) for p in glob.glob(
+        os.path.join(root, "snapshots", "snap-*.json")))
+    keep = set(all_ids[-keep_last:]) | {head}
+    live_files = set()
+    for sid in keep:
+        live_files.update(_read_manifest(root, sid)["files"])
+    deleted = 0
+    for sid in all_ids:
+        if sid in keep:
+            continue
+        for f in _read_manifest(root, sid)["files"]:
+            if f not in live_files:
+                try:
+                    os.remove(os.path.join(root, f))
+                    deleted += 1
+                except FileNotFoundError:
+                    pass  # already collected by an earlier expiry
+        os.remove(_manifest_path(root, sid))
+    return {"expired": [s for s in all_ids if s not in keep],
+            "files_deleted": deleted}
+
+
 def write_snaptable(df: DataFrame, path: str,
                     mode: str = "append") -> int:
     """Commit ``df`` as a new snapshot; returns its snapshot id.

@@ -235,3 +235,32 @@ def test_snaptable_snapshot_isolation(tmp_path):
     write_snaptable(spark.range(3), raw)
     write_snaptable(spark.range(3, 10), raw, mode="append")
     assert read_snaptable(spark, raw).count() == 10
+
+
+def test_snaptable_expire_snapshots(tmp_path):
+    """expire_snapshots: the explicit retention action — old
+    manifests go away, unreferenced data files are deleted, surviving
+    snapshots (and HEAD) still read, expired pins fail loudly."""
+    import os as _os
+
+    from facs_spark.io.snapshots import (expire_snapshots, read_snaptable,
+                                         snapshots, write_snaptable)
+    from facs_spark.session import get_spark
+    spark = get_spark("snap_expire_test", cpus=2, shuffle_partitions=2)
+    tgt = "snap:" + str(tmp_path / "t")
+    write_snaptable(spark.range(5), tgt)                    # 1
+    write_snaptable(spark.range(5, 9), tgt, mode="append")  # 2
+    write_snaptable(spark.range(100, 102), tgt, "overwrite")  # 3
+    n_data_before = len(_os.listdir(tmp_path / "t" / "data"))
+    audit = expire_snapshots(tgt, keep_last=1)
+    assert audit["expired"] == [1, 2]
+    # snapshots 1/2's files are referenced by nothing live → deleted
+    assert audit["files_deleted"] > 0
+    assert len(_os.listdir(tmp_path / "t" / "data")) \
+        == n_data_before - audit["files_deleted"]
+    assert [s["snapshot_id"] for s in snapshots(tgt)] == [3]
+    assert read_snaptable(spark, tgt).count() == 2
+    with pytest.raises(ValueError, match="no snapshot"):
+        read_snaptable(spark, tgt, snapshot_id=2)
+    with pytest.raises(ValueError, match="keep_last"):
+        expire_snapshots(tgt, keep_last=0)
