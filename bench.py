@@ -316,26 +316,42 @@ def main() -> None:
         # BENCH_PAGES.  The dedup job needs the same guard: after the
         # round-4/5 candidate+verify rewrites, 400k pages drain in
         # ~12 s at 8 cores and the fixed per-job latencies dominate
-        # (measured eff 0.27 at 400k vs 0.60+ at 2M) — 2M keeps the
-        # measured region long enough that the ratio reflects the
-        # pipeline, not the scheduler
-        default_pages = "2000000" if sub_flag == "--dedup-only" \
-            else "4000000"
+        # (measured eff 0.27 at 400k, 0.52 at 2M, 0.72 at 4M — the
+        # candidate/verify rewrites made the job fast enough that 2M
+        # no longer amortizes the 5-job wave's fixed latencies), so
+        # the dedup protocol also defaults to 4M
+        default_pages = "4000000"
         n_pages = int(os.environ.get("BENCH_PAGES", default_pages))
         results = {}
         # interleave trials across levels so shared-host noise hits
-        # both levels alike; keep the best run per level
+        # both levels alike; keep the best run per level.  Before each
+        # trial, wait (bounded) for the 1-min load to settle: the
+        # PREVIOUS trial's 32 threads keep the load average elevated
+        # for ~a minute after exit, which would otherwise charge the
+        # next level for our own trail (observed: an 8-core trial
+        # entering at load 21.6 right after a 32-core trial)
+        def _settle(threshold=2.0, timeout=150):
+            t_end = time.time() + timeout
+            while os.getloadavg()[0] > threshold and time.time() < t_end:
+                time.sleep(5)
+        all_trials: dict[int, list] = {l: [] for l in levels}
         for t in range(trials):
             for lvl in levels:
+                _settle()
                 env = dict(os.environ, SPARK_GRAFT_CPUS=str(lvl),
                            BENCH_PAGES=str(n_pages))
                 out = subprocess.run(
                     [sys.executable, __file__, sub_flag],
                     capture_output=True, text=True, env=env, check=True)
                 r = json.loads(out.stdout.strip().splitlines()[-1])
+                all_trials[lvl].append(
+                    {k: r[k] for k in ("sec", "pages_per_sec",
+                                       "host_load_1m")})
                 if (lvl not in results
                         or r["pages_per_sec"] > results[lvl]["pages_per_sec"]):
                     results[lvl] = r
+        for lvl in levels:
+            results[lvl]["trials"] = all_trials[lvl]
         lo, hi = min(levels), max(levels)
         eff = ((results[hi]["pages_per_sec"] / results[lo]["pages_per_sec"])
                / (hi / lo))
