@@ -87,15 +87,57 @@ def _read_manifest(root: str, sid: int) -> dict:
         return json.load(fh)
 
 
-def read_snaptable(spark: SparkSession, path: str,
-                   snapshot_id: int | None = None) -> DataFrame:
-    """Read the table at HEAD, or time-travel to ``snapshot_id``.
+def _file_stats(path: str) -> dict:
+    """Per-column {col: [min, max]} for one parquet file, read from
+    its footer (row-group statistics — O(KB) per file, no data scan).
+    Only JSON-representable primitive columns (ints, floats, strings)
+    get stats; anything else is simply absent, which ``plan_files``
+    treats as "cannot prune" — always safe.
 
-    The returned plan scans exactly the files the manifest pins, so a
-    reader holding a snapshot id is isolated from every later commit
-    — the storage half of resumable runs (``ops/checkpoint.py`` is
-    the compute half): a resumed job re-reads the SAME input bytes
-    its checkpoint was built from.
+    At cluster scale this footer read rides the WRITER tasks (each
+    task reports its own file's stats through the commit message, as
+    Iceberg writers do); driver-side here because the sandbox writer
+    is ``df.write.parquet`` which doesn't surface them.
+    """
+    import pyarrow.parquet as pq
+    md = pq.ParquetFile(path).metadata
+    mins: dict = {}
+    maxs: dict = {}
+    for rg in range(md.num_row_groups):
+        for ci in range(md.num_columns):
+            col = md.row_group(rg).column(ci)
+            st = col.statistics
+            if st is None or not st.has_min_max:
+                continue
+            name = col.path_in_schema
+            lo, hi = st.min, st.max
+            if isinstance(lo, bytes):
+                try:
+                    lo, hi = lo.decode(), hi.decode()
+                except UnicodeDecodeError:
+                    continue
+            if not isinstance(lo, (int, float, str)):
+                continue  # timestamps/decimals: skip, never unsafe
+            if name not in mins or lo < mins[name]:
+                mins[name] = lo
+            if name not in maxs or hi > maxs[name]:
+                maxs[name] = hi
+    return {c: [mins[c], maxs[c]] for c in mins}
+
+
+def plan_files(path: str, snapshot_id: int | None = None,
+               prune: list[tuple] | None = None) -> tuple[list[str], int]:
+    """Manifest-level file planning with min/max data skipping —
+    Iceberg's scan planning, flattened.  ``prune`` is a list of
+    ``(col, lo, hi)`` closed intervals (``None`` bound = unbounded);
+    a file is skipped iff its manifest stats PROVE no row can match
+    (``max < lo`` or ``min > hi``).  Files with no stats for the
+    column are always kept — skipping is an optimization, never a
+    correctness bet.  Returns (absolute kept files, n_skipped); the
+    skip count is metadata-only planning, the cluster never opens the
+    skipped files — at 10¹² rows over ~10⁶ files this is the
+    difference between a full scan and touching only the commits a
+    predicate's key range lands in.
     """
     root = _root(path)
     sid = current_snapshot_id(root) if snapshot_id is None else snapshot_id
@@ -103,12 +145,63 @@ def read_snaptable(spark: SparkSession, path: str,
         raise ValueError(f"snaptable {root!r} is empty (no HEAD); "
                          "write before reading")
     m = _read_manifest(root, sid)
-    files = [os.path.join(root, f) for f in m["files"]]
-    if not files:  # an overwrite with an empty frame is legal
+    stats = m.get("stats", {})
+    kept, skipped = [], 0
+    for rel in m["files"]:
+        keep = True
+        for col, lo, hi in (prune or []):
+            s = stats.get(rel, {}).get(col)
+            if s is None:
+                continue
+            fmin, fmax = s
+            if (lo is not None and fmax < lo) or \
+                    (hi is not None and fmin > hi):
+                keep = False
+                break
+        if keep:
+            kept.append(os.path.join(root, rel))
+        else:
+            skipped += 1
+    return kept, skipped
+
+
+def read_snaptable(spark: SparkSession, path: str,
+                   snapshot_id: int | None = None,
+                   prune: list[tuple] | None = None) -> DataFrame:
+    """Read the table at HEAD, or time-travel to ``snapshot_id``.
+
+    The returned plan scans exactly the files the manifest pins, so a
+    reader holding a snapshot id is isolated from every later commit
+    — the storage half of resumable runs (``ops/checkpoint.py`` is
+    the compute half): a resumed job re-reads the SAME input bytes
+    its checkpoint was built from.
+
+    ``prune=[(col, lo, hi), ...]`` skips whole files via manifest
+    min/max stats (see ``plan_files``) AND applies the same closed-
+    interval predicates to the surviving rows, so the result is
+    exactly ``WHERE col BETWEEN lo AND hi …`` regardless of how the
+    data is laid out — stats only decide how little gets scanned.
+    """
+    root = _root(path)
+    sid = current_snapshot_id(root) if snapshot_id is None else snapshot_id
+    if sid is None:
+        raise ValueError(f"snaptable {root!r} is empty (no HEAD); "
+                         "write before reading")
+    m = _read_manifest(root, sid)
+    files, _ = plan_files(root, sid, prune)
+    if not files:  # empty table, or every file pruned out
         from pyspark.sql.types import StructType
         return spark.createDataFrame(
             [], StructType.fromJson(json.loads(m["schema_json"])))
-    return spark.read.parquet(*files)
+    df = spark.read.parquet(*files)
+    for col, lo, hi in (prune or []):
+        from pyspark.sql import functions as F
+        c = F.col(col)
+        if lo is not None:
+            df = df.filter(c >= F.lit(lo))
+        if hi is not None:
+            df = df.filter(c <= F.lit(hi))
+    return df
 
 
 def expire_snapshots(path: str, keep_last: int = 1) -> dict:
@@ -178,11 +271,20 @@ def write_snaptable(df: DataFrame, path: str,
         new_files.append(rel)
     shutil.rmtree(scratch, ignore_errors=True)
 
+    # per-file min/max column stats for the NEW files (footer read,
+    # no data scan); inherited files keep the parent's stats entries
+    new_stats = {rel: _file_stats(os.path.join(root, rel))
+                 for rel in new_files}
+
     # ---- commit point (single-writer; an optimistic CAS-on-HEAD
     # retry loop would slot in here for concurrent writers)
     parent = current_snapshot_id(root)
-    files = new_files if (mode == "overwrite" or parent is None) else \
-        _read_manifest(root, parent)["files"] + new_files
+    if mode == "overwrite" or parent is None:
+        files, stats = new_files, new_stats
+    else:
+        pm = _read_manifest(root, parent)
+        files = pm["files"] + new_files
+        stats = {**pm.get("stats", {}), **new_stats}
     sid = (parent or 0) + 1
     manifest = {
         "snapshot_id": sid, "parent_id": parent, "operation": mode,
@@ -190,6 +292,7 @@ def write_snaptable(df: DataFrame, path: str,
                                       time.gmtime()),
         "schema_json": df.schema.json(),
         "files": files,
+        "stats": stats,
     }
     tmp_mf = _manifest_path(root, sid) + f".{commit}.tmp"
     with open(tmp_mf, "w") as fh:

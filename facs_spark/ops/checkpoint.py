@@ -84,3 +84,65 @@ def _write_manifest(path: str, spec: SketchSpec) -> None:
     with open(os.path.join(path, MANIFEST), "w") as fh:
         json.dump({"kind": spec.kind, "column": spec.column,
                    "prep": spec.prep, "params": list(spec.params)}, fh)
+
+
+def incremental_snaptable_sketch(spark: SparkSession, table: str,
+                                 spec: SketchSpec, ckpt_path: str,
+                                 fanin: int = 64):
+    """Maintain a sketch over a GROWING snaptable: each call ingests
+    only the data files added since the last processed commit and
+    merges them into the checkpointed state — the streaming-adjacent
+    maintenance loop for table-level statistics (distinct urls,
+    length quantiles, membership) that must track a 10¹²-row table
+    without ever rescanning it.
+
+    The snapshot chain (``io/snapshots.py`` manifests) gives the
+    file-level diff for free: commit N's new files are
+    ``files(N) − files(parent)``.  Each commit becomes one
+    checkpoint split (``snap-<id>``), so the operation is idempotent
+    per commit — a crashed run re-processes at most one commit, a
+    re-run processes nothing, and the merged result is associativity-
+    exact (same sketch as a cold build; property-tested).  Only
+    append chains are maintainable: sketches are union-only, so an
+    ``overwrite`` commit (rows REMOVED) raises — rebuild from scratch
+    for that, as any sketch must.
+
+    Returns ``(sketch, rows_total, processed_split_ids)`` where
+    ``processed_split_ids`` lists the commits ingested by THIS call
+    (empty ⇒ the checkpoint was already current).
+    """
+    from ..io.snapshots import _read_manifest, _root, current_snapshot_id
+    root = _root(table)
+    head = current_snapshot_id(root)
+    if head is None:
+        raise ValueError(f"snaptable {table!r} is empty — nothing to sketch")
+    chain = []
+    sid = head
+    while sid is not None:
+        m = _read_manifest(root, sid)
+        chain.append(m)
+        sid = m["parent_id"]
+    chain.reverse()
+    if any(m["operation"] == "overwrite" for m in chain[1:]):
+        raise ValueError(
+            "incremental sketch maintenance needs an append-only chain: "
+            "an overwrite commit removes rows, and sketches cannot "
+            "un-merge — rebuild the sketch from the overwrite snapshot")
+    prev_files: set = set()
+    processed = []
+    for m in chain:
+        new = [f for f in m["files"] if f not in prev_files]
+        prev_files.update(m["files"])
+        split = f"snap-{m['snapshot_id']:08d}"
+        if not new or _has_split(spark, ckpt_path, split):
+            continue
+        df = spark.read.parquet(*[os.path.join(root, f) for f in new])
+        partials = (partial_sketches(df, spec)
+                    .withColumn("split_id", F.lit(split))
+                    .withColumn("created_ts", F.lit(time.time())))
+        partials.write.mode("append").partitionBy("split_id") \
+            .parquet(ckpt_path)
+        _write_manifest(ckpt_path, spec)
+        processed.append(split)
+    sketch, rows = resume(spark, ckpt_path, fanin=fanin)
+    return sketch, rows, processed

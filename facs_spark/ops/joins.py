@@ -137,3 +137,43 @@ def bloom_prejoin(probe: DataFrame, build: DataFrame, key: str,
     banked = bloom.split_banks(1 << 30) if len(blob) > (1 << 30) else blob
     pruned = bloom_key_filter(probe, key, banked, key_range=key_range)
     return pruned.join(build, key, how)
+
+
+def stage_bucketed(df: DataFrame, table: str, key: str,
+                   n_buckets: int = 8, path: str | None = None,
+                   sort: bool = True) -> None:
+    """Write ``df`` as a hash-bucketed (and bucket-sorted) parquet
+    table registered in the session catalog.
+
+    Bucketing is the PRE-SHUFFLE: rows are hash-partitioned on
+    ``key`` into ``n_buckets`` files at WRITE time, so every later
+    equi-join or aggregation on ``key`` between co-bucketed tables
+    reads matching buckets into matching partitions and skips the
+    exchange entirely.  At 100 TB this converts the recurring
+    fact-to-fact join shuffle (the single largest cost in a curation
+    pipeline run daily over the same tables) into a one-time layout
+    cost; the per-query plan is Scan→Sort?→SortMergeJoin with NO
+    Exchange on either side (plan-asserted in
+    tests/test_plans.py).  ``path`` keeps the data external (scratch
+    dir) — only table METADATA lives in the session catalog.
+    """
+    w = df.write.mode("overwrite").format("parquet") \
+        .bucketBy(n_buckets, key)
+    if sort:
+        w = w.sortBy(key)
+    if path is not None:
+        w = w.option("path", path)
+    w.saveAsTable(table)
+
+
+def bucketed_join(spark, left_table: str, right_table: str, key: str,
+                  how: str = "inner") -> DataFrame:
+    """Shuffle-free sort-merge join of two co-bucketed tables (same
+    key, same bucket count — ``stage_bucketed``).  The ``merge`` hint
+    pins the SMB path so the demonstration can't silently degrade to
+    a broadcast join at test scale; bucketed scans then align the
+    partitioning on both sides and Catalyst elides both exchanges.
+    """
+    left = spark.table(left_table).hint("merge")
+    right = spark.table(right_table)
+    return left.join(right, key, how)

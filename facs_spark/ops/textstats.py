@@ -210,3 +210,63 @@ def repetition_ratio(df: DataFrame, id_col: str, text_col: str,
     return ensure_parallelism(df.select(id_col, text_col)).mapInPandas(
         kernel, schema=(f"{id_col} long, total_shingles long, "
                         "distinct_shingles long, repetition double"))
+
+
+def bm25_topk(df: DataFrame, query_terms: list[str], id_col: str = "doc_id",
+              text_col: str = "text", k: int = 10,
+              k1: float = 1.2, b: float = 0.75,
+              n_docs: int | None = None,
+              sum_dl: int | None = None) -> DataFrame:
+    """Okapi BM25 top-k retrieval over a document corpus, entirely in
+    JVM-side expressions (Robertson/Sparck Jones; the standard
+    ``ln(1+(N-df+0.5)/(df+0.5))`` idf).
+
+    Scale shape: document length is a map-side array expression (no
+    tokenization shuffle), the token explode is filtered to the QUERY
+    terms in the same stage, so the grouped tf/df aggregations carry
+    only matching-token rows (|q| ≪ vocabulary), never the full
+    posting table; corpus stats (N, Σdl) are one shared agg the
+    caller can precompute and pass in (e.g. maintained incrementally
+    alongside a snaptable); the final top-k is a TakeOrdered, not a
+    global sort.  Per-term scores are fixed-point rounded (1e-4)
+    BEFORE the per-document sum, so the total is an order-independent
+    integer sum — deterministic under any partitioning and
+    bit-reproducible by an external engine (the q50 DuckDB oracle
+    replays the identical expression tree).
+
+    Returns (id, score_e4, rank) for the top ``k`` docs, ranked by
+    fixed-point score with id as the tie-break.
+    """
+    from pyspark.sql.window import Window
+    base = df.select(
+        id_col,
+        F.filter(F.split(F.lower(F.col(text_col)), "[^a-z0-9]+"),
+                 lambda x: x != "").alias("toks"))
+    dl = base.select(id_col, F.size("toks").alias("dl"))
+    if n_docs is None or sum_dl is None:
+        row = dl.agg(F.count(F.lit(1)), F.sum("dl")).collect()[0]
+        n_docs = int(row[0]) if n_docs is None else n_docs
+        sum_dl = int(row[1] or 0) if sum_dl is None else sum_dl
+    qt = (base.select(id_col, F.explode("toks").alias("term"))
+          .filter(F.col("term").isin([t.lower() for t in query_terms])))
+    tf = qt.groupBy(id_col, "term").agg(F.count(F.lit(1)).alias("tf"))
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    # mirror of the oracle's expression tree — identical literal
+    # parses + identical association ⇒ identical IEEE doubles
+    idf = F.log(F.lit(1) + (F.lit(n_docs) - F.col("df") + F.lit(0.5))
+                / (F.col("df") + F.lit(0.5)))
+    denom = (F.col("tf") + F.lit(k1)
+             * (F.lit(1) - F.lit(b)
+                + F.lit(b) * F.col("dl") * F.lit(n_docs) / F.lit(sum_dl)))
+    term_score = idf * (F.col("tf") * (F.lit(k1) + F.lit(1))) / denom
+    scored = (tf.join(F.broadcast(dfreq), "term")
+              .join(dl, id_col)
+              .select(id_col,
+                      F.round(term_score * F.lit(10000.0), 0)
+                      .cast("long").alias("score_e4")))
+    return (scored.groupBy(id_col)
+            .agg(F.sum("score_e4").alias("score_e4"))
+            .orderBy(F.desc("score_e4"), F.asc(id_col))
+            .limit(k)
+            .withColumn("rank", F.row_number().over(
+                Window.orderBy(F.desc("score_e4"), F.asc(id_col)))))

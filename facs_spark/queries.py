@@ -1966,6 +1966,292 @@ LIMIT {SHUFFLE_HEAD}
 
 
 # =====================================================================
+# q48 — snaptable manifest data skipping (io/snapshots.py plan_files):
+# the documents table is staged into a snaptable as TWO append
+# commits, each laid out with repartitionByRange so every data file
+# covers a disjoint doc_id range; a doc_id interval read then prunes
+# whole files from the MANIFEST stats (Iceberg's scan planning) —
+# metadata-only, the skipped files are never opened.  The oracle is
+# the plain interval filter on the source table; the
+# ``pruning_worked`` gate asserts the skip actually happened (>0
+# files eliminated), so the optimization itself is oracle-checked.
+# At 10¹² rows this planning step is the difference between a full
+# table scan and touching only the commits a key range lands in.
+# =====================================================================
+_Q48_SNAP_CACHE: dict = {}
+Q48_LO, Q48_HI = 100, 249
+
+
+def _q48_stage(spark, sf_dir: str) -> str:
+    import os
+    import tempfile
+
+    from .io.snapshots import write_snaptable
+    cached = _Q48_SNAP_CACHE.get(sf_dir)
+    if cached and os.path.isdir(cached):
+        return cached
+    docs = _read(spark, sf_dir, "documents")
+    mid = int(docs.agg(F.max("doc_id")).collect()[0][0]) // 2
+    root = tempfile.mkdtemp(prefix="q48_snap_")
+    tgt = "snap:" + root
+    write_snaptable(docs.filter(F.col("doc_id") <= mid)
+                    .repartitionByRange(4, "doc_id"), tgt)
+    write_snaptable(docs.filter(F.col("doc_id") > mid)
+                    .repartitionByRange(4, "doc_id"), tgt, mode="append")
+    _Q48_SNAP_CACHE[sf_dir] = root
+    return root
+
+
+def q48_snaptable_pruned_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .io.snapshots import plan_files, read_snaptable
+    tgt = "snap:" + _q48_stage(spark, sf_dir)
+    prune = [("doc_id", Q48_LO, Q48_HI)]
+    _, skipped = plan_files(tgt, prune=prune)
+    df = read_snaptable(spark, tgt, prune=prune)
+    return (df.agg(F.count(F.lit(1)).alias("n_docs"),
+                   F.sum("n_chars").alias("sum_chars"))
+            .withColumn("pruning_worked", F.lit(skipped > 0)))
+
+
+Q48_SQL = f"""
+SELECT COUNT(*) AS n_docs,
+       CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+       TRUE AS pruning_worked
+FROM documents WHERE doc_id BETWEEN {Q48_LO} AND {Q48_HI}
+"""
+
+
+# =====================================================================
+# q49 — co-bucketed shuffle-free sort-merge join (ops/joins.py
+# stage_bucketed + bucketed_join): customer and orders are staged
+# ONCE as hash-bucketed parquet tables on the customer key, after
+# which every equi-join between them plans Scan→Sort→SortMergeJoin
+# with NO Exchange on either side (asserted on the Catalyst plan in
+# tests/test_plans.py) — the bucketed layout IS the shuffle, paid
+# once at write time.  The oracle is the plain join; the result must
+# be identical, only the plan differs.
+# =====================================================================
+_Q49_STAGE_CACHE: dict = {}
+Q49_BUCKETS = 8
+
+
+def _q49_stage(spark, sf_dir: str) -> tuple:
+    import hashlib
+    import tempfile
+
+    from .ops.joins import stage_bucketed
+    cached = _Q49_STAGE_CACHE.get(sf_dir)
+    if cached:
+        return cached
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    names = (f"q49_customer_{tag}", f"q49_orders_{tag}")
+    cust = _read(spark, sf_dir, "customer") \
+        .select("c_custkey", "c_mktsegment")
+    orders = _read(spark, sf_dir, "orders").select(
+        F.col("o_custkey").alias("c_custkey"), "o_totalprice")
+    for df, name in ((cust, names[0]), (orders, names[1])):
+        stage_bucketed(df, name, "c_custkey", n_buckets=Q49_BUCKETS,
+                       path=tempfile.mkdtemp(prefix=name + "_"))
+    _Q49_STAGE_CACHE[sf_dir] = names
+    return names
+
+def q49_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .ops.joins import bucketed_join
+    cust_t, ord_t = _q49_stage(spark, sf_dir)
+    j = bucketed_join(spark, cust_t, ord_t, "c_custkey")
+    cents = F.round(F.col("o_totalprice") * 100).cast("long")
+    return (j.groupBy("c_mktsegment")
+            .agg(F.count(F.lit(1)).alias("n_orders"),
+                 F.sum(cents).alias("sum_price_cents"))
+            .orderBy("c_mktsegment"))
+
+
+Q49_SQL = """
+SELECT c_mktsegment, COUNT(*) AS n_orders,
+       CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+           AS sum_price_cents
+FROM customer JOIN orders ON c_custkey = o_custkey
+GROUP BY c_mktsegment ORDER BY c_mktsegment
+"""
+
+
+# =====================================================================
+# q50 — BM25 top-k retrieval (ops/textstats.bm25_topk): rank the
+# documents table against a fixed term query with Okapi BM25, all
+# JVM-side expressions.  Fixed-point (1e-4) per-term scores make the
+# per-doc sum an order-independent INTEGER sum, so the ranking is
+# deterministic under any partitioning and the DuckDB oracle can
+# replay the identical expression tree (same literals, same
+# association ⇒ same IEEE doubles) — an exact engine-vs-engine
+# hash match on a floating-point ranking op.
+# =====================================================================
+Q50_TERMS = ("spark", "vector", "window")
+Q50_K = 10
+
+
+def q50_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .ops.textstats import bm25_topk
+    docs = _read(spark, sf_dir, "documents")
+    return bm25_topk(docs, list(Q50_TERMS), id_col="doc_id",
+                     text_col="text", k=Q50_K)
+
+
+Q50_SQL = f"""
+WITH base AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                     x -> x <> '') AS toks
+  FROM documents),
+dl AS (SELECT doc_id, len(toks) AS dl FROM base),
+stats AS (SELECT COUNT(*) AS n_docs, SUM(dl) AS sum_dl FROM dl),
+qt AS (SELECT doc_id, unnest(toks) AS term FROM base),
+tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM qt
+       WHERE term IN {Q50_TERMS!r} GROUP BY doc_id, term),
+dfreq AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY term),
+scored AS (
+  SELECT tf.doc_id,
+         CAST(ROUND(ln(1 + (n_docs - df + 0.5) / (df + 0.5))
+              * (tf * (1.2 + 1))
+              / (tf + 1.2 * (1 - 0.75 + 0.75 * dl * n_docs / sum_dl))
+              * 10000.0) AS BIGINT) AS score_e4
+  FROM tf JOIN dfreq USING (term) JOIN dl USING (doc_id), stats)
+SELECT doc_id, CAST(SUM(score_e4) AS BIGINT) AS score_e4,
+       CAST(ROW_NUMBER() OVER (ORDER BY SUM(score_e4) DESC, doc_id)
+            AS INT) AS rank
+FROM scored GROUP BY doc_id
+ORDER BY score_e4 DESC, doc_id
+LIMIT {Q50_K}
+"""
+
+
+# =====================================================================
+# q51 — STREAMING exact dedup (streaming/monitor.streaming_dedup):
+# the events table streamed as two micro-batches — the full table,
+# then a REPLAY of its last-2-days tail (a crawler retry replaying
+# recent files, the realistic duplicate shape).  Every replayed row
+# arrives within the 2-day watermark of its original, so
+# dropDuplicatesWithinWatermark emits each event exactly once and
+# the per-type counts over the sink equal the batch GROUP BY on the
+# source — batch ≡ stream, oracle-checked.  State: replay keys are
+# evicted as the watermark passes them (O(keys per horizon), not
+# O(stream)); asserted in tests/test_streaming.py.
+# =====================================================================
+_Q51_SRC_CACHE: dict = {}
+
+
+def _q51_stage(spark, sf_dir: str) -> tuple:
+    import glob as _glob
+    import os
+    import shutil
+    import tempfile
+    import time as _time
+
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    cached = _Q51_SRC_CACHE.get(sf_dir)
+    if cached and os.path.isdir(cached):
+        return cached, tempfile.mkdtemp(prefix="q51_ckpt_")
+    ev = (spark.read.parquet(f"{sf_dir}/events.parquet")
+          .withColumn("ts", F.col("ts").cast("timestamp")))
+    max_day = ev.agg(F.date_trunc("day", F.max("ts"))).collect()[0][0]
+    cutoff = max_day - __import__("datetime").timedelta(days=2)
+    src = tempfile.mkdtemp(prefix="q51_src_")
+    now = _time.time()
+    subsets = [("0_all", ev),
+               ("1_replay", ev.filter(
+                   F.date_trunc("day", F.col("ts")) >= F.lit(cutoff)))]
+    for i, (name, subset) in enumerate(subsets):
+        tmp = tempfile.mkdtemp(prefix=f"q51_write_{name}_")
+        subset.coalesce(1).write.mode("overwrite").parquet(tmp)
+        part = _glob.glob(os.path.join(tmp, "part-*.parquet"))[0]
+        dst = os.path.join(src, f"{name}.parquet")
+        shutil.move(part, dst)
+        shutil.rmtree(tmp, ignore_errors=True)
+        os.utime(dst, (now - 100 + i * 50, now - 100 + i * 50))
+    _Q51_SRC_CACHE[sf_dir] = src
+    return src, tempfile.mkdtemp(prefix="q51_ckpt_")
+
+
+def q51_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
+    import uuid
+
+    from .streaming.monitor import run_monitor_once, streaming_dedup
+    src, ckpt = _q51_stage(spark, sf_dir)
+    try:
+        ev = (spark.readStream
+              .schema("event_id long, ts timestamp, user_id long, "
+                      "event_type string, value double, props string")
+              .option("maxFilesPerTrigger", "1")
+              .parquet(src))
+        deduped = streaming_dedup(ev, id_cols=("event_id",),
+                                  ts_col="ts", watermark="2 days")
+        qname = "q51_sink_" + uuid.uuid4().hex[:8]
+        run_monitor_once(deduped.select("event_id", "event_type"),
+                         ckpt, query_name=qname, output_mode="append")
+        out_df = spark.sql(
+            f"SELECT event_type, COUNT(*) AS n FROM {qname} "
+            "GROUP BY event_type ORDER BY event_type")
+        rows = out_df.collect()
+        schema = out_df.schema
+        spark.catalog.dropTempView(qname)
+        return spark.createDataFrame(rows, schema)
+    finally:
+        shutil.rmtree(ckpt, ignore_errors=True)
+
+
+Q51_SQL = """
+SELECT event_type, COUNT(*) AS n
+FROM events GROUP BY event_type ORDER BY event_type
+"""
+
+
+# =====================================================================
+# q52 — incremental sketch maintenance over snaptable commits
+# (ops/checkpoint.incremental_snaptable_sketch): the q48 two-commit
+# documents snaptable, HLL'd commit-by-commit — each commit's NEW
+# files become one checkpointed split, the merged estimate must sit
+# inside the HLL bound of the exact distinct count over the WHOLE
+# table (merge associativity across commits, the north-rule resume
+# semantics at the storage level).  Re-runs process zero files
+# (asserted in tests/test_helpers.py); the oracle gates the bound.
+# =====================================================================
+_Q52_CKPT_CACHE: dict = {}
+
+
+def q52_incremental_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from .ops.checkpoint import incremental_snaptable_sketch
+    from .ops.sketch_agg import SketchSpec
+    root = _q48_stage(spark, sf_dir)
+    ckpt = _Q52_CKPT_CACHE.get(sf_dir)
+    if ckpt is None:
+        ckpt = tempfile.mkdtemp(prefix="q52_ckpt_") + "/state"
+        _Q52_CKPT_CACHE[sf_dir] = ckpt
+    sk, rows, _processed = incremental_snaptable_sketch(
+        spark, "snap:" + root, SketchSpec.make("hll", "doc_id", p=14),
+        ckpt)
+    est = sk.estimate()
+    docs = _read(spark, sf_dir, "documents")
+    bound = 3 * 1.04 / (2 ** 7)  # 3σ at p=14 (m=16384, √m=128)
+    return (docs.agg(F.countDistinct("doc_id").alias("exact_distinct"),
+                     F.count(F.lit(1)).alias("n_rows"))
+            .select("exact_distinct",
+                    (F.abs(F.lit(float(est)) - F.col("exact_distinct"))
+                     <= F.lit(bound) * F.col("exact_distinct") + F.lit(1.0)
+                     ).alias("within_bound"),
+                    (F.col("n_rows") == F.lit(int(rows)))
+                    .alias("rows_total_ok")))
+
+
+Q52_SQL = """
+SELECT COUNT(DISTINCT doc_id) AS exact_distinct,
+       TRUE AS within_bound, TRUE AS rows_total_ok
+FROM documents
+"""
+
+
+# =====================================================================
 # registry
 # =====================================================================
 def queries():
@@ -2017,6 +2303,11 @@ def queries():
         "q45_weighted_sample": q45_weighted_sample,
         "q46_sharded_overlap_grid": q46_sharded_overlap_grid,
         "q47_stream_sessions": q47_stream_sessions,
+        "q48_snaptable_pruned_scan": q48_snaptable_pruned_scan,
+        "q49_bucketed_join": q49_bucketed_join,
+        "q50_bm25_topk": q50_bm25_topk,
+        "q51_stream_dedup": q51_stream_dedup,
+        "q52_incremental_sketch": q52_incremental_sketch,
     }
 
 
@@ -2077,6 +2368,11 @@ def oracle_sql():
         "q45_weighted_sample": Q45_SQL,
         "q46_sharded_overlap_grid": Q46_SQL,
         "q47_stream_sessions": Q47_SQL,
+        "q48_snaptable_pruned_scan": Q48_SQL,
+        "q49_bucketed_join": Q49_SQL,
+        "q50_bm25_topk": Q50_SQL,
+        "q51_stream_dedup": Q51_SQL,
+        "q52_incremental_sketch": Q52_SQL,
     }
 
 

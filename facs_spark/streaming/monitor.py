@@ -165,3 +165,22 @@ def run_monitor_once(report: DataFrame, checkpoint_dir: str,
          .trigger(availableNow=True).start())
     q.awaitTermination()
     return q
+
+
+def streaming_dedup(events: DataFrame, id_cols: tuple[str, ...] = ("event_id",),
+                    ts_col: str = "ts", watermark: str = "2 days") -> DataFrame:
+    """Streaming exact deduplication — ``ops.dedup.exact_dedup`` for a
+    stream, via ``dropDuplicatesWithinWatermark``: the first arrival
+    of each key is emitted, replays of that key arriving within
+    ``watermark`` of it are dropped, and the key's state is EVICTED
+    once the watermark passes it — state is O(keys per watermark
+    window), not O(stream length), which is what makes exact dedup
+    viable on an unbounded crawl (the batch variant's hash-groupBy
+    state would grow forever).  The contract is Spark's: duplicates
+    separated by more than the watermark can both survive — pick the
+    watermark to cover the source's actual replay horizon (e.g. a
+    crawler's retry window), and run the batch ``exact_dedup`` over
+    closed partitions for the historical guarantee.
+    """
+    return (events.withWatermark(ts_col, watermark)
+            .dropDuplicatesWithinWatermark(list(id_cols)))

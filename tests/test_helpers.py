@@ -264,3 +264,79 @@ def test_snaptable_expire_snapshots(tmp_path):
         read_snaptable(spark, tgt, snapshot_id=2)
     with pytest.raises(ValueError, match="keep_last"):
         expire_snapshots(tgt, keep_last=0)
+
+
+def test_snaptable_stats_pruning(tmp_path):
+    """Manifest min/max stats → file-level data skipping: a range-
+    partitioned layout lets an interval predicate eliminate whole
+    files at PLANNING time, and the pruned read still returns exactly
+    the filtered rows (stats only decide how little is scanned).
+    Append commits inherit the parent's stats entries."""
+    from facs_spark.io.snapshots import (plan_files, read_snaptable,
+                                         write_snaptable)
+    from facs_spark.session import get_spark
+    spark = get_spark("snap_prune_test", cpus=2, shuffle_partitions=2)
+    tgt = "snap:" + str(tmp_path / "t")
+    df1 = spark.range(0, 1000).repartitionByRange(4, "id")
+    write_snaptable(df1, tgt)
+    df2 = spark.range(1000, 2000).repartitionByRange(4, "id")
+    write_snaptable(df2, tgt, mode="append")
+
+    allf, skipped0 = plan_files(tgt)
+    assert len(allf) == 8 and skipped0 == 0
+    kept, skipped = plan_files(tgt, prune=[("id", 100, 260)])
+    assert skipped >= 6 and len(kept) + skipped == 8
+    got = read_snaptable(spark, tgt, prune=[("id", 100, 260)])
+    assert sorted(r.id for r in got.collect()) == list(range(100, 261))
+    # second-commit interval prunes the first commit's files too
+    kept2, skipped2 = plan_files(tgt, prune=[("id", 1500, 1600)])
+    assert skipped2 >= 6
+    # interval past the data prunes everything; read stays correct
+    kept3, _ = plan_files(tgt, prune=[("id", 99999, None)])
+    assert kept3 == []
+    assert read_snaptable(spark, tgt,
+                          prune=[("id", 99999, None)]).count() == 0
+    # un-stat'd column never prunes
+    kept4, skipped4 = plan_files(tgt, prune=[("nope", 0, 1)])
+    assert len(kept4) == 8 and skipped4 == 0
+
+
+def test_incremental_snaptable_sketch(tmp_path):
+    """Commit-by-commit sketch maintenance: the first call ingests
+    every commit, a re-run ingests nothing, a new append ingests only
+    its delta — and the merged estimate equals a cold build over the
+    whole table (merge associativity across commits).  Overwrite
+    chains refuse (sketches cannot un-merge)."""
+    from facs_spark.io.snapshots import write_snaptable
+    from facs_spark.ops.checkpoint import incremental_snaptable_sketch
+    from facs_spark.ops.sketch_agg import SketchSpec, build_sketch
+    from facs_spark.session import get_spark
+    spark = get_spark("snap_incr_test", cpus=2, shuffle_partitions=2)
+    tgt = "snap:" + str(tmp_path / "t")
+    ckpt = str(tmp_path / "ckpt")
+    spec = SketchSpec.make("hll", "id", p=12)
+    write_snaptable(spark.range(0, 3000), tgt)
+    write_snaptable(spark.range(3000, 5000), tgt, mode="append")
+
+    sk, rows, processed = incremental_snaptable_sketch(
+        spark, tgt, spec, ckpt)
+    assert processed == ["snap-00000001", "snap-00000002"]
+    assert rows == 5000
+    # idempotent: nothing new to do
+    sk2, rows2, processed2 = incremental_snaptable_sketch(
+        spark, tgt, spec, ckpt)
+    assert processed2 == [] and rows2 == 5000
+    # a third commit is ingested alone
+    write_snaptable(spark.range(5000, 6000), tgt, mode="append")
+    sk3, rows3, processed3 = incremental_snaptable_sketch(
+        spark, tgt, spec, ckpt)
+    assert processed3 == ["snap-00000003"] and rows3 == 6000
+    # merged incrementally == built cold (same estimate, not just close)
+    cold, _ = build_sketch(spark.range(0, 6000), spec)
+    assert abs(sk3.estimate() - cold.estimate()) < 1e-9
+    # overwrite breaks append-only maintenance loudly
+    write_snaptable(spark.range(10), tgt, mode="overwrite")
+    write_snaptable(spark.range(10, 20), tgt, mode="append")
+    with pytest.raises(ValueError, match="append-only"):
+        incremental_snaptable_sketch(spark, tgt, spec,
+                                     str(tmp_path / "ckpt2"))

@@ -900,3 +900,32 @@ def test_weighted_sample_nan_drops(spark, docs):
     nan_prob = F.when(F.col("doc_id") % 2 == 0,
                       F.lit(float("nan"))).otherwise(F.lit(None))
     assert weighted_sample(docs, nan_prob, "doc_id").count() == 0
+
+
+def test_bm25_topk_semantics(spark):
+    """bm25_topk: rarity and frequency both push rank the right way —
+    a doc matching the rare term outranks one matching the common
+    term; more occurrences beat fewer at equal length; docs with no
+    query term never appear; k truncates."""
+    from facs_spark.ops.textstats import bm25_topk
+    rows = [
+        (1, "rare common filler filler"),        # rare + common
+        (2, "common filler filler filler"),      # common once
+        (3, "common common filler filler"),      # common twice
+        (4, "filler filler filler filler"),      # no match
+        (5, "rare rare filler filler"),          # rare twice — top
+    ] + [(10 + i, "filler pad pad pad") for i in range(20)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = bm25_topk(df, ["rare", "common"], k=4).collect()
+    ids = [r.doc_id for r in out]
+    assert len(out) == 4 and 4 not in ids
+    # tf saturates (k1): matching BOTH terms beats a repeated single
+    # term; the rare term outweighs the common one; tf=2 beats tf=1
+    assert ids == [1, 5, 3, 2]
+    assert [r.rank for r in out] == [1, 2, 3, 4]
+    scores = [r.score_e4 for r in out]
+    assert scores == sorted(scores, reverse=True)
+    # Case/punctuation-insensitive tokenization
+    df2 = spark.createDataFrame([(1, "RARE, rare; filler!")],
+                                "doc_id long, text string")
+    assert bm25_topk(df2, ["Rare"], k=1).collect()[0].doc_id == 1

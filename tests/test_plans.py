@@ -250,3 +250,29 @@ def test_bloom_prejoin_range_pushdown(spark, tmp_path):
     got = sorted(tuple(r) for r in joined.collect())
     want = sorted(tuple(r) for r in plain.collect())
     assert got == want and len(got) == 100
+
+
+def test_stage_bucketed_join_op_plan(spark, tmp_path):
+    """The ops-layer surface (stage_bucketed + bucketed_join, q49):
+    co-bucketed staging makes the op's join plan exchange-free even
+    under the merge hint, and results match the plain join."""
+    from facs_spark.ops.joins import bucketed_join, stage_bucketed
+    cust = spark.read.parquet(f"{SF}/customer.parquet") \
+        .select("c_custkey", "c_mktsegment")
+    orders = spark.read.parquet(f"{SF}/orders.parquet").select(
+        F.col("o_custkey").alias("c_custkey"), "o_totalprice")
+    stage_bucketed(cust, "t_bkt_cust", "c_custkey", n_buckets=4,
+                   path=str(tmp_path / "c"))
+    stage_bucketed(orders, "t_bkt_ord", "c_custkey", n_buckets=4,
+                   path=str(tmp_path / "o"))
+    try:
+        j = bucketed_join(spark, "t_bkt_cust", "t_bkt_ord", "c_custkey")
+        plan = _formatted(j)
+        assert _n_nodes(plan, "SortMergeJoin") == 1
+        assert _n_nodes(plan, "Exchange") == 0, \
+            "co-bucketed op join must not shuffle"
+        plain = cust.join(orders, "c_custkey")
+        assert j.count() == plain.count()
+    finally:
+        spark.sql("DROP TABLE IF EXISTS t_bkt_cust")
+        spark.sql("DROP TABLE IF EXISTS t_bkt_ord")

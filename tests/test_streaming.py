@@ -276,3 +276,57 @@ def test_streaming_sessions_merge_and_flush(spark, tmp_path):
     # state at drain end: only the sentinel's own un-closed session
     progress = [p for p in q.recentProgress if p["stateOperators"]]
     assert progress[-1]["stateOperators"][0]["numRowsTotal"] == 1
+
+
+def test_streaming_dedup_drops_replays_and_evicts(spark, tmp_path):
+    """streaming_dedup: a replayed micro-batch inside the watermark
+    contributes nothing (exactly-once emission per key), and the
+    dedup state store holds only keys the watermark hasn't passed —
+    bounded state on an unbounded stream."""
+    import pandas as pd
+
+    from facs_spark.streaming.monitor import run_monitor_once, streaming_dedup
+
+    src = tmp_path / "src"
+    src.mkdir()
+    base = pd.Timestamp("2026-01-10 00:00:00")
+    fresh = pd.DataFrame({
+        "k": [1, 2, 3, 4],
+        "ts": [base, base + pd.Timedelta(hours=1),
+               base + pd.Timedelta(hours=2), base + pd.Timedelta(hours=3)],
+    })
+    old = pd.DataFrame({
+        "k": [100, 101],
+        "ts": [base - pd.Timedelta(days=30),
+               base - pd.Timedelta(days=30, hours=1)],
+    })
+    import glob as _glob
+    import shutil as _shutil
+    new = pd.DataFrame({"k": [5], "ts": [base + pd.Timedelta(hours=4)]})
+    # two single-file batches; file mtime orders the micro-batches
+    for i, pdf in enumerate([pd.concat([old, fresh]),
+                             pd.concat([fresh, new])]):  # b1 replays fresh
+        tmp = str(tmp_path / f"w{i}")
+        spark.createDataFrame(pdf).coalesce(1) \
+            .write.mode("overwrite").parquet(tmp)
+        part = _glob.glob(tmp + "/part-*.parquet")[0]
+        dst = str(src / f"b{i}.parquet")
+        _shutil.move(part, dst)
+        os.utime(dst, (1000 + i * 100, 1000 + i * 100))
+
+    stream = (spark.readStream.schema("k long, ts timestamp")
+              .option("maxFilesPerTrigger", 1).parquet(str(src)))
+    deduped = streaming_dedup(stream, id_cols=("k",), ts_col="ts",
+                              watermark="2 days")
+    q = run_monitor_once(deduped, str(tmp_path / "ckpt"),
+                        query_name="dedup_sink", output_mode="append")
+    rows = spark.sql("SELECT k FROM dedup_sink").collect()
+    spark.catalog.dropTempView("dedup_sink")
+    # every key exactly once: replays dropped, the new key kept
+    assert sorted(r.k for r in rows) == [1, 2, 3, 4, 5, 100, 101]
+    # state bounded: the 30-day-old keys are behind the watermark and
+    # evicted; only the fresh horizon's keys remain in the state store
+    prog = [p for p in (q.recentProgress or []) if p and p.get("stateOperators")]
+    last = prog[-1]["stateOperators"][0]
+    assert last["numRowsTotal"] <= 5, \
+        f"dedup state kept {last['numRowsTotal']} keys; eviction broken"
