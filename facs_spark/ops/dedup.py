@@ -783,3 +783,121 @@ def drop_near_duplicates(df: DataFrame, id_col: str, pairs: DataFrame) -> DataFr
     losers = clusters.filter(F.col("id") != F.col("cluster_rep")) \
                      .select(F.col("id").alias(id_col))
     return df.join(losers, id_col, "left_anti")
+
+
+# ---------------------------------------------------- substring dedup
+#
+# Exact duplicate-substring detection (the "ExactSubstr" pass of Lee
+# et al. 2022, "Deduplicating Training Data Makes Language Models
+# Better"): any run of >= min_tokens whitespace tokens whose text
+# occurs more than once in the corpus (across docs OR repeated within
+# one doc) is a duplicated region; overlapping/adjacent duplicated
+# windows merge into maximal spans per doc.
+#
+# Spark-first shape (no suffix array, no Python in the hot path):
+#   1. per-doc gram hashing runs ENTIRELY in whole-stage codegen —
+#      `transform(sequence(1, n-L+1), i -> xxhash64(array_join(
+#      slice(toks, i, L))))` builds the per-position window hashes
+#      as one long array per doc; gram STRINGS are transient inside
+#      the expression, only 8-byte hashes persist;
+#   2. occurrences (doc_id, tok_start, gh) — 20 bytes/window — are
+#      the only thing that shuffles; raw text never does;
+#   3. duplicated hashes come from a map-side-combined count agg
+#      (partial counts collapse the zipf head before the exchange)
+#      filtered to count >= min_count, then a LEFT SEMI join back —
+#      AQE turns it into a broadcast join when the dup-gram table is
+#      small (the common case) and skew-splits it when it is not.
+#      No collect_list of a hot gram's occurrences ever lands in one
+#      task's memory;
+#   4. span merge is one shuffle on doc_id: classic gaps-and-islands
+#      (running max of prior window end, island counter, groupBy).
+#
+# Hash identity: as with the shingle kernel above, only injectivity
+# matters — the DuckDB oracle compares gram STRINGS, which agrees with
+# the 64-bit-hash grouping whenever xxhash64 is collision-free on the
+# observed grams (~2^-64 per pair, negligible at any tested scale).
+
+
+def _window_hashes(text_col: str, min_tokens: int):
+    """Column expr: array of xxhash64 window hashes, one per token
+    position 1..n-L+1 (empty array when the doc is shorter than L).
+    All JVM codegen; no Python."""
+    toks = F.split(F.trim(F.col(text_col)), r"\s+")
+    n_grams = F.size(toks) - F.lit(min_tokens - 1)
+    # sequence(1, 0) would infer step -1 and yield [1, 0] — guard.
+    idx = F.when(n_grams >= 1, F.sequence(F.lit(1), n_grams)) \
+           .otherwise(F.array().cast("array<int>"))
+    return F.transform(
+        idx, lambda i: F.xxhash64(F.array_join(
+            F.slice(toks, i, min_tokens), " ")))
+
+
+def duplicate_spans(df: DataFrame, id_col: str = "doc_id",
+                    text_col: str = "text", min_tokens: int = 8,
+                    min_count: int = 2) -> DataFrame:
+    """Maximal duplicated-substring spans per doc.
+
+    Returns (id_col, span_start, span_end, n_windows): 1-based
+    inclusive token positions of each maximal run of duplicated
+    min_tokens-grams (windows overlapping or adjacent merge), and how
+    many duplicated windows the span absorbed.
+    """
+    from pyspark.sql import Window
+
+    occ = (df.select(F.col(id_col),
+                     F.posexplode(_window_hashes(text_col, min_tokens))
+                      .alias("pos0", "gh"))
+             .select(id_col, (F.col("pos0") + 1).alias("tok_start"),
+                     "gh"))
+    dup_gh = (occ.groupBy("gh")
+                 .agg(F.count(F.lit(1)).alias("c"))
+                 .filter(F.col("c") >= min_count)
+                 .select("gh"))
+    marked = (occ.join(dup_gh, "gh", "left_semi")
+                 .withColumn("tok_end",
+                             F.col("tok_start") + min_tokens - 1))
+    w_prev = (Window.partitionBy(id_col).orderBy("tok_start")
+              .rowsBetween(Window.unboundedPreceding, -1))
+    w_run = (Window.partitionBy(id_col).orderBy("tok_start")
+             .rowsBetween(Window.unboundedPreceding, 0))
+    prev_end = F.max("tok_end").over(w_prev)
+    new_island = F.when(prev_end.isNull()
+                        | (F.col("tok_start") > prev_end + 1),
+                        1).otherwise(0)
+    return (marked
+            .withColumn("island", F.sum(new_island).over(w_run))
+            .groupBy(id_col, "island")
+            .agg(F.min("tok_start").alias("span_start"),
+                 F.max("tok_end").alias("span_end"),
+                 F.count(F.lit(1)).alias("n_windows"))
+            .drop("island"))
+
+
+def remove_duplicate_spans(df: DataFrame, id_col: str = "doc_id",
+                           text_col: str = "text",
+                           min_tokens: int = 8,
+                           min_count: int = 2,
+                           out_col: str = "clean_text") -> DataFrame:
+    """Rewrite text with every duplicated span's tokens removed
+    (single-space re-join of the kept tokens, matching the whitespace
+    normalization the tokenizer already applies).  Docs with no
+    duplicated span pass through with the same normalization so the
+    output column is uniformly normalized."""
+    spans = duplicate_spans(df, id_col, text_col, min_tokens,
+                            min_count)
+    per_doc = spans.groupBy(id_col).agg(
+        F.collect_list(F.struct("span_start", "span_end"))
+         .alias("_spans"))
+    toks = F.split(F.trim(F.col(text_col)), r"\s+")
+    spans_col = F.coalesce(
+        F.col("_spans"),
+        F.array().cast("array<struct<span_start:int,span_end:int>>"))
+    kept = F.filter(
+        toks,
+        lambda t, i: ~F.exists(
+            spans_col,
+            lambda s: (i + 1 >= s["span_start"])
+                      & (i + 1 <= s["span_end"])))
+    return (df.join(per_doc, id_col, "left")
+              .withColumn(out_col, F.array_join(kept, " "))
+              .drop("_spans"))

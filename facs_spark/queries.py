@@ -2252,6 +2252,65 @@ FROM documents
 
 
 # =====================================================================
+# q53 — exact substring dedup (ops/dedup.duplicate_spans): every
+# maximal span of >= SUBSTR_L whitespace tokens whose text occurs >= 2
+# times in the corpus (cross-doc or within-doc), one row per span with
+# 1-based inclusive token positions.  The Lee-et-al-2022 "ExactSubstr"
+# pass, Spark-first: gram hashing entirely in whole-stage codegen,
+# only 20-byte (doc, pos, hash) occurrence rows shuffle, AQE-decided
+# semi-join against the map-side-combined dup-gram counts, one
+# gaps-and-islands window for the span merge.  The oracle replays the
+# construction on gram STRINGS (hash-injectivity convention, as q10/
+# q12) and the identical island merge.
+# =====================================================================
+SUBSTR_L = 8
+
+
+def q53_substring_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .ops.dedup import duplicate_spans
+    docs = _read(spark, sf_dir, "documents")
+    spans = duplicate_spans(docs, "doc_id", "text",
+                            min_tokens=SUBSTR_L)
+    return (spans.select("doc_id",
+                         F.col("span_start").cast("long")
+                          .alias("span_start"),
+                         F.col("span_end").cast("long")
+                          .alias("span_end"),
+                         "n_windows")
+            .orderBy("doc_id", "span_start"))
+
+
+Q53_SQL = f"""
+WITH docs AS (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS toks
+              FROM documents),
+pos AS (SELECT doc_id, toks,
+               unnest(range(1, greatest(len(toks)-{SUBSTR_L}+1, 0)+1))
+                 AS tok_start
+        FROM docs),
+grams AS (SELECT doc_id, tok_start,
+                 array_to_string(toks[tok_start:tok_start+{SUBSTR_L}-1],
+                                 ' ') AS gram
+          FROM pos),
+dup AS (SELECT gram FROM grams GROUP BY gram HAVING COUNT(*) >= 2),
+marked AS (SELECT g.doc_id, g.tok_start,
+                  g.tok_start + {SUBSTR_L} - 1 AS tok_end
+           FROM grams g SEMI JOIN dup USING (gram)),
+w AS (SELECT *, MAX(tok_end) OVER (PARTITION BY doc_id ORDER BY tok_start
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_end
+      FROM marked),
+isl AS (SELECT *, SUM(CASE WHEN prev_end IS NULL
+                           OR tok_start > prev_end + 1
+                      THEN 1 ELSE 0 END)
+             OVER (PARTITION BY doc_id ORDER BY tok_start) AS island
+        FROM w)
+SELECT doc_id, CAST(MIN(tok_start) AS BIGINT) AS span_start,
+       CAST(MAX(tok_end) AS BIGINT) AS span_end,
+       COUNT(*) AS n_windows
+FROM isl GROUP BY doc_id, island ORDER BY doc_id, span_start
+"""
+
+
+# =====================================================================
 # registry
 # =====================================================================
 def queries():
@@ -2308,6 +2367,7 @@ def queries():
         "q50_bm25_topk": q50_bm25_topk,
         "q51_stream_dedup": q51_stream_dedup,
         "q52_incremental_sketch": q52_incremental_sketch,
+        "q53_substring_dedup": q53_substring_dedup,
     }
 
 
@@ -2373,6 +2433,7 @@ def oracle_sql():
         "q50_bm25_topk": Q50_SQL,
         "q51_stream_dedup": Q51_SQL,
         "q52_incremental_sketch": Q52_SQL,
+        "q53_substring_dedup": Q53_SQL,
     }
 
 

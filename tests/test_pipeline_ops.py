@@ -929,3 +929,108 @@ def test_bm25_topk_semantics(spark):
     df2 = spark.createDataFrame([(1, "RARE, rare; filler!")],
                                 "doc_id long, text string")
     assert bm25_topk(df2, ["Rare"], k=1).collect()[0].doc_id == 1
+
+
+# ------------------------------------------------- substring dedup
+def test_duplicate_spans_fixture(spark):
+    """Cross-doc + within-doc duplicated runs produce merged maximal
+    spans; span positions are 1-based inclusive token indices."""
+    from facs_spark.ops.dedup import duplicate_spans
+
+    rep = "the quick brown fox jumps over the lazy dog today"  # 10 toks
+    df = spark.createDataFrame([
+        (1, "alpha beta " + rep + " gamma delta"),
+        (2, "one two three " + rep + " four"),
+        (3, "x " + rep + " y " + rep + " z"),   # repeated WITHIN a doc
+        (4, "totally unique words nothing repeated here at all right"),
+    ], "doc_id long, text string")
+    got = {(r["doc_id"], r["span_start"], r["span_end"], r["n_windows"])
+           for r in duplicate_spans(df, min_tokens=8).collect()}
+    # a 10-token repeat at L=8 is 3 overlapping windows -> one span
+    assert got == {(1, 3, 12, 3), (2, 4, 13, 3),
+                   (3, 2, 11, 3), (3, 13, 22, 3)}
+
+
+def test_duplicate_spans_matches_bruteforce(spark):
+    """Exhaustive python oracle on a seeded corpus: every >=L-token
+    window occurring >=2 times is marked, islands merge, nothing else
+    appears."""
+    import numpy as np
+
+    from facs_spark.ops.dedup import duplicate_spans
+
+    rng = np.random.default_rng(7)
+    vocab = [f"w{i}" for i in range(30)]
+    boiler = " ".join(rng.choice(vocab, 12))
+    docs = []
+    for d in range(40):
+        toks = list(rng.choice(vocab, rng.integers(5, 40)))
+        if d % 3 == 0:  # plant the boilerplate in a third of docs
+            at = int(rng.integers(0, len(toks) + 1))
+            toks[at:at] = boiler.split()
+        docs.append((d, " ".join(toks)))
+    L = 6
+    # brute force: gram string -> [(doc, start)]
+    from collections import defaultdict
+    occ = defaultdict(list)
+    for d, text in docs:
+        t = text.split()
+        for i in range(len(t) - L + 1):
+            occ[" ".join(t[i:i + L])].append((d, i + 1))
+    marked = defaultdict(list)
+    for g, places in occ.items():
+        if len(places) >= 2:
+            for d, s in places:
+                marked[d].append((s, s + L - 1))
+    want = set()
+    for d, ivs in marked.items():
+        ivs.sort()
+        cs, ce = ivs[0]
+        for s, e in ivs[1:]:
+            if s <= ce + 1:
+                ce = max(ce, e)
+            else:
+                want.add((d, cs, ce))
+                cs, ce = s, e
+        want.add((d, cs, ce))
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = {(r["doc_id"], r["span_start"], r["span_end"])
+           for r in duplicate_spans(df, min_tokens=L).collect()}
+    assert got == want
+
+
+def test_remove_duplicate_spans(spark):
+    """Duplicated regions vanish; clean docs pass through (whitespace-
+    normalized); re-running the detector on the cleaned text finds no
+    surviving duplicated window of the original grams."""
+    from facs_spark.ops.dedup import duplicate_spans, remove_duplicate_spans
+
+    rep = "the quick brown fox jumps over the lazy dog today"
+    df = spark.createDataFrame([
+        (1, "alpha beta " + rep + " gamma delta"),
+        (2, "one  two   three " + rep + " four"),  # ragged whitespace
+        (3, "totally unique words nothing repeated here at all right"),
+    ], "doc_id long, text string")
+    out = {r["doc_id"]: r["clean_text"]
+           for r in remove_duplicate_spans(df, min_tokens=8).collect()}
+    assert out[1] == "alpha beta gamma delta"
+    assert out[2] == "one two three four"          # normalized join
+    assert out[3] == "totally unique words nothing repeated here at all right"
+    clean = spark.createDataFrame(list(out.items()),
+                                  "doc_id long, text string")
+    assert duplicate_spans(clean, min_tokens=8).count() == 0
+
+
+def test_duplicate_spans_short_and_empty_docs(spark):
+    """Docs shorter than L tokens (and empty/whitespace-only text)
+    contribute no windows and never crash the sequence guard."""
+    from facs_spark.ops.dedup import duplicate_spans
+
+    df = spark.createDataFrame([
+        (1, ""), (2, "   "), (3, "a b c"), (4, "a b c"),
+    ], "doc_id long, text string")
+    assert duplicate_spans(df, min_tokens=8).count() == 0
+    # at L=3 the two 3-token twins ARE one full-doc span each
+    got = {(r["doc_id"], r["span_start"], r["span_end"])
+           for r in duplicate_spans(df, min_tokens=3).collect()}
+    assert got == {(3, 1, 3), (4, 1, 3)}

@@ -276,3 +276,28 @@ def test_stage_bucketed_join_op_plan(spark, tmp_path):
     finally:
         spark.sql("DROP TABLE IF EXISTS t_bkt_cust")
         spark.sql("DROP TABLE IF EXISTS t_bkt_ord")
+
+
+def test_duplicate_spans_plan_shape(spark):
+    """Substring dedup must keep text out of every shuffle: the
+    occurrence rows (id, pos, gh longs) are the only payload that
+    crosses an exchange; the dup-gram count agg is map-side combined
+    (partial+final), the occurrence re-probe is a LEFT SEMI join
+    (AQE-broadcastable), and there is no cartesian product."""
+    import re
+
+    from facs_spark.ops.dedup import duplicate_spans
+    df = spark.createDataFrame(
+        [(i, f"tok{i} " * 12) for i in range(40)],
+        "doc_id long, text string")
+    plan = _formatted(duplicate_spans(df, min_tokens=8))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert re.search(r"LeftSemi", plan), "semi-join probe expected"
+    # every hash-partitioned shuffle key is gh/doc_id — never text
+    for k in re.findall(r"Arguments: hashpartitioning\(([^)]*)\)", plan):
+        assert k.startswith(("gh#", "doc_id#")), f"shuffle key {k}"
+    assert "text#" not in "".join(
+        re.findall(r"Arguments: hashpartitioning\([^)]*\)", plan))
+    # dup-gram count: partial + final hash aggregate (map-side combine)
+    assert _n_nodes(plan, r"\w*HashAggregate") >= 2
