@@ -2311,6 +2311,146 @@ FROM isl GROUP BY doc_id, island ORDER BY doc_id, span_start
 
 
 # =====================================================================
+# q54 — URL canonicalization dedup (ops/urls.canonicalize_url): messy
+# crawl URLs (case-varied scheme/host, default ports, trailing slash,
+# unsorted + tracking query params, fragments) synthesized
+# deterministically from doc_id IN BOTH ENGINES, canonicalized, then
+# grouped — the crawl-level URL dedup a web pipeline runs before any
+# content pass.  Every rule is exercised by the construction; the
+# oracle replays the identical RFC-3986 regex (no backrefs, so Java
+# regex and RE2 agree) and the same param filter/sort.  Pure JVM
+# expression code — no shuffle beyond the final count.
+# =====================================================================
+def q54_url_canonical_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .ops.urls import canonicalize_url, registrable_domain
+    docs = _read(spark, sf_dir, "documents")
+    messy = docs.select(
+        F.concat(
+            F.lit("HTTP://Example"), (F.col("doc_id") % 7).cast("string"),
+            F.lit(".COM"),
+            F.when(F.col("doc_id") % 3 == 0, F.lit(":80"))
+             .otherwise(F.lit("")),
+            F.lit("/path/"), (F.col("doc_id") % 50).cast("string"),
+            F.when(F.col("doc_id") % 2 == 0, F.lit("/"))
+             .otherwise(F.lit("")),
+            F.lit("?b=2&utm_source=x"),
+            F.when(F.col("doc_id") % 5 == 0, F.lit("&a=1"))
+             .otherwise(F.lit("")),
+            F.lit("#frag")).alias("url"))
+    return (messy
+            .select(canonicalize_url("url").alias("canonical_url"),
+                    registrable_domain("url").alias("domain"))
+            .groupBy("canonical_url", "domain")
+            .agg(F.count(F.lit(1)).alias("n_docs"))
+            .orderBy("canonical_url"))
+
+
+_Q54_CANON_SQL = r"""
+WITH messy AS (
+  SELECT 'HTTP://Example' || CAST(doc_id % 7 AS VARCHAR) || '.COM'
+         || CASE WHEN doc_id % 3 = 0 THEN ':80' ELSE '' END
+         || '/path/' || CAST(doc_id % 50 AS VARCHAR)
+         || CASE WHEN doc_id % 2 = 0 THEN '/' ELSE '' END
+         || '?b=2&utm_source=x'
+         || CASE WHEN doc_id % 5 = 0 THEN '&a=1' ELSE '' END
+         || '#frag' AS url
+  FROM documents),
+parts AS (
+  SELECT url,
+         lower(regexp_extract(url, '{RE}', 2)) AS scheme,
+         lower(regexp_extract(url, '{RE}', 4)) AS auth,
+         regexp_extract(url, '{RE}', 5) AS rawpath,
+         regexp_extract(url, '{RE}', 7) AS query
+  FROM messy),
+norm AS (
+  SELECT scheme,
+         regexp_replace(auth, ':\d+$', '') AS host,
+         regexp_extract(auth, ':(\d+)$', 1) AS port,
+         CASE WHEN rawpath = '' THEN '/'
+              WHEN rawpath <> '/' AND rawpath LIKE '%/'
+                THEN regexp_replace(rawpath, '/+$', '')
+              ELSE rawpath END AS path,
+         list_sort(list_filter(string_split(query, '&'),
+             x -> x <> '' AND NOT regexp_matches(x,
+                  '^(utm_[^=]*|fbclid|gclid|msclkid|ref)='))) AS params
+  FROM parts),
+canon AS (
+  SELECT scheme || '://' || host
+         || CASE WHEN port = '' OR (scheme = 'http' AND port = '80')
+                   OR (scheme = 'https' AND port = '443')
+                 THEN '' ELSE ':' || port END
+         || path
+         || CASE WHEN len(params) > 0
+                 THEN '?' || array_to_string(params, '&') ELSE '' END
+           AS canonical_url,
+         CASE WHEN len(string_split(host, '.')) <= 2 THEN host
+              ELSE string_split(host, '.')[-2] || '.'
+                   || string_split(host, '.')[-1] END AS domain
+  FROM norm)
+SELECT canonical_url, domain, COUNT(*) AS n_docs
+FROM canon GROUP BY canonical_url, domain ORDER BY canonical_url
+"""
+Q54_SQL = _Q54_CANON_SQL.replace(
+    "{RE}", r"^(([^:/?#]+):)?(//([^/?#]*))?([^?#]*)(\?([^#]*))?(#(.*))?")
+
+
+# =====================================================================
+# q55 — corpus-wide line dedup (ops/urls.line_dedup), the CCNet
+# paragraph-dedup pass (Wenzek et al. 2020): a line survives only at
+# its first corpus occurrence (min (doc_id, line_no)).  Multi-line
+# docs are synthesized identically in both engines (each doc = its own
+# text + the cyclically-next doc's text on a second line), so every
+# line occurs exactly twice corpus-wide and the first-occurrence rule
+# fully determines the output.  Scale shape: dedup decisions ship only
+# (hash, doc_id, line_no) longs via one map-side-combinable
+# min(struct) agg; text crosses exactly one shuffle (the rebuild).
+# =====================================================================
+def q55_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .ops.urls import line_dedup
+    docs = _read(spark, sf_dir, "documents")
+    n = docs.agg(F.max("doc_id")).collect()[0][0] + 1
+    nxt = docs.select(((F.col("doc_id") - 1 + n) % n).alias("doc_id"),
+                      F.col("text").alias("text2"))
+    multi = (docs.join(nxt, "doc_id")
+             .select("doc_id",
+                     F.concat_ws("\n", "text", "text2").alias("text")))
+    return (line_dedup(multi)
+            .select("doc_id", "clean_text",
+                    F.col("n_lines").cast("long").alias("n_lines"),
+                    F.col("n_kept").cast("long").alias("n_kept"))
+            .orderBy("doc_id"))
+
+
+Q55_SQL = """
+WITH nn AS (SELECT MAX(doc_id) + 1 AS n FROM documents),
+multi AS (
+  SELECT a.doc_id, a.text || chr(10) || b.text AS text
+  FROM documents a JOIN documents b
+    ON b.doc_id = (a.doc_id + 1) % (SELECT n FROM nn)),
+split AS (SELECT doc_id, string_split(text, chr(10)) AS ls FROM multi),
+pos AS (SELECT doc_id, ls, unnest(range(1, len(ls) + 1)) AS i FROM split),
+lines AS (SELECT doc_id, CAST(i - 1 AS BIGINT) AS line_no,
+                 ls[i] AS line FROM pos),
+ranked AS (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY line
+                               ORDER BY doc_id, line_no) AS rn
+  FROM lines WHERE trim(line) <> ''),
+kept AS (
+  SELECT doc_id, line_no, line FROM ranked WHERE rn = 1
+  UNION ALL
+  SELECT doc_id, line_no, line FROM lines WHERE trim(line) = ''),
+rebuilt AS (
+  SELECT doc_id, string_agg(line, chr(10) ORDER BY line_no) AS clean_text,
+         COUNT(*) AS n_kept
+  FROM kept GROUP BY doc_id),
+totals AS (SELECT doc_id, COUNT(*) AS n_lines FROM lines GROUP BY doc_id)
+SELECT t.doc_id, COALESCE(r.clean_text, '') AS clean_text,
+       t.n_lines, COALESCE(r.n_kept, 0) AS n_kept
+FROM totals t LEFT JOIN rebuilt r USING (doc_id) ORDER BY t.doc_id
+"""
+
+
+# =====================================================================
 # registry
 # =====================================================================
 def queries():
@@ -2368,6 +2508,8 @@ def queries():
         "q51_stream_dedup": q51_stream_dedup,
         "q52_incremental_sketch": q52_incremental_sketch,
         "q53_substring_dedup": q53_substring_dedup,
+        "q54_url_canonical_dedup": q54_url_canonical_dedup,
+        "q55_line_dedup": q55_line_dedup,
     }
 
 
@@ -2434,6 +2576,8 @@ def oracle_sql():
         "q51_stream_dedup": Q51_SQL,
         "q52_incremental_sketch": Q52_SQL,
         "q53_substring_dedup": Q53_SQL,
+        "q54_url_canonical_dedup": Q54_SQL,
+        "q55_line_dedup": Q55_SQL,
     }
 
 

@@ -1034,3 +1034,97 @@ def test_duplicate_spans_short_and_empty_docs(spark):
     got = {(r["doc_id"], r["span_start"], r["span_end"])
            for r in duplicate_spans(df, min_tokens=3).collect()}
     assert got == {(3, 1, 3), (4, 1, 3)}
+
+
+# --------------------------------------------- url curation / lines
+def test_canonicalize_url_rules(spark):
+    """Each documented rule: case, default ports, trailing slash,
+    tracking-param drop, param sort, fragment drop; non-default ports
+    and inner duplicate slashes preserved."""
+    from facs_spark.ops.urls import with_canonical_url
+
+    cases = [
+        ("HTTP://Example.COM:80/path/?b=2&utm_source=x&a=1#frag",
+         "http://example.com/path?a=1&b=2"),
+        ("http://example.com/path?a=1&b=2",
+         "http://example.com/path?a=1&b=2"),
+        ("HTTPS://Sub.Example.com:443/", "https://sub.example.com/"),
+        ("https://sub.example.com", "https://sub.example.com/"),
+        ("http://h.io:8080/a//b/?z=1&ref=tw&",
+         "http://h.io:8080/a//b?z=1"),
+        ("http://h.io/deep/path/", "http://h.io/deep/path"),
+        ("https://x.org/?gclid=1&fbclid=2&msclkid=3", "https://x.org/"),
+    ]
+    df = spark.createDataFrame(
+        [(i, u) for i, (u, _) in enumerate(cases)],
+        "id long, url string")
+    got = {r["id"]: r["canonical_url"]
+           for r in with_canonical_url(df).collect()}
+    for i, (_, want) in enumerate(cases):
+        assert got[i] == want, (cases[i][0], got[i])
+
+
+def test_host_and_registrable_domain(spark):
+    from facs_spark.ops.urls import with_canonical_url
+
+    df = spark.createDataFrame([
+        (1, "https://A.B.Example.COM:8443/x"),
+        (2, "http://localhost/x"),
+    ], "id long, url string")
+    rows = {r["id"]: r for r in with_canonical_url(df).collect()}
+    assert rows[1]["host"] == "a.b.example.com"
+    assert rows[1]["domain"] == "example.com"
+    assert rows[2]["host"] == "localhost"
+    assert rows[2]["domain"] == "localhost"
+
+
+def test_line_dedup_first_occurrence_and_blanks(spark):
+    """A repeated line survives only at its first (doc_id, line_no);
+    blank lines pass through (they carry structure); a doc of only
+    repeats comes back with what's left."""
+    from facs_spark.ops.urls import line_dedup
+
+    df = spark.createDataFrame([
+        (1, "alpha\nshared line one\nbeta"),
+        (2, "shared line one\ngamma\n\ndelta"),
+        (3, "gamma\nshared line one\nepsilon"),
+    ], "doc_id long, text string")
+    got = {r["doc_id"]: r for r in line_dedup(df).collect()}
+    assert got[1]["clean_text"] == "alpha\nshared line one\nbeta"
+    assert got[2]["clean_text"] == "gamma\n\ndelta"   # blank kept
+    assert got[3]["clean_text"] == "epsilon"
+    assert (got[2]["n_lines"], got[2]["n_kept"]) == (4, 3)
+    assert (got[3]["n_lines"], got[3]["n_kept"]) == (3, 1)
+
+
+def test_line_dedup_matches_bruteforce(spark):
+    """Python oracle on a seeded multi-line corpus with planted
+    boilerplate lines."""
+    import numpy as np
+
+    from facs_spark.ops.urls import line_dedup
+
+    rng = np.random.default_rng(11)
+    vocab = [f"w{i}" for i in range(40)]
+    boiler = ["cookie notice accept all", "subscribe to our newsletter"]
+    docs = []
+    for d in range(30):
+        lines = [" ".join(rng.choice(vocab, rng.integers(2, 6)))
+                 for _ in range(rng.integers(1, 6))]
+        if d % 2 == 0:
+            lines.insert(int(rng.integers(0, len(lines) + 1)),
+                         boiler[d % len(boiler)])
+        docs.append((d, "\n".join(lines)))
+    seen, want = set(), {}
+    for d, text in docs:
+        kept = []
+        for ln in text.split("\n"):
+            if ln.strip() == "" or ln not in seen:
+                kept.append(ln)
+                if ln.strip() != "":
+                    seen.add(ln)
+        want[d] = "\n".join(kept)
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = {r["doc_id"]: r["clean_text"]
+           for r in line_dedup(df).collect()}
+    assert got == want
