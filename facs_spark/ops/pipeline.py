@@ -126,3 +126,48 @@ def clean_corpus(docs: DataFrame, ref_corpus: DataFrame,
     exact.unpersist()
     deduped.unpersist()
     return cleaned, stats
+
+
+# ----------------------------------------------- eval decontamination
+def decontaminate(train: DataFrame, eval_set: DataFrame,
+                  id_col: str = "doc_id", text_col: str = "text",
+                  n_tokens: int = 13,
+                  min_overlap_windows: int = 1) -> DataFrame:
+    """Benchmark decontamination (the GPT-3 appendix-C pass, Brown et
+    al. 2020): flag every TRAIN doc sharing at least
+    ``min_overlap_windows`` distinct ``n_tokens``-token windows with
+    ANY eval/benchmark doc, so evaluation data can be held out of the
+    training corpus.  13 tokens is the published default.
+
+    Returns (id_col, overlap_windows, contaminated) for every train
+    doc — callers drop or quarantine ``contaminated`` rows.
+
+    Scale shape: both sides reuse the codegen window-hash kernel from
+    the substring-dedup pass (gram strings transient, 8-byte hashes
+    persist).  The eval side collapses to DISTINCT hashes — benchmark
+    sets are tiny next to a training corpus, so after the map-side
+    distinct the probe table is small and AQE broadcasts the semi
+    side; the train side then aggregates matched windows per doc with
+    a map-side-combined count.  Only longs shuffle; train text never
+    does.
+    """
+    from .dedup import _window_hashes
+
+    eval_gh = (eval_set
+               .select(F.explode(_window_hashes(text_col, n_tokens))
+                       .alias("gh"))
+               .distinct())
+    train_occ = (train
+                 .select(F.col(id_col),
+                         F.explode_outer(
+                             _window_hashes(text_col, n_tokens))
+                         .alias("gh")))
+    hits = (train_occ.join(eval_gh, "gh", "left_semi")
+            .groupBy(id_col)
+            .agg(F.countDistinct("gh").alias("overlap_windows")))
+    return (train.select(id_col).join(hits, id_col, "left")
+            .select(id_col,
+                    F.coalesce("overlap_windows", F.lit(0))
+                     .alias("overlap_windows"),
+                    (F.coalesce("overlap_windows", F.lit(0))
+                     >= min_overlap_windows).alias("contaminated")))

@@ -2451,6 +2451,45 @@ FROM totals t LEFT JOIN rebuilt r USING (doc_id) ORDER BY t.doc_id
 
 
 # =====================================================================
+# q56 — benchmark decontamination (ops/pipeline.decontaminate), the
+# GPT-3 appendix-C pass (Brown et al. 2020): flag every train doc
+# sharing >= 1 distinct 13-token window with the "benchmark" slice
+# (deterministically, docs with doc_id % 10 == 7 play the eval set).
+# Eval grams collapse to a DISTINCT probe table (tiny vs the corpus →
+# AQE broadcast), train windows ride the q53 codegen hash kernel, the
+# per-doc overlap count is map-side combined.  Oracle replays gram
+# strings (hash-injectivity convention).
+# =====================================================================
+DECON_L = 13
+
+
+def q56_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .ops.pipeline import decontaminate
+    docs = _read(spark, sf_dir, "documents")
+    eval_set = docs.filter(F.col("doc_id") % 10 == 7)
+    return (decontaminate(docs, eval_set, n_tokens=DECON_L)
+            .orderBy("doc_id"))
+
+
+Q56_SQL = f"""
+WITH tr AS (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS toks
+            FROM documents),
+pos AS (SELECT doc_id, toks,
+               unnest(range(1, greatest(len(toks)-{DECON_L}+1, 0)+1)) AS i
+        FROM tr),
+grams AS (SELECT doc_id,
+                 array_to_string(toks[i:i+{DECON_L}-1], ' ') AS gram
+          FROM pos),
+ev AS (SELECT DISTINCT gram FROM grams WHERE doc_id % 10 = 7),
+hits AS (SELECT doc_id, COUNT(DISTINCT gram) AS ow
+         FROM grams SEMI JOIN ev USING (gram) GROUP BY doc_id)
+SELECT d.doc_id, COALESCE(h.ow, 0) AS overlap_windows,
+       COALESCE(h.ow, 0) >= 1 AS contaminated
+FROM documents d LEFT JOIN hits h USING (doc_id) ORDER BY d.doc_id
+"""
+
+
+# =====================================================================
 # registry
 # =====================================================================
 def queries():
@@ -2510,6 +2549,7 @@ def queries():
         "q53_substring_dedup": q53_substring_dedup,
         "q54_url_canonical_dedup": q54_url_canonical_dedup,
         "q55_line_dedup": q55_line_dedup,
+        "q56_decontaminate": q56_decontaminate,
     }
 
 
@@ -2578,6 +2618,7 @@ def oracle_sql():
         "q53_substring_dedup": Q53_SQL,
         "q54_url_canonical_dedup": Q54_SQL,
         "q55_line_dedup": Q55_SQL,
+        "q56_decontaminate": Q56_SQL,
     }
 
 

@@ -1128,3 +1128,31 @@ def test_line_dedup_matches_bruteforce(spark):
     got = {r["doc_id"]: r["clean_text"]
            for r in line_dedup(df).collect()}
     assert got == want
+
+
+def test_decontaminate_flags_eval_and_near_copies(spark):
+    """Eval docs' windows contaminate themselves, verbatim copies, and
+    docs embedding an eval passage; clean docs stay clean; the
+    min_overlap_windows threshold gates borderline overlap."""
+    from facs_spark.ops.pipeline import decontaminate
+
+    passage = " ".join(f"e{i}" for i in range(13))  # one 13-gram
+    train = spark.createDataFrame([
+        (1, passage),                                # verbatim eval doc
+        (2, "lead in " + passage + " trailing words"),  # embeds it
+        (3, " ".join(f"c{i}" for i in range(20))),   # clean
+        (4, "short doc"),                            # < 13 tokens
+    ], "doc_id long, text string")
+    eval_set = spark.createDataFrame([(99, passage)],
+                                     "doc_id long, text string")
+    got = {r["doc_id"]: (r["overlap_windows"], r["contaminated"])
+           for r in decontaminate(train, eval_set).collect()}
+    assert got[1] == (1, True)
+    assert got[2][0] >= 1 and got[2][1]
+    assert got[3] == (0, False)
+    assert got[4] == (0, False)
+    # raising the window threshold un-flags single-window overlap
+    strict = {r["doc_id"]: r["contaminated"]
+              for r in decontaminate(train, eval_set,
+                                     min_overlap_windows=2).collect()}
+    assert strict[1] is False and strict[3] is False
