@@ -86,9 +86,11 @@ _ASCII_LOWER_LUT = np.arange(256, dtype=np.uint8)
 _ASCII_LOWER_LUT[65:91] += 32  # A-Z → a-z
 
 
-def _batch_bytes(texts) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+def _batch_bytes(texts, lowercase: bool = True,
+                 ) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
     """(byte buffer, per-doc byte lengths, per-doc start offsets) for
-    a batch of texts, lowercased, docs separated by one space.
+    a batch of texts, docs separated by one space; lowercased unless
+    ``lowercase=False`` (the substring-dedup pass is byte-exact).
 
     Fast path (the corpus norm): the docs are ALREADY concatenated in
     the Arrow string array's data buffer — no per-doc ``.encode()``
@@ -125,12 +127,13 @@ def _batch_bytes(texts) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
     data = data[offs[0]:offs[-1]]
     offs = offs - offs[0]
     if not (data & 0x80).any():
-        lowered = _ASCII_LOWER_LUT[data]
+        lowered = _ASCII_LOWER_LUT[data] if lowercase else data
         blob = np.insert(lowered, offs[1:], np.uint8(32))
         lens = np.diff(offs)
         doc_off = offs[:-1] + np.arange(ndocs, dtype=np.int64)
         return blob, lens, doc_off
-    enc = [(t or "").lower().encode("utf-8") for t in texts]
+    enc = [((t or "").lower() if lowercase else (t or "")).encode("utf-8")
+           for t in texts]
     blob = np.frombuffer(b" ".join(enc), dtype=np.uint8)
     lens = np.fromiter((len(e) for e in enc), dtype=np.int64, count=ndocs)
     doc_off = np.zeros(ndocs, dtype=np.int64)
@@ -794,12 +797,16 @@ def drop_near_duplicates(df: DataFrame, id_col: str, pairs: DataFrame) -> DataFr
 # one doc) is a duplicated region; overlapping/adjacent duplicated
 # windows merge into maximal spans per doc.
 #
-# Spark-first shape (no suffix array, no Python in the hot path):
-#   1. per-doc gram hashing runs ENTIRELY in whole-stage codegen —
-#      `transform(sequence(1, n-L+1), i -> xxhash64(array_join(
-#      slice(toks, i, L))))` builds the per-position window hashes
-#      as one long array per doc; gram STRINGS are transient inside
-#      the expression, only 8-byte hashes persist;
+# Spark-first shape (no suffix array, no per-row Python):
+#   1. per-position window hashing rides the SAME vectorized Arrow
+#      kernel as the MinHash/SimHash shingles (`_batch_bytes` →
+#      length-grouped hash3 token hashes → one rolling polynomial
+#      over n consecutive token hashes), case-SENSITIVE because this
+#      pass is byte-exact — gram strings are never materialized, only
+#      8-byte hashes leave the kernel.  (A pure-JVM HOF formulation —
+#      transform(sequence, i -> xxhash64(array_join(slice(...)))) —
+#      was measured 50× slower: higher-order functions are
+#      CodegenFallback, interpreted per element);
 #   2. occurrences (doc_id, tok_start, gh) — 20 bytes/window — are
 #      the only thing that shuffles; raw text never does;
 #   3. duplicated hashes come from a map-side-combined count agg
@@ -818,18 +825,85 @@ def drop_near_duplicates(df: DataFrame, id_col: str, pairs: DataFrame) -> DataFr
 # observed grams (~2^-64 per pair, negligible at any tested scale).
 
 
-def _window_hashes(text_col: str, min_tokens: int):
-    """Column expr: array of xxhash64 window hashes, one per token
-    position 1..n-L+1 (empty array when the doc is shorter than L).
-    All JVM codegen; no Python."""
-    toks = F.split(F.trim(F.col(text_col)), r"\s+")
-    n_grams = F.size(toks) - F.lit(min_tokens - 1)
-    # sequence(1, 0) would infer step -1 and yield [1, 0] — guard.
-    idx = F.when(n_grams >= 1, F.sequence(F.lit(1), n_grams)) \
-           .otherwise(F.array().cast("array<int>"))
-    return F.transform(
-        idx, lambda i: F.xxhash64(F.array_join(
-            F.slice(toks, i, min_tokens), " ")))
+def _window_hash_positions(texts, n: int,
+                           ) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Vectorized per-position window hashes for a batch: returns
+    (doc_idx, tok_start, gh) flat arrays — one entry per n-token
+    window, tok_start 1-based; docs with fewer than n tokens emit
+    nothing.  Case-sensitive (byte-exact dedup semantics); otherwise
+    the same machinery as ``_shingle_hashes``."""
+    from ..sketch.hashing import hash3_matrix
+    empty = (np.zeros(0, dtype=np.int64), np.zeros(0, dtype=np.int64),
+             np.zeros(0, dtype=np.uint64))
+    with np.errstate(over="ignore"):
+        ndocs = len(texts)
+        if ndocs == 0:
+            return empty
+        arr, _lens, doc_off = _batch_bytes(texts, lowercase=False)
+        if arr.size == 0:
+            return empty
+        is_tok = _NONWS_LUT[arr]
+        edge = np.diff(np.concatenate(
+            ([0], is_tok.view(np.uint8), [0])).astype(np.int8))
+        tok_s = np.flatnonzero(edge == 1)
+        tok_e = np.flatnonzero(edge == -1)
+        ntok = tok_s.size
+        if ntok < n:
+            return empty
+        tok_len = tok_e - tok_s
+        th = np.empty(ntok, dtype=np.uint64)
+        for length in np.unique(tok_len):
+            idx = np.flatnonzero(tok_len == length)
+            mat = arr[tok_s[idx][:, None] + np.arange(length)[None, :]]
+            th[idx] = hash3_matrix(mat, 0)
+        tok_doc = np.searchsorted(doc_off, tok_s, side="right") - 1
+        tok_cnt = np.bincount(tok_doc, minlength=ndocs)
+        tok_off = np.zeros(ndocs + 1, dtype=np.int64)
+        np.cumsum(tok_cnt, out=tok_off[1:])
+        pw = _poly_powers(n)
+        nsh = ntok - n + 1
+        sh = th[:nsh] * pw[0]
+        for j in range(1, n):
+            sh = sh + th[j:nsh + j] * pw[j]
+        sh = splitmix64(sh)
+        # valid windows: token index i with i and i+n-1 in the same
+        # doc, i.e. i < tok_off[d] + max(tok_cnt[d]-n+1, 0)
+        wins = np.maximum(tok_cnt - n + 1, 0)
+        n_out = int(wins.sum())
+        if n_out == 0:
+            return empty
+        doc_idx = np.repeat(np.arange(ndocs, dtype=np.int64), wins)
+        # 1-based position within the doc
+        starts = np.concatenate([np.zeros(1, dtype=np.int64),
+                                 np.cumsum(wins)[:-1]])
+        pos = (np.arange(n_out, dtype=np.int64)
+               - np.repeat(starts, wins) + 1)
+        flat = np.repeat(tok_off[:-1], wins) + pos - 1  # index into sh
+        return doc_idx, pos, sh[flat]
+
+
+def window_hash_occurrences(df: DataFrame, id_col: str = "doc_id",
+                            text_col: str = "text",
+                            min_tokens: int = 8) -> DataFrame:
+    """(id_col, tok_start, gh) — one row per n-token window, hashed by
+    the vectorized Arrow kernel.  Shared by substring dedup and
+    benchmark decontamination."""
+    from ..session import ensure_parallelism
+
+    src = ensure_parallelism(df.select(id_col, text_col))
+    schema = f"{id_col} long, tok_start int, gh long"
+
+    def gen(batches):
+        for pdf in batches:
+            ids = pdf[id_col].to_numpy()
+            d, p, h = _window_hash_positions(
+                pdf[text_col].tolist(), min_tokens)
+            yield pd.DataFrame({
+                id_col: ids[d],
+                "tok_start": p.astype(np.int32),
+                "gh": h.view(np.int64)})
+
+    return src.mapInPandas(gen, schema)
 
 
 def duplicate_spans(df: DataFrame, id_col: str = "doc_id",
@@ -844,11 +918,7 @@ def duplicate_spans(df: DataFrame, id_col: str = "doc_id",
     """
     from pyspark.sql import Window
 
-    occ = (df.select(F.col(id_col),
-                     F.posexplode(_window_hashes(text_col, min_tokens))
-                      .alias("pos0", "gh"))
-             .select(id_col, (F.col("pos0") + 1).alias("tok_start"),
-                     "gh"))
+    occ = window_hash_occurrences(df, id_col, text_col, min_tokens)
     dup_gh = (occ.groupBy("gh")
                  .agg(F.count(F.lit(1)).alias("c"))
                  .filter(F.col("c") >= min_count)

@@ -142,26 +142,22 @@ def decontaminate(train: DataFrame, eval_set: DataFrame,
     Returns (id_col, overlap_windows, contaminated) for every train
     doc — callers drop or quarantine ``contaminated`` rows.
 
-    Scale shape: both sides reuse the codegen window-hash kernel from
-    the substring-dedup pass (gram strings transient, 8-byte hashes
-    persist).  The eval side collapses to DISTINCT hashes — benchmark
-    sets are tiny next to a training corpus, so after the map-side
-    distinct the probe table is small and AQE broadcasts the semi
-    side; the train side then aggregates matched windows per doc with
-    a map-side-combined count.  Only longs shuffle; train text never
-    does.
+    Scale shape: both sides reuse the vectorized Arrow window-hash
+    kernel from the substring-dedup pass (gram strings never
+    materialized, 8-byte hashes leave the kernel).  The eval side
+    collapses to DISTINCT hashes — benchmark sets are tiny next to a
+    training corpus, so after the map-side distinct the probe table is
+    small and AQE broadcasts the semi side; the train side then
+    aggregates matched windows per doc with a map-side-combined
+    count.  Only longs shuffle; train text never does.
     """
-    from .dedup import _window_hashes
+    from .dedup import window_hash_occurrences
 
-    eval_gh = (eval_set
-               .select(F.explode(_window_hashes(text_col, n_tokens))
-                       .alias("gh"))
-               .distinct())
-    train_occ = (train
-                 .select(F.col(id_col),
-                         F.explode_outer(
-                             _window_hashes(text_col, n_tokens))
-                         .alias("gh")))
+    eval_gh = (window_hash_occurrences(eval_set, id_col, text_col,
+                                       n_tokens)
+               .select("gh").distinct())
+    train_occ = window_hash_occurrences(train, id_col, text_col,
+                                        n_tokens)
     hits = (train_occ.join(eval_gh, "gh", "left_semi")
             .groupBy(id_col)
             .agg(F.countDistinct("gh").alias("overlap_windows")))

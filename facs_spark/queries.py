@@ -2256,7 +2256,7 @@ FROM documents
 # maximal span of >= SUBSTR_L whitespace tokens whose text occurs >= 2
 # times in the corpus (cross-doc or within-doc), one row per span with
 # 1-based inclusive token positions.  The Lee-et-al-2022 "ExactSubstr"
-# pass, Spark-first: gram hashing entirely in whole-stage codegen,
+# pass, Spark-first: gram hashing in the vectorized Arrow kernel,
 # only 20-byte (doc, pos, hash) occurrence rows shuffle, AQE-decided
 # semi-join against the map-side-combined dup-gram counts, one
 # gaps-and-islands window for the span merge.  The oracle replays the
@@ -2456,7 +2456,7 @@ FROM totals t LEFT JOIN rebuilt r USING (doc_id) ORDER BY t.doc_id
 # sharing >= 1 distinct 13-token window with the "benchmark" slice
 # (deterministically, docs with doc_id % 10 == 7 play the eval set).
 # Eval grams collapse to a DISTINCT probe table (tiny vs the corpus →
-# AQE broadcast), train windows ride the q53 codegen hash kernel, the
+# AQE broadcast), train windows ride the q53 vectorized hash kernel, the
 # per-doc overlap count is map-side combined.  Oracle replays gram
 # strings (hash-injectivity convention).
 # =====================================================================
