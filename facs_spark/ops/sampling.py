@@ -190,3 +190,38 @@ def deterministic_shuffle(df: DataFrame, id_col: str,
     permutation.
     """
     return df.orderBy(_order_key(id_col, seed), F.col(id_col))
+
+
+def rebalance_sources(df: DataFrame, group_col: str, id_col: str,
+                      targets: dict, seed: int = 0,
+                      return_fractions: bool = False):
+    """Mixture rebalancing: downsample each group so the OUTPUT
+    follows the ``targets`` proportions (e.g. the data-mixture
+    weights of a training run), taking the largest output the mixture
+    allows without upsampling any group.
+
+    For counts n_g and target shares t_g (groups absent from
+    ``targets`` are dropped, shares need not sum to 1 — they are
+    read as ratios), the achievable output size is
+    ``N = min_g(n_g / t_g)`` and each group keeps
+    ``frac_g = t_g * N / n_g`` of its rows (the binding group keeps
+    everything).  Selection is ``stratified_sample``'s map-side
+    md5-threshold rule — a pure function of (seed, id), so any engine
+    replays the exact row set from the same counts; the only
+    pre-pass is one map-side-combinable count agg.
+
+    ``return_fractions=True`` returns (df, fractions) so callers and
+    oracles can replay the thresholds.
+    """
+    counts = {r[group_col]: r["n"]
+              for r in (df.groupBy(group_col)
+                        .agg(F.count(F.lit(1)).alias("n"))
+                        .collect())}
+    missing = [g for g in targets if g not in counts]
+    if missing:
+        raise ValueError(f"target groups absent from data: {missing}")
+    n_out = min(counts[g] / t for g, t in targets.items() if t > 0)
+    fractions = {g: min(1.0, (t * n_out) / counts[g])
+                 for g, t in targets.items()}
+    out = stratified_sample(df, group_col, fractions, id_col, seed)
+    return (out, fractions) if return_fractions else out

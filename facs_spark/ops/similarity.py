@@ -508,3 +508,77 @@ def ivf_topk(df: DataFrame, id_col: str, vec_col: str, k: int = 10,
     w = F.row_number().over(Window.partitionBy("query_id")
                             .orderBy(F.desc("cosine"), F.asc("neighbor_id")))
     return deduped.withColumn("rank", w).filter(F.col("rank") <= k)
+
+
+# ------------------------------------------------------- SemDeDup
+def semantic_dedup(df: DataFrame, id_col: str, vec_col: str,
+                   n_clusters: int = 8, threshold: float = 0.9,
+                   block: int = 1024) -> DataFrame:
+    """Semantic deduplication (SemDeDup, Abbas et al. 2023): cluster
+    the embedding space, then inside each cluster drop every vector
+    that has a LOWER-id near-duplicate at cosine >= threshold — one
+    representative (the min id) survives per semantic duplicate
+    group, and cross-cluster pairs are never compared (the method's
+    own approximation).
+
+    Cluster anchors are the ``n_clusters`` vectors with the smallest
+    ids (deterministic and engine-replayable; a production run swaps
+    in k-means centroids — the assignment and intra-cluster machinery
+    are identical).  Assignment is argmax cosine against the
+    broadcast anchor matrix, ties to the lowest anchor index.
+
+    Scale shape: anchors broadcast (n_clusters × dim floats), one
+    shuffle on cluster id, and the intra-cluster pairwise pass runs
+    blockwise (``block`` columns at a time) so memory is
+    O(cluster_size × block) — SemDeDup's published cost model has
+    cluster_size ≈ n / n_clusters, with n_clusters grown at scale to
+    keep clusters tractable.
+
+    Returns (id_col, cluster, kept).
+    """
+    rows = (df.select(id_col, vec_col).orderBy(id_col)
+            .limit(n_clusters).collect())
+    anchors = _normalize(np.array([r[vec_col] for r in rows],
+                                  dtype=np.float64))
+    spark = df.sparkSession
+    b_anchors = spark.sparkContext.broadcast(anchors)
+    dim = anchors.shape[1]
+
+    def assign(batches):
+        A = b_anchors.value
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            m = _normalize(_matrix(pdf[vec_col], dim, np.float64))
+            sims = m @ A.T
+            yield pd.DataFrame({
+                id_col: pdf[id_col].to_numpy(),
+                "cluster": np.argmax(sims, axis=1).astype(np.int64),
+                vec_col: pdf[vec_col]})
+
+    assigned = df.select(id_col, vec_col).mapInPandas(
+        assign, f"{id_col} long, cluster long, {vec_col} "
+                f"array<float>")
+
+    def dedup(key, pdf):
+        pdf = pdf.sort_values(id_col).reset_index(drop=True)
+        m = _normalize(_matrix(pdf[vec_col], dim, np.float64))
+        n = len(pdf)
+        dropped = np.zeros(n, dtype=bool)
+        for j0 in range(0, n, block):
+            j1 = min(j0 + block, n)
+            # candidates with any lower-id neighbor >= threshold:
+            # rows 0..j1 against columns j0..j1 (only i < j counts)
+            sims = m[:j1] @ m[j0:j1].T
+            jj = np.arange(j0, j1)
+            ii = np.arange(j1)
+            mask = ii[:, None] < jj[None, :]
+            dropped[j0:j1] = ((sims >= threshold) & mask).any(axis=0)
+        return pd.DataFrame({id_col: pdf[id_col],
+                             "cluster": key[0],
+                             "kept": ~dropped})
+
+    return (assigned.groupBy("cluster")
+            .applyInPandas(dedup,
+                           f"{id_col} long, cluster long, "
+                           f"kept boolean"))

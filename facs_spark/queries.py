@@ -2555,6 +2555,78 @@ FROM documents ORDER BY doc_id
 
 
 # =====================================================================
+# q58 — SemDeDup (ops/similarity.semantic_dedup, Abbas et al. 2023):
+# cluster the embedding space on broadcast anchors, drop everything
+# with a lower-id cosine->=0.9 neighbor inside its cluster.  Same
+# exactly-predictable construction as q32: the natural table has no
+# pair above cosine 0.8, the planted twins are exact duplicates, so
+# the full survivor set is pure SQL — every base vector kept, every
+# twin dropped (it co-clusters with its identical original and loses
+# the min-id rule).  Verifies assignment + intra-cluster pairwise
+# machinery, not float luck.
+# =====================================================================
+def q58_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .ops.similarity import semantic_dedup
+    emb = _read(spark, sf_dir, "embeddings")
+    both, _off, _n = _with_twins(emb, cache_key=sf_dir)
+    out = semantic_dedup(both, "vec_id", "embedding",
+                         n_clusters=8, threshold=0.9)
+    return out.select("vec_id", "kept").orderBy("vec_id")
+
+
+Q58_SQL = f"""
+SELECT vec_id, TRUE AS kept FROM embeddings
+UNION ALL
+SELECT vec_id + (SELECT MAX(vec_id) + 1 FROM embeddings) AS vec_id,
+       FALSE AS kept
+FROM embeddings WHERE vec_id < {N_TWINS}
+ORDER BY vec_id
+"""
+
+
+# =====================================================================
+# q59 — mixture rebalancing (ops/sampling.rebalance_sources): the
+# documents corpus is resampled to the training-mixture shares
+# {{en: .5, de: .25, zh: .25}} — the largest output the mixture
+# allows without upsampling, each group thinned by the map-side
+# md5-threshold rule.  The oracle recomputes counts → achievable N →
+# per-group fraction → 13-hex threshold with the identical IEEE
+# expression order and replays the exact row selection.
+# =====================================================================
+REBAL_TARGETS = {"en": 0.5, "de": 0.25, "zh": 0.25}
+REBAL_SEED = 3
+
+
+def q59_rebalance_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .ops.sampling import rebalance_sources
+    docs = _read(spark, sf_dir, "documents")
+    out = rebalance_sources(docs, "lang", "doc_id", REBAL_TARGETS,
+                            seed=REBAL_SEED)
+    return out.select("doc_id", "lang").orderBy("doc_id")
+
+
+Q59_SQL = f"""
+WITH tgt(lang, t) AS (VALUES ('en', 0.5), ('de', 0.25), ('zh', 0.25)),
+cnt AS (SELECT lang, COUNT(*) AS n FROM documents GROUP BY lang),
+nn AS (SELECT MIN(n / t) AS nout FROM tgt JOIN cnt USING (lang)),
+fr AS (SELECT lang,
+              LEAST(1.0, t * (SELECT nout FROM nn) / n) AS frac
+       FROM tgt JOIN cnt USING (lang)),
+thr AS (SELECT lang,
+               CASE WHEN frac >= 1.0 THEN 'g'
+                    ELSE lpad(lower(hex(CAST(FLOOR(
+                         frac * 4503599627370496.0) AS BIGINT))),
+                         13, '0') END AS h
+        FROM fr)
+SELECT d.doc_id, d.lang
+FROM documents d JOIN thr USING (lang)
+WHERE substr(md5('{REBAL_SEED}:' || CAST(d.doc_id AS VARCHAR)), 1, 13)
+      < thr.h
+ORDER BY d.doc_id
+"""
+
+
+# =====================================================================
 # registry
 # =====================================================================
 def queries():
@@ -2616,6 +2688,8 @@ def queries():
         "q55_line_dedup": q55_line_dedup,
         "q56_decontaminate": q56_decontaminate,
         "q57_warc_ingest": q57_warc_ingest,
+        "q58_semantic_dedup": q58_semantic_dedup,
+        "q59_rebalance_mixture": q59_rebalance_mixture,
     }
 
 
@@ -2686,6 +2760,8 @@ def oracle_sql():
         "q55_line_dedup": Q55_SQL,
         "q56_decontaminate": Q56_SQL,
         "q57_warc_ingest": Q57_SQL,
+        "q58_semantic_dedup": Q58_SQL,
+        "q59_rebalance_mixture": Q59_SQL,
     }
 
 

@@ -1156,3 +1156,110 @@ def test_decontaminate_flags_eval_and_near_copies(spark):
               for r in decontaminate(train, eval_set,
                                      min_overlap_windows=2).collect()}
     assert strict[1] is False and strict[3] is False
+
+
+def test_semantic_dedup_planted_groups(spark):
+    """Planted duplicate groups around distinct anchors: exactly one
+    survivor (the min id) per group; singletons untouched; assignment
+    respects the nearest anchor."""
+    import numpy as np
+
+    from facs_spark.ops.similarity import semantic_dedup
+
+    rng = np.random.default_rng(5)
+    dim = 16
+    anchors = rng.normal(size=(3, dim))
+    anchors /= np.linalg.norm(anchors, axis=1, keepdims=True)
+    rows = []
+    vid = 0
+    for a in anchors:  # anchors themselves are ids 0..2
+        rows.append((vid, a.astype(float).tolist())); vid += 1
+    expect_dropped = set()
+    for g, a in enumerate(anchors):  # a duplicate group per anchor,
+        # placed at cosine ~0.8 from it (inside its cell, but NOT a
+        # near-dup of the anchor itself)
+        r = rng.normal(size=dim)
+        r -= (r @ a) * a
+        r /= np.linalg.norm(r)
+        base = 0.8 * a + 0.6 * r
+        first = vid
+        for c in range(3):
+            v = base + 1e-4 * rng.normal(size=dim)
+            rows.append((vid, (v / np.linalg.norm(v)).tolist()))
+            if vid != first:
+                expect_dropped.add(vid)
+            vid += 1
+    for _ in range(5):  # singletons far from each other
+        v = rng.normal(size=dim)
+        rows.append((vid, (v / np.linalg.norm(v)).tolist())); vid += 1
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    out = {r["vec_id"]: r for r in
+           semantic_dedup(df, "vec_id", "embedding", n_clusters=3,
+                          threshold=0.95).collect()}
+    assert len(out) == vid
+    dropped = {v for v, r in out.items() if not r["kept"]}
+    assert dropped == expect_dropped
+    # group members share their anchor's cluster
+    for g in range(3):
+        cl = {out[3 + 3 * g + c]["cluster"] for c in range(3)}
+        assert len(cl) == 1 and cl == {out[g]["cluster"]}
+
+
+def test_semantic_dedup_blockwise_matches_full(spark):
+    """The blockwise pairwise pass equals the one-shot matrix rule."""
+    import numpy as np
+
+    from facs_spark.ops.similarity import semantic_dedup
+
+    rng = np.random.default_rng(9)
+    vecs = rng.normal(size=(200, 8))
+    vecs /= np.linalg.norm(vecs, axis=1, keepdims=True)
+    df = spark.createDataFrame(
+        [(i, v.tolist()) for i, v in enumerate(vecs)],
+        "vec_id long, embedding array<float>")
+    tau = 0.6
+    small = semantic_dedup(df, "vec_id", "embedding", n_clusters=1,
+                           threshold=tau, block=16)
+    # python reference on float32-rounded vectors (the table dtype)
+    m = vecs.astype(np.float32).astype(np.float64)
+    m /= np.linalg.norm(m, axis=1, keepdims=True)
+    S = m @ m.T
+    want = {j for j in range(200)
+            if any(S[i, j] >= tau for i in range(j))}
+    got = {r["vec_id"] for r in small.collect() if not r["kept"]}
+    assert got == want
+
+
+def test_rebalance_sources_hits_targets(spark):
+    """Output proportions land within sampling noise of the targets,
+    the binding group keeps ~everything, and the selection replays as
+    a pure function of (seed, id)."""
+    from facs_spark.ops.sampling import rebalance_sources
+
+    rows = [(i, "en" if i % 10 < 8 else ("de" if i % 10 < 9 else "sv"))
+            for i in range(5000)]
+    df = spark.createDataFrame(rows, "doc_id long, lang string")
+    out, fr = rebalance_sources(df, "lang", "doc_id",
+                                {"en": 0.4, "de": 0.3, "sv": 0.3},
+                                seed=1, return_fractions=True)
+    got = {r["lang"]: r["n"] for r in
+           out.groupBy("lang").agg(F.count(F.lit(1)).alias("n"))
+           .collect()}
+    # binding group: sv (500 rows / 0.3 share -> N ~ 1667)
+    assert fr["sv"] == 1.0 and got["sv"] == 500
+    total = sum(got.values())
+    for lang, share in {"en": 0.4, "de": 0.3, "sv": 0.3}.items():
+        assert abs(got[lang] / total - share) < 0.05, (lang, got)
+    # deterministic replay
+    again = rebalance_sources(df.repartition(7), "lang", "doc_id",
+                              {"en": 0.4, "de": 0.3, "sv": 0.3},
+                              seed=1)
+    assert out.exceptAll(again).count() == 0
+    assert again.exceptAll(out).count() == 0
+
+
+def test_rebalance_sources_missing_group_raises(spark):
+    from facs_spark.ops.sampling import rebalance_sources
+    df = spark.createDataFrame([(1, "en")], "doc_id long, lang string")
+    with pytest.raises(ValueError, match="absent"):
+        rebalance_sources(df, "lang", "doc_id", {"en": 0.5, "xx": 0.5})
