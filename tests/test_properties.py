@@ -122,3 +122,49 @@ def test_shingle_ascii_fast_path_matches_fallback():
         forced = _shingle_hashes(docs + ["ünïcode"], n)[:-1]
         for f, s in zip(fast, forced):
             assert np.array_equal(f, s), n
+
+
+@settings(max_examples=50, deadline=None)
+@given(st.lists(st.text(min_size=0, max_size=60), min_size=1,
+                max_size=12),
+       st.integers(min_value=2, max_value=5))
+def test_window_hash_positions_match_reference(texts, n):
+    """The vectorized positional window kernel (substring dedup /
+    decontamination) against a direct python reference: identical
+    (doc, pos) layout on arbitrary unicode (exercising the non-ASCII
+    byte-buffer fallback), and hash-set semantics — two windows
+    collide iff their token byte sequences are equal."""
+    from facs_spark.ops.dedup import _window_hash_positions
+
+    def tokens(t: str) -> list[bytes]:
+        # the kernel's definition: maximal runs of non-WS bytes over
+        # the UTF-8 encoding (WS = the _WS_BYTES set)
+        ws = {9, 10, 11, 12, 13, 28, 29, 30, 31, 32}
+        out, cur = [], bytearray()
+        for b in t.encode("utf-8"):
+            if b in ws:
+                if cur:
+                    out.append(bytes(cur))
+                    cur = bytearray()
+            else:
+                cur.append(b)
+        if cur:
+            out.append(bytes(cur))
+        return out
+
+    want = []  # (doc, pos, window-tuple)
+    for d, t in enumerate(texts):
+        tk = tokens(t)
+        for i in range(len(tk) - n + 1):
+            want.append((d, i + 1, tuple(tk[i:i + n])))
+    doc, pos, gh = _window_hash_positions(texts, n)
+    got = list(zip(doc.tolist(), pos.tolist()))
+    assert got == [(d, p) for d, p, _ in want]
+    # equal windows <-> equal hashes (injectivity on observed grams)
+    by_window: dict = {}
+    for (d, p, w), h in zip(want, gh.tolist()):
+        by_window.setdefault(w, set()).add(h)
+    hashes_per_window = [len(v) for v in by_window.values()]
+    assert all(c == 1 for c in hashes_per_window)
+    all_hashes = [next(iter(v)) for v in by_window.values()]
+    assert len(set(all_hashes)) == len(all_hashes)
