@@ -44,9 +44,11 @@ def salted_join(big: DataFrame, small: DataFrame, key: str,
         raise ValueError(f"salted_join supports inner/left only, got {how!r}")
     big_s = big.withColumn("_salt", F.pmod(F.monotonically_increasing_id(),
                                            F.lit(nsalt)))
-    salts = big.sparkSession.range(nsalt).select(
-        F.col("id").cast("int").alias("_salt"))
-    small_r = small.crossJoin(salts)
+    # salt replication as explode(sequence) — pure codegen fan-out,
+    # no BroadcastNestedLoopJoin node (the crossJoin-with-range shape
+    # this replaces planned one; bounded, but a join node for nothing)
+    small_r = small.withColumn(
+        "_salt", F.explode(F.sequence(F.lit(0), F.lit(nsalt - 1))))
     out = big_s.join(small_r, [key, "_salt"], how)
     return out.drop("_salt")
 

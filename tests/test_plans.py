@@ -301,3 +301,15 @@ def test_duplicate_spans_plan_shape(spark):
         re.findall(r"Arguments: hashpartitioning\([^)]*\)", plan))
     # dup-gram count: partial + final hash aggregate (map-side combine)
     assert _n_nodes(plan, r"\w*HashAggregate") >= 2
+
+
+def test_salted_join_no_nested_loop(spark):
+    """Salt replication must be explode(sequence) codegen fan-out —
+    the crossJoin-with-range shape planned a BroadcastNestedLoopJoin
+    node for a bounded 8-row fan-out."""
+    from facs_spark.ops.skew import salted_join
+    big = spark.range(100).selectExpr("id as k", "id as v")
+    small = spark.range(10).selectExpr("id as k", "id as w")
+    plan = _formatted(salted_join(big, small, "k", nsalt=8))
+    assert "NestedLoop" not in plan and "CartesianProduct" not in plan
+    assert _n_nodes(plan, "Generate") >= 1  # the explode fan-out
