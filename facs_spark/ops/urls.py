@@ -107,31 +107,33 @@ def line_dedup(df: DataFrame, id_col: str = "doc_id",
     Empty lines are kept verbatim (they carry document structure, and
     deduping them would glue unrelated paragraphs).
     """
-    lines = (df.select(
+    hashed = (df.select(
         F.col(id_col),
         F.posexplode(F.split(F.col(text_col), sep))
-         .alias("line_no", "line")))
-    hashed = lines.withColumn("lh", F.xxhash64("line"))
-    nonblank = hashed.filter(F.trim("line") != "")
-    winners = (nonblank.groupBy("lh")
-               .agg(F.min(F.struct(id_col, "line_no")).alias("w"))
-               .select("lh", F.col(f"w.{id_col}").alias(id_col),
-                       F.col("w.line_no").alias("line_no")))
-    kept = (nonblank.join(winners, ["lh", id_col, "line_no"],
-                          "left_semi")
-            .unionByName(hashed.filter(F.trim("line") == "")))
-    rebuilt = (kept.groupBy(id_col)
-               .agg(F.array_join(
-                        F.transform(
-                            F.array_sort(F.collect_list(
-                                F.struct("line_no", "line"))),
-                            lambda s: s["line"]),
-                        sep).alias(out_col),
-                    F.count(F.lit(1)).alias("n_kept")))
-    totals = (lines.groupBy(id_col)
-              .agg(F.count(F.lit(1)).alias("n_lines")))
-    return (totals.join(rebuilt, id_col, "left")
-            .select(id_col,
-                    F.coalesce(out_col, F.lit("")).alias(out_col),
-                    "n_lines",
-                    F.coalesce("n_kept", F.lit(0)).alias("n_kept")))
+         .alias("line_no", "line"))
+        .withColumn("lh", F.xxhash64("line")))
+    winners = (hashed.filter(F.trim("line") != "")
+               .groupBy("lh")
+               .agg(F.min(F.struct(id_col, "line_no")).alias("w")))
+    # one flagged join on the 8-byte hash (winners are unique per lh,
+    # so no fan-out), then ONE groupBy per doc computes totals, kept
+    # counts, and the rebuilt text together — the two-branch
+    # totals/rebuilt shape this replaces cost 6 exchanges
+    flagged = (hashed.join(winners, "lh", "left")
+               .withColumn(
+                   "_keep",
+                   F.when(F.trim("line") == "", F.lit(True))
+                    .otherwise((F.col(f"w.{id_col}") == F.col(id_col))
+                               & (F.col("w.line_no")
+                                  == F.col("line_no")))))
+    return (flagged.groupBy(id_col)
+            .agg(F.count(F.lit(1)).alias("n_lines"),
+                 F.sum(F.col("_keep").cast("long")).alias("n_kept"),
+                 F.array_join(
+                     F.transform(
+                         F.array_sort(F.collect_list(
+                             F.when(F.col("_keep"),
+                                    F.struct("line_no", "line")))),
+                         lambda s: s["line"]),
+                     sep).alias(out_col))
+            .select(id_col, out_col, "n_lines", "n_kept"))
