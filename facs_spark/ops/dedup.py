@@ -958,7 +958,13 @@ def remove_duplicate_spans(df: DataFrame, id_col: str = "doc_id",
     per_doc = spans.groupBy(id_col).agg(
         F.collect_list(F.struct("span_start", "span_end"))
          .alias("_spans"))
-    toks = F.split(F.trim(F.col(text_col)), r"\s+")
+    # tokenization MUST mirror the hash kernel's: split on the SAME
+    # whitespace byte set (_WS_BYTES — java \s misses \x1C-\x1F) and
+    # drop empty tokens, or a doc starting with '\t' would shift
+    # every index by one and remove the wrong tokens
+    toks = F.filter(
+        F.split(F.col(text_col), r"[\t\n\x0B\f\r\x1C-\x1F ]+"),
+        lambda t: t != "")
     spans_col = F.coalesce(
         F.col("_spans"),
         F.array().cast("array<struct<span_start:int,span_end:int>>"))

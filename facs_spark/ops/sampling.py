@@ -220,6 +220,10 @@ def rebalance_sources(df: DataFrame, group_col: str, id_col: str,
     missing = [g for g in targets if g not in counts]
     if missing:
         raise ValueError(f"target groups absent from data: {missing}")
+    if not any(t > 0 for t in targets.values()):
+        raise ValueError(
+            "rebalance_sources needs at least one target share > 0, "
+            f"got {targets!r}")
     n_out = min(counts[g] / t for g, t in targets.items() if t > 0)
     fractions = {g: min(1.0, (t * n_out) / counts[g])
                  for g, t in targets.items()}

@@ -538,6 +538,9 @@ def semantic_dedup(df: DataFrame, id_col: str, vec_col: str,
     """
     rows = (df.select(id_col, vec_col).orderBy(id_col)
             .limit(n_clusters).collect())
+    if not rows:  # empty corpus: empty result, not a numpy axis error
+        return df.sparkSession.createDataFrame(
+            [], f"{id_col} long, cluster long, kept boolean")
     anchors = _normalize(np.array([r[vec_col] for r in rows],
                                   dtype=np.float64))
     spark = df.sparkSession

@@ -2281,7 +2281,10 @@ def q53_substring_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 Q53_SQL = f"""
-WITH docs AS (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS toks
+WITH docs AS (SELECT doc_id,
+                   list_filter(string_split_regex(text,
+                       '[\t\n\x0b\f\r\x1c-\x1f ]+'), x -> x <> '')
+                     AS toks
               FROM documents),
 pos AS (SELECT doc_id, toks,
                unnest(range(1, greatest(len(toks)-{SUBSTR_L}+1, 0)+1))
@@ -2472,7 +2475,10 @@ def q56_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 Q56_SQL = f"""
-WITH tr AS (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS toks
+WITH tr AS (SELECT doc_id,
+                 list_filter(string_split_regex(text,
+                     '[\t\n\x0b\f\r\x1c-\x1f ]+'), x -> x <> '')
+                   AS toks
             FROM documents),
 pos AS (SELECT doc_id, toks,
                unnest(range(1, greatest(len(toks)-{DECON_L}+1, 0)+1)) AS i

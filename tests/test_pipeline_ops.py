@@ -1263,3 +1263,48 @@ def test_rebalance_sources_missing_group_raises(spark):
     df = spark.createDataFrame([(1, "en")], "doc_id long, lang string")
     with pytest.raises(ValueError, match="absent"):
         rebalance_sources(df, "lang", "doc_id", {"en": 0.5, "xx": 0.5})
+
+
+def test_remove_duplicate_spans_tab_leading_text(spark):
+    """Review regression: java \\s+ split with space-only trim()
+    produced a leading empty token for docs starting with tab/newline,
+    shifting every index vs the byte kernel's positions and removing
+    the wrong tokens.  The rebuild now splits on the kernel's exact
+    whitespace set and drops empty tokens."""
+    from facs_spark.ops.dedup import duplicate_spans, remove_duplicate_spans
+
+    rep = "the quick brown fox jumps over the lazy dog today"
+    df = spark.createDataFrame([
+        (1, "\talpha beta " + rep + " gamma"),   # leading tab
+        (2, "\n" + rep + " omega"),              # leading newline
+        (3, "x\x1cy " + rep + " z"),             # \x1C is WS in kernel
+    ], "doc_id long, text string")
+    out = {r["doc_id"]: r["clean_text"]
+           for r in remove_duplicate_spans(df, min_tokens=8).collect()}
+    assert out[1] == "alpha beta gamma"
+    assert out[2] == "omega"
+    assert out[3] == "x y z"
+    clean = spark.createDataFrame(list(out.items()),
+                                  "doc_id long, text string")
+    assert duplicate_spans(clean, min_tokens=8).count() == 0
+
+
+def test_semantic_dedup_empty_input(spark):
+    """Review regression: an empty corpus returned a numpy axis error
+    instead of an empty (id, cluster, kept) frame."""
+    from facs_spark.ops.similarity import semantic_dedup
+    df = spark.createDataFrame([], "vec_id long, embedding array<float>")
+    out = semantic_dedup(df, "vec_id", "embedding")
+    assert out.count() == 0
+    assert out.columns == ["vec_id", "cluster", "kept"]
+
+
+def test_rebalance_sources_zero_targets_raise(spark):
+    """Review regression: empty / all-zero targets raised a bare
+    `min() arg is an empty sequence`."""
+    from facs_spark.ops.sampling import rebalance_sources
+    df = spark.createDataFrame([(1, "en")], "doc_id long, lang string")
+    with pytest.raises(ValueError, match="share > 0"):
+        rebalance_sources(df, "lang", "doc_id", {"en": 0.0})
+    with pytest.raises(ValueError, match="share > 0"):
+        rebalance_sources(df, "lang", "doc_id", {})

@@ -84,7 +84,7 @@ def test_warc_binary_payload_exact(spark, tmp_path):
 def test_warc_malformed_is_loud(spark, tmp_path):
     bad = tmp_path / "bad.warc"
     bad.write_bytes(b"WARC/1.1\r\nWARC-Type: response\r\n\r\nx")
-    with pytest.raises(Exception, match="Content-Length"):
+    with pytest.raises(Exception, match="well-formed WARC record"):
         read_warc(spark, str(bad)).collect()
     trunc = tmp_path / "trunc.warc"
     trunc.write_bytes(b"WARC/1.1\r\nWARC-Type: response\r\n"
@@ -170,3 +170,109 @@ def test_warc_stream_ingests_new_files(warc_spark, pages, tmp_path):
     finally:
         q.stop()
     assert n3 == total
+
+
+def test_warc_split_survives_in_payload_boundary_marker(spark,
+                                                        tmp_path):
+    """Review regression: a payload CONTAINING the CRLFCRLF+WARC/
+    separator used to derail byte-range realignment (the candidate
+    boundary was trusted unvalidated) — now candidates must parse as
+    a well-formed header whose declared extent chains to EOF or the
+    next magic, so tiny splits still partition the file exactly."""
+    fake = (b"quoted record: \r\n\r\nWARC/1.1\r\n"
+            b"WARC-Type: response\r\nContent-Length: 999\r\n\r\n junk")
+    df = spark.createDataFrame(
+        [(f"http://x/{i}",
+          (fake if i % 3 == 0 else b"plain ") * (1 + i % 4))
+         for i in range(30)],
+        "url string, payload binary").withColumn(
+        "warc_ts", F.lit("2024-01-01 00:00:00").cast("timestamp"))
+    d = str(tmp_path / "w")
+    write_warc(df, d)
+    whole = read_warc(spark, d + "/part-*.warc")
+    for split in (97, 1000):
+        tiny = read_warc(spark, d + "/part-*.warc", split_bytes=split)
+        assert tiny.count() == 30
+        assert whole.select("url", "payload").exceptAll(
+            tiny.select("url", "payload")).count() == 0
+
+
+def test_warc_null_timestamp_writes_epoch(spark, tmp_path):
+    """Review regression: a null warc_ts (NaT across the Arrow
+    boundary) crashed _record_bytes; now it serializes the documented
+    1970 epoch."""
+    df = spark.createDataFrame(
+        [("http://x/1", None, b"p")],
+        "url string, warc_ts timestamp, payload binary")
+    d = str(tmp_path / "wnull")
+    assert write_warc(df, d) == 1
+    raw = open(os.path.join(d, sorted(os.listdir(d))[0]), "rb").read()
+    assert b"WARC-Date: 1970-01-01T00:00:00Z" in raw
+
+
+def test_warc_timestamp_is_instant_under_any_session_tz(spark,
+                                                        tmp_path):
+    """Review regression: the batch path returned tz-naive parse
+    results (reinterpreted in session-local time) while the stream
+    path attached UTC.  Both now carry the true instant: write+read
+    under a non-UTC session timezone round-trips the epoch value."""
+    old = spark.conf.get("spark.sql.session.timeZone")
+    try:
+        spark.conf.set("spark.sql.session.timeZone",
+                       "America/Los_Angeles")
+        epoch = 1704110400  # 2024-01-01T12:00:00Z
+        df = spark.createDataFrame([("http://x/1", b"p")],
+                                   "url string, payload binary") \
+            .withColumn("warc_ts",
+                        F.timestamp_seconds(F.lit(epoch)))
+        d = str(tmp_path / "wtz")
+        write_warc(df, d)
+        raw = open(os.path.join(d, sorted(os.listdir(d))[0]),
+                   "rb").read()
+        assert b"WARC-Date: 2024-01-01T12:00:00Z" in raw
+        back = read_warc(spark, d + "/part-*.warc")
+        got = back.select(
+            F.unix_timestamp("warc_ts").alias("es")).collect()[0]["es"]
+        assert got == epoch
+    finally:
+        spark.conf.set("spark.sql.session.timeZone", old)
+
+
+def test_warc_stream_late_file_sorting_earlier(warc_spark, tmp_path):
+    """Review regression: stream offsets were indices into a live
+    re-sorted listing, so a late file sorting BEFORE consumed ones
+    caused re-ingestion + loss.  Offsets are now consumed-name lists:
+    the late 'a_*' file lands exactly once after 'z_*' was consumed."""
+    import shutil
+
+    from pyspark.sql import functions as F
+    from facs_spark.io.warc import write_warc as _ww
+
+    def mk(name, urls):
+        df = warc_spark.createDataFrame(
+            [(u, b"p") for u in urls], "url string, payload binary") \
+            .withColumn("warc_ts",
+                        F.lit("2024-01-01 00:00:00").cast("timestamp"))
+        stage = tmp_path / ("stage_" + name)
+        _ww(df.coalesce(1), str(stage))
+        part = sorted(os.listdir(stage))[0]
+        shutil.copy(str(stage / part), str(tmp_path / "latedrop" / name))
+
+    (tmp_path / "latedrop").mkdir()
+    ckpt = str(tmp_path / "lateckpt")
+    mk("z_first.warc", ["http://z/1", "http://z/2"])
+    q = (warc_spark.readStream.format("warc")
+         .load(str(tmp_path / "latedrop"))
+         .groupBy("url").agg(F.count(F.lit(1)).alias("n"))
+         .writeStream.format("memory").queryName("warc_late")
+         .outputMode("complete")
+         .option("checkpointLocation", ckpt).start())
+    try:
+        q.processAllAvailable()
+        mk("a_late.warc", ["http://a/1"])  # sorts BEFORE z_first
+        q.processAllAvailable()
+        rows = {r["url"]: r["n"] for r in
+                warc_spark.sql("SELECT * FROM warc_late").collect()}
+    finally:
+        q.stop()
+    assert rows == {"http://z/1": 1, "http://z/2": 1, "http://a/1": 1}
