@@ -363,6 +363,10 @@ def write_warc(df: DataFrame, path: str, url_col: str = "url",
     The timestamp crosses the python boundary as epoch SECONDS
     (``unix_timestamp``, an instant), so the serialized ``WARC-Date``
     is the true UTC instant under any session timezone.
+
+    ``gzip_out=True`` follows the Common Crawl convention: EACH RECORD
+    is its own gzip member (concatenated members decompress as one
+    stream), so a future member index can make the archive splittable.
     """
     os.makedirs(path, exist_ok=True)
     for stale in _glob.glob(os.path.join(path, "part-*")):
@@ -382,11 +386,12 @@ def write_warc(df: DataFrame, path: str, url_col: str = "url",
             for batch in iterator:
                 for _, row in batch.iterrows():
                     if fh is None:
-                        fh = (gzip.open(fname, "wb", 6) if gzip_out
-                              else open(fname, "wb"))
-                    fh.write(_record_bytes(row["u"], row["es"],
-                                           rec_type, content_type,
-                                           bytes(row["pl"])))
+                        fh = open(fname, "wb")
+                    rec = _record_bytes(row["u"], row["es"],
+                                        rec_type, content_type,
+                                        bytes(row["pl"]))
+                    fh.write(gzip.compress(rec, 6) if gzip_out
+                             else rec)
                     n += 1
         finally:
             if fh is not None:
