@@ -229,3 +229,40 @@ def rebalance_sources(df: DataFrame, group_col: str, id_col: str,
                  for g, t in targets.items()}
     out = stratified_sample(df, group_col, fractions, id_col, seed)
     return (out, fractions) if return_fractions else out
+
+
+def group_stat_filter(df: DataFrame, group_col: str | list[str],
+                      metric_col: str, min_mean: float | None = None,
+                      min_docs: int = 1,
+                      broadcast_stats: bool = True) -> DataFrame:
+    """Two-pass corpus filter on a GROUP-level statistic — the
+    "drop every doc from a bad domain" pass of crawl curation
+    (group = registrable domain / source / crawl, metric = quality
+    score, spam score, mean length ...).
+
+    Pass 1 aggregates per-group ``mean(metric)`` and ``count`` (map-
+    side combinable, ships two doubles per group); pass 2 joins the
+    group verdict back and emits ``group_mean``, ``group_docs`` and a
+    ``keep`` flag (mean ≥ ``min_mean`` AND count ≥ ``min_docs``).
+    ``min_mean=None`` defaults to the CORPUS mean of the group means
+    (unweighted — each group votes once, so one giant mediocre domain
+    cannot move its own bar).
+
+    Scale: with group = registrable domain at 10¹² pages there are
+    ~10⁸ groups — too many to broadcast; pass
+    ``broadcast_stats=False`` and the verdict join becomes a plain
+    shuffle join on the group key (AQE still broadcasts it when the
+    stats side turns out small).  Filtering, not sampling: rerun-
+    stable by construction (no randomness anywhere).
+    """
+    keys = [group_col] if isinstance(group_col, str) else list(group_col)
+    stats = (df.groupBy(*keys)
+             .agg(F.avg(F.col(metric_col)).alias("group_mean"),
+                  F.count(F.lit(1)).alias("group_docs")))
+    if min_mean is None:
+        min_mean = float(stats.agg(F.avg("group_mean")).collect()[0][0])
+    right = F.broadcast(stats) if broadcast_stats else stats
+    return (df.join(right, keys)
+            .withColumn("keep",
+                        (F.col("group_mean") >= F.lit(min_mean))
+                        & (F.col("group_docs") >= F.lit(min_docs))))

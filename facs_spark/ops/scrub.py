@@ -1,0 +1,63 @@
+"""PII scrubbing for web-corpus curation — redact emails, phone
+numbers, and IPv4 addresses before text ships to training.
+
+The reference engine has no counterpart (it classifies reads, it never
+rewrites them); this is the standard pre-training redaction pass every
+crawl pipeline runs (C4/Dolma-style), expressed entirely as JVM
+``regexp_replace``/``regexp_count`` expressions inside whole-stage
+codegen — no Python in the hot path, no shuffle, scales as a pure map
+over row groups at any corpus size.
+
+Pattern contract (shared verbatim with the q60 DuckDB oracle, so every
+regex must mean the same thing in Java regex and RE2 — no backrefs, no
+lookaround):
+
+* patterns are applied IN ORDER (email, US-style phone, E.164 phone,
+  IPv4), each ``regexp_count`` evaluated on the text state produced by
+  the previous replacement, so an already-redacted span is never
+  double-counted;
+* US phones run before IPv4 so a dotted phone (``555.123.4567``)
+  redacts as a phone, not as a near-miss IP;
+* replacement tokens are angle-bracket tags (``<EMAIL>`` etc.) —
+  greppable, and themselves unmatched by every pattern (idempotent:
+  scrubbing twice is a no-op).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+# (name, pattern, replacement) — order is load-bearing, see module doc.
+PII_PATTERNS: tuple[tuple[str, str, str], ...] = (
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
+     "<EMAIL>"),
+    ("phone_us", r"\b\d{3}[-.]\d{3}[-.]\d{4}\b", "<PHONE>"),
+    ("phone_e164", r"\+\d{7,15}\b", "<PHONE>"),
+    ("ipv4", r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b", "<IP>"),
+)
+
+
+def scrub_pii(df: DataFrame, text_col: str = "text",
+              out_col: str | None = None,
+              count_cols: bool = True) -> DataFrame:
+    """Redact PII in ``text_col``; optionally add per-kind hit counts.
+
+    Returns the input columns with ``out_col`` (default: ``text_col``
+    replaced in place) holding the redacted text and, when
+    ``count_cols``, one ``pii_<name>`` long per pattern counting the
+    spans that pattern redacted.  Pure map — composes with any scan.
+    """
+    out_col = out_col or text_col
+    cur: Column = F.col(text_col)
+    counts: list[Column] = []
+    for name, pat, repl in PII_PATTERNS:
+        if count_cols:
+            counts.append(
+                F.regexp_count(cur, F.lit(pat)).cast("long")
+                .alias(f"pii_{name}"))
+        cur = F.regexp_replace(cur, pat, repl)
+    cols = [cur.alias(out_col) if c == out_col else F.col(c)
+            for c in df.columns]
+    if out_col not in df.columns:
+        cols.append(cur.alias(out_col))
+    return df.select(*cols, *counts)

@@ -270,3 +270,162 @@ def bm25_topk(df: DataFrame, query_terms: list[str], id_col: str = "doc_id",
             .limit(k)
             .withColumn("rank", F.row_number().over(
                 Window.orderBy(F.desc("score_e4"), F.asc(id_col)))))
+
+
+# ------------------------------------------------------ gopher rules
+# Gopher-style document quality rules (Rae et al. 2021, "Scaling
+# Language Models: ... Gopher", table A1 — thresholds adapted).  Pure
+# JVM expression code: one regexp/arithmetic pass per rule inside
+# whole-stage codegen, no Python, no shuffle — a 100-TB corpus pays
+# one map over row groups.  Every expression is restated verbatim by
+# the q61 DuckDB oracle, so patterns stick to the Java-regex ∩ RE2
+# common subset (no backrefs/lookaround).
+GOPHER_STOPWORDS: tuple[str, ...] = (
+    "the", "a", "of", "and", "to", "in", "with", "that")
+
+
+def gopher_rules(df: DataFrame, text_col: str = "text",
+                 min_words: int = 50, max_words: int = 100_000,
+                 min_mean_word_len: float = 3.0,
+                 max_mean_word_len: float = 10.0,
+                 max_symbol_ratio: float = 0.1,
+                 max_bullet_ratio: float = 0.9,
+                 max_ellipsis_ratio: float = 0.3,
+                 min_alpha_word_ratio: float = 0.8,
+                 min_stopwords: int = 2) -> DataFrame:
+    """Per-doc Gopher rule columns + the conjunctive ``keep`` flag.
+
+    Emitted columns (all derived JVM-side):
+
+    * ``g_words`` — non-empty whitespace tokens;
+    * ``g_mean_word_len`` — non-whitespace chars / words;
+    * ``g_symbol_ratio`` — ``#``/ellipsis marks per word;
+    * ``g_bullet_ratio`` / ``g_ellipsis_ratio`` — fraction of lines
+      starting with a bullet / ending with "...";
+    * ``g_alpha_ratio`` — fraction of words containing a letter;
+    * ``g_stopwords`` — how many distinct required stopwords appear;
+    * ``keep`` — AND of all eight thresholds.
+    """
+    t = F.col(text_col)
+    n_words = F.size(F.filter(F.split(F.trim(t), r"\s+"),
+                              lambda x: x != F.lit("")))
+    n_words_safe = F.greatest(n_words, F.lit(1))
+    mean_wl = (F.length(F.regexp_replace(t, r"\s+", ""))
+               / n_words_safe)
+    n_symbols = F.regexp_count(t, F.lit(r"#|\.\.\."))
+    n_lines = F.size(F.split(t, r"\n"))
+    n_bullet = F.regexp_count(t, F.lit(r"(?m)^[-*•]"))
+    n_ellipsis = F.regexp_count(t, F.lit(r"(?m)\.\.\.$"))
+    # whitespace-prefixed tokens containing a letter; the prepended
+    # space makes the first token count too
+    n_alpha_words = F.regexp_count(F.concat(F.lit(" "), t),
+                                   F.lit(r"\s[^\s]*[A-Za-z]"))
+    n_stop = sum(
+        (F.lower(t).rlike(r"\b" + w + r"\b")).cast("int")
+        for w in GOPHER_STOPWORDS)
+    feats = df.select(
+        "*",
+        n_words.alias("g_words"),
+        F.round(mean_wl, 6).alias("g_mean_word_len"),
+        F.round(n_symbols / n_words_safe, 6).alias("g_symbol_ratio"),
+        F.round(n_bullet / n_lines, 6).alias("g_bullet_ratio"),
+        F.round(n_ellipsis / n_lines, 6).alias("g_ellipsis_ratio"),
+        F.round(n_alpha_words / n_words_safe, 6).alias("g_alpha_ratio"),
+        n_stop.cast("long").alias("g_stopwords"))
+    keep = ((F.col("g_words") >= min_words)
+            & (F.col("g_words") <= max_words)
+            & (F.col("g_mean_word_len") >= min_mean_word_len)
+            & (F.col("g_mean_word_len") <= max_mean_word_len)
+            & (F.col("g_symbol_ratio") <= max_symbol_ratio)
+            & (F.col("g_bullet_ratio") <= max_bullet_ratio)
+            & (F.col("g_ellipsis_ratio") <= max_ellipsis_ratio)
+            & (F.col("g_alpha_ratio") >= min_alpha_word_ratio)
+            & (F.col("g_stopwords") >= min_stopwords))
+    return feats.withColumn("keep", keep)
+
+
+# ------------------------------------------------- n-gram LM scoring
+def lm_doc_score(df: DataFrame, id_col: str = "doc_id",
+                 text_col: str = "text",
+                 alpha: float = 0.5) -> DataFrame:
+    """Corpus-trained unigram-LM quality score per document — the
+    CCNet/KenLM-style "perplexity bucket" signal, self-trained on the
+    corpus itself (no external model): score(d) = mean over tokens of
+    ln((c(tok)+α) / (N+α·V)) with add-α smoothing.
+
+    EXACT two-shuffle shape (train: groupBy token; score: join tokens
+    back to counts + groupBy doc).  At 10¹²-page scale the token-count
+    table is itself huge — use :func:`lm_doc_score_cms`, which ships a
+    broadcast CMS+HLL instead of joining, turning scoring into a pure
+    map.  This exact form is the oracle (q62) and the property-test
+    ground truth for the sketch form.
+    """
+    # single-space split — the library's ONE tokenization for
+    # sketch/oracle parity (see sketch_agg prep="tokens")
+    toks = (df.select(id_col,
+                      F.explode(F.split(F.col(text_col), " ")).alias("tok"))
+            .filter(F.col("tok") != ""))
+    counts = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("c"))
+    row = counts.agg(F.sum("c"), F.count(F.lit(1))).collect()[0]
+    n_total, vocab = int(row[0] or 0), int(row[1])
+    logp = F.log((F.col("c") + F.lit(alpha))
+                 / (F.lit(n_total) + F.lit(alpha) * F.lit(vocab)))
+    scored = toks.join(counts.withColumn("logp", logp).drop("c"), "tok")
+    return (scored.groupBy(id_col)
+            .agg(F.count(F.lit(1)).alias("n_tokens"),
+                 F.round(F.avg("logp"), 6).alias("lm_score")))
+
+
+def lm_doc_score_cms(df: DataFrame, id_col: str = "doc_id",
+                     text_col: str = "text", alpha: float = 0.5,
+                     epsilon: float = 1e-5, delta: float = 1e-3
+                     ) -> DataFrame:
+    """Sketch-backed :func:`lm_doc_score` — the 100-TB shape.
+
+    Train: ONE pass builds a count-min sketch of token counts plus an
+    HLL vocabulary estimate (both mergeable partials, tree-merged —
+    the library's standard sketch build).  Score: the merged blobs
+    broadcast once per executor and a vectorized Arrow kernel maps
+    each doc's tokens through ``cms.query_batch`` — no token join, no
+    second shuffle beyond the per-doc groupBy already in the train
+    pass's lineage.  CMS overestimate ≤ ε·N w.p. 1−δ ⇒ per-token
+    log-prob error ≤ ln(1 + ε·N/(c+α)); the property test bounds the
+    doc-score gap against the exact form.
+    """
+    from ..sketch.hll import HyperLogLog
+    from .sketch_agg import SketchSpec, build_sketch
+
+    cms, _ = build_sketch(df, SketchSpec.make(
+        "cms", text_col, prep="tokens", epsilon=epsilon, delta=delta))
+    hll, _ = build_sketch(df, SketchSpec.make(
+        "hll", text_col, prep="tokens", p=14))
+    n_total = cms.total
+    vocab = max(1, int(round(hll.estimate())))
+    blob = cms.to_bytes()
+    denom = float(n_total + alpha * vocab)
+    spark = df.sparkSession
+    ensure_shipped(spark)
+    bblob = spark.sparkContext.broadcast(blob)
+
+    def kernel(iterator):
+        from ..sketch.cms import CountMinSketch
+        sk = CountMinSketch.from_bytes(bblob.value)
+        for pdf in iterator:
+            out_ids, out_n, out_s = [], [], []
+            for did, text in zip(pdf[id_col], pdf[text_col]):
+                toks = [w for w in str(text).split(" ") if w]
+                if not toks:
+                    continue
+                est = sk.query_batch(toks).astype(np.float64)
+                lp = np.log((est + alpha) / denom)
+                out_ids.append(did)
+                out_n.append(len(toks))
+                out_s.append(float(lp.mean()))
+            yield pd.DataFrame({
+                id_col: pd.Series(out_ids, dtype="int64"),
+                "n_tokens": pd.Series(out_n, dtype="int64"),
+                "lm_score": pd.Series(out_s, dtype="float64")})
+
+    src = ensure_parallelism(df.select(id_col, text_col))
+    return src.mapInPandas(
+        kernel, schema=f"{id_col} long, n_tokens long, lm_score double")

@@ -2633,6 +2633,239 @@ ORDER BY d.doc_id
 
 
 # =====================================================================
+# q60 — PII scrubbing (ops/scrub.scrub_pii): deterministic emails /
+# US + E.164 phones / IPv4s are planted into the text from doc_id
+# arithmetic (identically in both engines), then redacted by the
+# ordered JVM regexp chain.  The oracle replays the same patterns in
+# RE2 — every pattern lives in the Java-regex ∩ RE2 common subset —
+# and the full redacted TEXT is value-hashed, the strongest check.
+# =====================================================================
+def _pii_text_spark():
+    d = F.col("doc_id")
+    return F.concat(
+        F.col("text"),
+        F.when(d % 7 == 0,
+               F.concat(F.lit(" contact admin"), d.cast("string"),
+                        F.lit("@mail"), (d % 5).cast("string"),
+                        F.lit(".com now"))).otherwise(F.lit("")),
+        F.when(d % 11 == 0,
+               F.concat(F.lit(" call 415-555-"),
+                        F.lpad((d % 10000).cast("string"), 4, "0"),
+                        F.lit(" today"))).otherwise(F.lit("")),
+        F.when(d % 13 == 0,
+               F.concat(F.lit(" or +4670"),
+                        F.lpad((d % 100000).cast("string"), 7, "0"),
+                        F.lit(" ok"))).otherwise(F.lit("")),
+        F.when(d % 5 == 0,
+               F.concat(F.lit(" from 10."), (d % 256).cast("string"),
+                        F.lit(".0."), (d % 250).cast("string"),
+                        F.lit(" end"))).otherwise(F.lit("")))
+
+
+_PII_TEXT_SQL = """
+  SELECT doc_id, text
+         || CASE WHEN doc_id % 7 = 0 THEN ' contact admin'
+              || CAST(doc_id AS VARCHAR) || '@mail'
+              || CAST(doc_id % 5 AS VARCHAR) || '.com now' ELSE '' END
+         || CASE WHEN doc_id % 11 = 0 THEN ' call 415-555-'
+              || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+              || ' today' ELSE '' END
+         || CASE WHEN doc_id % 13 = 0 THEN ' or +4670'
+              || lpad(CAST(doc_id % 100000 AS VARCHAR), 7, '0')
+              || ' ok' ELSE '' END
+         || CASE WHEN doc_id % 5 = 0 THEN ' from 10.'
+              || CAST(doc_id % 256 AS VARCHAR) || '.0.'
+              || CAST(doc_id % 250 AS VARCHAR) || ' end' ELSE '' END
+         AS text
+  FROM documents
+"""
+
+
+def q60_scrub_pii(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .ops.scrub import scrub_pii
+    docs = (_read(spark, sf_dir, "documents")
+            .select("doc_id", _pii_text_spark().alias("text")))
+    return scrub_pii(docs).orderBy("doc_id")
+
+
+def _q60_sql():
+    from .ops.scrub import PII_PATTERNS
+    cur, counts = "text", []
+    steps = []
+    for i, (name, pat, repl) in enumerate(PII_PATTERNS):
+        counts.append(
+            f"CAST(len(regexp_extract_all(s{i}.t, '{pat}')) AS BIGINT)"
+            f" AS pii_{name}")
+        steps.append(
+            (f"s{i} AS (SELECT doc_id, {'text' if i == 0 else 't'} AS prev,"
+             f" regexp_replace({'text' if i == 0 else 't'}, '{pat}',"
+             f" '{repl}', 'g') AS t,"
+             f" CAST(len(regexp_extract_all("
+             f"{'text' if i == 0 else 't'}, '{pat}')) AS BIGINT)"
+             f" AS pii_{name}"
+             f" FROM {'pii' if i == 0 else f's{i-1}'})"))
+    final_counts = ", ".join(
+        f"s{i}.pii_{name}" for i, (name, _, _) in enumerate(PII_PATTERNS))
+    # chain CTEs; each si carries its own count column forward
+    carry = []
+    for i, (name, _, _) in enumerate(PII_PATTERNS):
+        carry.append(f"pii_{name}")
+        if i + 1 < len(PII_PATTERNS):
+            steps[i + 1] = steps[i + 1].replace(
+                "SELECT doc_id,", "SELECT doc_id, "
+                + ", ".join(carry[:i + 1]) + ",", 1)
+    return (f"WITH pii AS ({_PII_TEXT_SQL}), " + ", ".join(steps)
+            + f" SELECT doc_id, t AS text, {', '.join(carry)}"
+            f" FROM s{len(PII_PATTERNS) - 1} ORDER BY doc_id")
+
+
+# =====================================================================
+# q61 — Gopher document-quality rules (ops/textstats.gopher_rules):
+# multi-line fixtures (bullets / ellipsis lines / symbol runs) are
+# synthesized from doc_id arithmetic identically in both engines; all
+# eight rule features and the conjunctive keep flag are pure JVM
+# expressions, restated verbatim by the RE2 oracle.
+# =====================================================================
+def _gopher_text_spark():
+    d = F.col("doc_id")
+    return F.concat(
+        F.col("text"),
+        F.when(d % 4 == 0, F.lit("\n- bullet item")).otherwise(F.lit("")),
+        F.when(d % 6 == 0, F.lit("\nto be continued...")).otherwise(F.lit("")),
+        F.when(d % 9 == 0, F.lit(" ### 1234 5678")).otherwise(F.lit("")))
+
+
+_GOPHER_TEXT_SQL = """
+  SELECT doc_id, text
+         || CASE WHEN doc_id % 4 = 0 THEN chr(10) || '- bullet item'
+                 ELSE '' END
+         || CASE WHEN doc_id % 6 = 0 THEN chr(10) || 'to be continued...'
+                 ELSE '' END
+         || CASE WHEN doc_id % 9 = 0 THEN ' ### 1234 5678' ELSE '' END
+         AS text
+  FROM documents
+"""
+
+
+def q61_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .ops.textstats import gopher_rules
+    docs = (_read(spark, sf_dir, "documents")
+            .select("doc_id", _gopher_text_spark().alias("text")))
+    return (gopher_rules(docs).drop("text").orderBy("doc_id"))
+
+
+def _q61_sql():
+    from .ops.textstats import GOPHER_STOPWORDS
+    stop = " + ".join(
+        f"CASE WHEN regexp_matches(lower(text), '\\b{w}\\b') THEN 1 "
+        "ELSE 0 END" for w in GOPHER_STOPWORDS)
+    return f"""
+WITH g AS ({_GOPHER_TEXT_SQL}),
+feat AS (
+  SELECT doc_id,
+         CAST(len(list_filter(regexp_split_to_array(trim(text), '\\s+'),
+                              x -> x <> '')) AS INT) AS g_words,
+         CAST(len(regexp_extract_all(text, '#|\\.\\.\\.')) AS BIGINT)
+           AS n_symbols,
+         CAST(len(string_split(text, chr(10))) AS BIGINT) AS n_lines,
+         CAST(len(regexp_extract_all(text, '(?m)^[-*•]')) AS BIGINT)
+           AS n_bullet,
+         CAST(len(regexp_extract_all(text, '(?m)\\.\\.\\.$')) AS BIGINT)
+           AS n_ellipsis,
+         CAST(len(regexp_extract_all(' ' || text, '\\s[^\\s]*[A-Za-z]'))
+           AS BIGINT) AS n_alpha_words,
+         length(regexp_replace(text, '\\s+', '', 'g')) AS n_ws_chars,
+         CAST({stop} AS BIGINT) AS g_stopwords
+  FROM g),
+r AS (
+  SELECT doc_id, g_words,
+         ROUND(n_ws_chars / GREATEST(g_words, 1), 6) AS g_mean_word_len,
+         ROUND(n_symbols / GREATEST(g_words, 1), 6) AS g_symbol_ratio,
+         ROUND(n_bullet / n_lines, 6) AS g_bullet_ratio,
+         ROUND(n_ellipsis / n_lines, 6) AS g_ellipsis_ratio,
+         ROUND(n_alpha_words / GREATEST(g_words, 1), 6) AS g_alpha_ratio,
+         g_stopwords
+  FROM feat)
+SELECT *,
+       (g_words >= 50 AND g_words <= 100000
+        AND g_mean_word_len >= 3.0 AND g_mean_word_len <= 10.0
+        AND g_symbol_ratio <= 0.1 AND g_bullet_ratio <= 0.9
+        AND g_ellipsis_ratio <= 0.3 AND g_alpha_ratio >= 0.8
+        AND g_stopwords >= 2) AS keep
+FROM r ORDER BY doc_id
+"""
+
+
+# =====================================================================
+# q62 — corpus-self-trained unigram-LM quality score (ops/textstats
+# lm_doc_score): the CCNet "perplexity bucket" signal with add-α
+# smoothing, exact two-shuffle form (the CMS+HLL broadcast form is
+# property-tested against this in pytest).  Shared single-space
+# tokenization; ln/avg rounded to 6 decimals on both sides.
+# =====================================================================
+def q62_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .ops.textstats import lm_doc_score
+    docs = _read(spark, sf_dir, "documents")
+    return lm_doc_score(docs).orderBy("doc_id")
+
+
+Q62_SQL = """
+WITH toks AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
+toks2 AS (SELECT * FROM toks WHERE tok <> ''),
+counts AS (SELECT tok, CAST(COUNT(*) AS BIGINT) AS c
+           FROM toks2 GROUP BY tok),
+tot AS (SELECT CAST(SUM(c) AS DOUBLE) AS n_total,
+               CAST(COUNT(*) AS DOUBLE) AS vocab FROM counts)
+SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens,
+       ROUND(AVG(LN((c + 0.5) / (n_total + 0.5 * vocab))), 6) AS lm_score
+FROM toks2 JOIN counts USING (tok) CROSS JOIN tot
+GROUP BY doc_id ORDER BY doc_id
+"""
+
+
+# =====================================================================
+# q63 — group-statistic corpus filter (ops/sampling
+# group_stat_filter): drop every doc whose (synthesized) domain has a
+# below-corpus-average mean length — the "bad domain" curation pass.
+# Domains come from doc_id arithmetic; the threshold (unweighted mean
+# of domain means) and the keep flag are recomputed exactly by the
+# oracle.
+# =====================================================================
+def q63_domain_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .ops.sampling import group_stat_filter
+    docs = (_read(spark, sf_dir, "documents")
+            .select("doc_id", "n_chars",
+                    F.concat(F.lit("site"),
+                             (F.col("doc_id") % 13).cast("string"),
+                             F.lit(".com")).alias("domain")))
+    out = group_stat_filter(docs, "domain", "n_chars", min_docs=2)
+    return (out.select("doc_id", "domain",
+                       F.round("group_mean", 6).alias("group_mean"),
+                       F.col("group_docs").cast("long").alias("group_docs"),
+                       "keep")
+            .orderBy("doc_id"))
+
+
+Q63_SQL = """
+WITH d AS (
+  SELECT doc_id, n_chars,
+         'site' || CAST(doc_id % 13 AS VARCHAR) || '.com' AS domain
+  FROM documents),
+stats AS (
+  SELECT domain, AVG(n_chars) AS group_mean,
+         CAST(COUNT(*) AS BIGINT) AS group_docs
+  FROM d GROUP BY domain),
+thr AS (SELECT AVG(group_mean) AS m FROM stats)
+SELECT d.doc_id, d.domain, ROUND(s.group_mean, 6) AS group_mean,
+       s.group_docs,
+       (s.group_mean >= thr.m AND s.group_docs >= 2) AS keep
+FROM d JOIN stats s USING (domain) CROSS JOIN thr
+ORDER BY d.doc_id
+"""
+
+
+# =====================================================================
 # registry
 # =====================================================================
 def queries():
@@ -2696,6 +2929,10 @@ def queries():
         "q57_warc_ingest": q57_warc_ingest,
         "q58_semantic_dedup": q58_semantic_dedup,
         "q59_rebalance_mixture": q59_rebalance_mixture,
+        "q60_scrub_pii": q60_scrub_pii,
+        "q61_gopher_rules": q61_gopher_rules,
+        "q62_lm_score": q62_lm_score,
+        "q63_domain_filter": q63_domain_filter,
     }
 
 
@@ -2768,6 +3005,10 @@ def oracle_sql():
         "q57_warc_ingest": Q57_SQL,
         "q58_semantic_dedup": Q58_SQL,
         "q59_rebalance_mixture": Q59_SQL,
+        "q60_scrub_pii": _q60_sql(),
+        "q61_gopher_rules": _q61_sql(),
+        "q62_lm_score": Q62_SQL,
+        "q63_domain_filter": Q63_SQL,
     }
 
 

@@ -1308,3 +1308,130 @@ def test_rebalance_sources_zero_targets_raise(spark):
         rebalance_sources(df, "lang", "doc_id", {"en": 0.0})
     with pytest.raises(ValueError, match="share > 0"):
         rebalance_sources(df, "lang", "doc_id", {})
+
+
+# ----------------------------------------------------- PII scrubbing
+def test_scrub_pii_redacts_and_counts(spark):
+    from facs_spark.ops.scrub import scrub_pii
+    rows = [
+        (1, "mail bob.smith+x@Example.co.uk now"),
+        (2, "call 415-555-0199 or 415.555.0199"),
+        (3, "intl +46701234567 ok"),
+        (4, "srv at 192.168.0.1 and 10.0.0.255"),
+        (5, "clean text, no pii at all"),
+        (6, "mix a@b.io 555-123-4567 +4912345678 1.2.3.4"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r for r in scrub_pii(df).collect()}
+    assert out[1]["text"] == "mail <EMAIL> now"
+    assert out[1]["pii_email"] == 1
+    assert out[2]["text"] == "call <PHONE> or <PHONE>"
+    assert out[2]["pii_phone_us"] == 2
+    assert out[3]["text"] == "intl <PHONE> ok"
+    assert out[3]["pii_phone_e164"] == 1
+    assert out[4]["text"] == "srv at <IP> and <IP>"
+    assert out[4]["pii_ipv4"] == 2
+    assert out[5]["text"] == rows[4][1]
+    assert all(out[5][f"pii_{k}"] == 0
+               for k in ("email", "phone_us", "phone_e164", "ipv4"))
+    assert out[6]["text"] == "mix <EMAIL> <PHONE> <PHONE> <IP>"
+
+
+def test_scrub_pii_idempotent_and_order(spark):
+    from facs_spark.ops.scrub import scrub_pii
+    # dotted US phone must NOT be eaten by the IPv4 pattern
+    df = spark.createDataFrame(
+        [(1, "x 555.123.4567 y a@b.cc")], "doc_id long, text string")
+    once = scrub_pii(df).collect()[0]
+    assert once["text"] == "x <PHONE> y <EMAIL>"
+    again = scrub_pii(
+        spark.createDataFrame([(1, once["text"])],
+                              "doc_id long, text string")).collect()[0]
+    assert again["text"] == once["text"]
+    assert all(again[c] == 0 for c in again.asDict() if c.startswith("pii_"))
+
+
+# ------------------------------------------------------- gopher rules
+def test_gopher_rules_each_rule_fires(spark):
+    from facs_spark.ops.textstats import gopher_rules
+    good = ("the quick brown fox jumps over a lazy dog and that dog "
+            "naps with some friends in the warm sun ") * 5  # >50 words
+    rows = [
+        (1, good),
+        (2, "too short"),                               # word count
+        (3, ("## " * 60) + good),                       # symbol ratio
+        (4, "\n".join(["- b"] * 60) + "\n" + good),
+        (5, good + ("2 4 8 16 32 64 " * 30)),           # alpha ratio
+        (6, " ".join(["zq"] * 80)),                     # stopwords
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r for r in gopher_rules(df).collect()}
+    assert out[1]["keep"]
+    assert not out[2]["keep"] and out[2]["g_words"] == 2
+    assert not out[3]["keep"] and out[3]["g_symbol_ratio"] > 0.1
+    assert not out[4]["keep"] and out[4]["g_bullet_ratio"] > 0.9
+    assert not out[5]["keep"] and out[5]["g_alpha_ratio"] < 0.8
+    assert not out[6]["keep"] and out[6]["g_stopwords"] < 2
+    # ellipsis rule: >30% of lines end with ...
+    ell = "\n".join(["wait..."] * 40) + "\n" + good
+    r = gopher_rules(spark.createDataFrame(
+        [(7, ell)], "doc_id long, text string")).collect()[0]
+    assert not r["keep"] and r["g_ellipsis_ratio"] > 0.3
+
+
+def test_gopher_rules_empty_text(spark):
+    from facs_spark.ops.textstats import gopher_rules
+    r = gopher_rules(spark.createDataFrame(
+        [(1, "")], "doc_id long, text string")).collect()[0]
+    assert r["g_words"] == 0 and not r["keep"]
+
+
+# -------------------------------------------------------- LM scoring
+def test_lm_doc_score_exact_values(spark):
+    from facs_spark.ops.textstats import lm_doc_score
+    # corpus: N=6 tokens, V=3; hand-check one doc
+    df = spark.createDataFrame(
+        [(1, "a a b"), (2, "b c c")], "doc_id long, text string")
+    out = {r["doc_id"]: r for r in lm_doc_score(df, alpha=0.5).collect()}
+    import math
+    denom = 6 + 0.5 * 3
+    exp1 = (2 * math.log(2.5 / denom) + math.log(2.5 / denom)) / 3
+    assert out[1]["n_tokens"] == 3
+    assert abs(out[1]["lm_score"] - round(exp1, 6)) < 1e-9
+
+
+def test_lm_doc_score_cms_tracks_exact(spark, docs):
+    from facs_spark.ops.textstats import lm_doc_score, lm_doc_score_cms
+    sub = docs.limit(200)
+    exact = {r["doc_id"]: r["lm_score"]
+             for r in lm_doc_score(sub).collect()}
+    approx = {r["doc_id"]: r["lm_score"]
+              for r in lm_doc_score_cms(sub, epsilon=1e-5).collect()}
+    assert set(exact) == set(approx)
+    # CMS only OVERestimates counts; with eps·N tiny vs true counts,
+    # per-doc mean log-prob error stays well under the loose bound
+    diffs = [abs(exact[k] - approx[k]) for k in exact]
+    assert max(diffs) < 0.05
+    # overestimates ⇒ approx score ≥ exact score minus fp noise, and
+    # vocab estimate error can push either way only slightly
+    assert sum(d > 1e-3 for d in diffs) < len(diffs) * 0.2
+
+
+# ------------------------------------------------ group-stat filter
+def test_group_stat_filter_threshold_and_min_docs(spark):
+    from facs_spark.ops.sampling import group_stat_filter
+    rows = ([("good", i, 100.0) for i in range(5)]
+            + [("bad", i, 1.0) for i in range(5)]
+            + [("tiny", 0, 500.0)])
+    df = spark.createDataFrame(rows, "g string, i long, m double")
+    out = group_stat_filter(df, "g", "m", min_docs=2).collect()
+    by_g = {}
+    for r in out:
+        by_g.setdefault(r["g"], set()).add(r["keep"])
+    # corpus mean of group means = (100+1+500)/3 ≈ 200.3
+    assert by_g["good"] == {False}      # 100 < 200.3
+    assert by_g["bad"] == {False}
+    assert by_g["tiny"] == {False}      # mean ok but < 2 docs
+    out2 = group_stat_filter(df, "g", "m", min_mean=50.0).collect()
+    keeps = {r["g"]: r["keep"] for r in out2}
+    assert keeps == {"good": True, "bad": False, "tiny": True}
