@@ -313,3 +313,35 @@ def test_salted_join_no_nested_loop(spark):
     plan = _formatted(salted_join(big, small, "k", nsalt=8))
     assert "NestedLoop" not in plan and "CartesianProduct" not in plan
     assert _n_nodes(plan, "Generate") >= 1  # the explode fan-out
+
+
+def test_scrub_and_gopher_are_shuffle_free_maps(spark):
+    """PII scrubbing and the Gopher rule set must compile to pure
+    projections over the scan — zero exchanges, no Python eval node —
+    so a 100-TB corpus pays exactly one map over row groups."""
+    from facs_spark.ops.scrub import scrub_pii
+    from facs_spark.ops.textstats import gopher_rules
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    for out in (scrub_pii(docs), gopher_rules(docs)):
+        plan = _formatted(out)
+        assert _n_nodes(plan, "Exchange") == 0, plan
+        for bad in ("BatchEvalPython", "ArrowEvalPython", "MapInPandas"):
+            assert bad not in plan, f"{bad} in plan"
+        # column pruning intact: reading through the op with a narrow
+        # projection must not drag the full schema
+        read = _formatted(scrub_pii(docs).select("doc_id"))
+        assert "ReadSchema" in read
+
+
+def test_group_stat_filter_broadcasts_stats(spark):
+    """The group-verdict join must be broadcast when requested (no
+    shuffle of the doc side) and the stats agg map-side partial."""
+    from facs_spark.ops.sampling import group_stat_filter
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    out = group_stat_filter(docs, "source", "n_chars", min_mean=0.0)
+    plan = _formatted(out)
+    assert "BroadcastHashJoin" in plan, plan
+    assert _n_nodes(plan, "HashAggregate") >= 2  # partial + final
+    # doc side reaches the join without an exchange (broadcast side
+    # has its own small exchange feeding the agg)
+    assert "SortMergeJoin" not in plan
