@@ -266,3 +266,33 @@ def group_stat_filter(df: DataFrame, group_col: str | list[str],
             .withColumn("keep",
                         (F.col("group_mean") >= F.lit(min_mean))
                         & (F.col("group_docs") >= F.lit(min_docs))))
+
+
+def quantile_buckets(df: DataFrame, col: str, n_buckets: int = 3,
+                     out_col: str = "bucket", compression: int = 200):
+    """Split a corpus into quantile buckets of ``col`` — the CCNet
+    head/middle/tail perplexity split (Wenzek et al. 2020), sized for
+    10¹² rows.
+
+    The naive exact form (``ntile`` over a global window) funnels the
+    whole table through ONE task; instead the cutoffs come from a
+    distributed t-digest (mergeable partials, tree-merged — the
+    library's standard sketch build), and bucket assignment is a pure
+    map: ``1 + Σ (col > cutoff_i)`` over the n−1 broadcast-literal
+    cutoffs, whole-stage codegen, zero extra shuffles.  Bucket sizes
+    are therefore equal up to the t-digest's rank error (tight at the
+    extremes, ~1/compression mid-range) — q64 gates exactly that
+    bound; ties land in the lower bucket on both engines.
+
+    Returns ``(df + out_col, cutoffs)``.
+    """
+    from .sketch_agg import SketchSpec, build_sketch
+
+    sk, _ = build_sketch(df, SketchSpec.make(
+        "tdigest", col, delta=float(compression)))
+    qs = [i / n_buckets for i in range(1, n_buckets)]
+    cutoffs = [float(c) for c in sk.quantiles(qs)]
+    bucket = F.lit(1)
+    for c in cutoffs:
+        bucket = bucket + (F.col(col) > F.lit(c)).cast("int")
+    return df.withColumn(out_col, bucket), cutoffs

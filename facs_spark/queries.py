@@ -2893,6 +2893,47 @@ ORDER BY d.doc_id
 
 
 # =====================================================================
+# q64 — CCNet head/middle/tail perplexity split (ops/sampling
+# quantile_buckets over ops/textstats.lm_doc_score): bucket cutoffs
+# from a distributed t-digest, assignment a pure map — the global-
+# sort-free form.  Like q07/q08 the oracle gates the SKETCH'S
+# published accuracy: each bucket's share of rows must sit within
+# rank tolerance of 1/n, which only holds if the t-digest cutoffs
+# are where they claim to be.
+# =====================================================================
+def q64_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import pandas as pd
+
+    from .ops.sampling import quantile_buckets
+    from .ops.textstats import lm_doc_score
+    docs = _read(spark, sf_dir, "documents")
+    scored = lm_doc_score(docs)
+    n_buckets = 3
+    bucketed, cutoffs = quantile_buckets(scored, "lm_score", n_buckets)
+    counts = {r["bucket"]: r["n"]
+              for r in bucketed.groupBy("bucket")
+              .agg(F.count(F.lit(1)).alias("n")).collect()}
+    total = sum(counts.values())
+    pdf = pd.DataFrame({
+        "bucket": list(range(1, n_buckets + 1)),
+        "share_ok": [
+            bool(abs(counts.get(b, 0) / total - 1.0 / n_buckets) <= 0.02)
+            for b in range(1, n_buckets + 1)],
+        "cutoffs_monotone": [bool(all(
+            cutoffs[i] <= cutoffs[i + 1]
+            for i in range(len(cutoffs) - 1)))] * n_buckets,
+    })
+    return spark.createDataFrame(pdf).orderBy("bucket")
+
+
+Q64_SQL = """
+SELECT CAST(r AS BIGINT) AS bucket, TRUE AS share_ok,
+       TRUE AS cutoffs_monotone
+FROM range(1, 4) t(r) ORDER BY bucket
+"""
+
+
+# =====================================================================
 # registry
 # =====================================================================
 def queries():
@@ -2960,6 +3001,7 @@ def queries():
         "q61_gopher_rules": q61_gopher_rules,
         "q62_lm_score": q62_lm_score,
         "q63_domain_filter": q63_domain_filter,
+        "q64_perplexity_buckets": q64_perplexity_buckets,
     }
 
 
@@ -3036,6 +3078,7 @@ def oracle_sql():
         "q61_gopher_rules": _q61_sql(),
         "q62_lm_score": Q62_SQL,
         "q63_domain_filter": Q63_SQL,
+        "q64_perplexity_buckets": Q64_SQL,
     }
 
 

@@ -1435,3 +1435,27 @@ def test_group_stat_filter_threshold_and_min_docs(spark):
     out2 = group_stat_filter(df, "g", "m", min_mean=50.0).collect()
     keeps = {r["g"]: r["keep"] for r in out2}
     assert keeps == {"good": True, "bad": False, "tiny": True}
+
+
+def test_quantile_buckets_tracks_exact_ntile(spark, docs):
+    from pyspark.sql import Window
+    from facs_spark.ops.sampling import quantile_buckets
+    src = docs.select("doc_id", F.col("n_chars").cast("double").alias("v"))
+    out, cutoffs = quantile_buckets(src, "v", 4)
+    assert cutoffs == sorted(cutoffs)
+    n = src.count()
+    # bucket shares within rank tolerance of 1/4 each
+    counts = {r["bucket"]: r["cnt"] for r in
+              out.groupBy("bucket").agg(F.count(F.lit(1)).alias("cnt"))
+              .collect()}
+    assert set(counts) <= {1, 2, 3, 4}
+    for b in range(1, 5):
+        assert abs(counts.get(b, 0) / n - 0.25) <= 0.05
+    # agreement with the exact (single-task) ntile, up to ties at the
+    # cutoffs: mismatching rows must carry values equal to a cutoff
+    # neighborhood (rank error), bounded to a small fraction
+    w = Window.orderBy(F.col("v"), F.col("doc_id"))
+    exact = src.withColumn("nt", F.ntile(4).over(w))
+    joined = out.join(exact, ["doc_id", "v"])
+    mismatch = joined.filter(F.col("bucket") != F.col("nt")).count()
+    assert mismatch / n < 0.1
