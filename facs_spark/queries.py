@@ -2716,24 +2716,19 @@ def q60_scrub_pii(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _q60_sql():
+    """One CTE per pattern, each counting on the PREVIOUS step's text
+    (mirroring scrub_pii's sequential count-then-replace) and
+    carrying every earlier count column forward."""
     from .ops.scrub import PII_PATTERNS
-    cur, counts = "text", []
     steps = []
     for i, (name, pat, repl) in enumerate(PII_PATTERNS):
-        counts.append(
-            f"CAST(len(regexp_extract_all(s{i}.t, '{pat}')) AS BIGINT)"
-            f" AS pii_{name}")
+        src = "text" if i == 0 else "t"
         steps.append(
-            (f"s{i} AS (SELECT doc_id, {'text' if i == 0 else 't'} AS prev,"
-             f" regexp_replace({'text' if i == 0 else 't'}, '{pat}',"
-             f" '{repl}', 'g') AS t,"
-             f" CAST(len(regexp_extract_all("
-             f"{'text' if i == 0 else 't'}, '{pat}')) AS BIGINT)"
+            (f"s{i} AS (SELECT doc_id,"
+             f" regexp_replace({src}, '{pat}', '{repl}', 'g') AS t,"
+             f" CAST(len(regexp_extract_all({src}, '{pat}')) AS BIGINT)"
              f" AS pii_{name}"
              f" FROM {'pii' if i == 0 else f's{i-1}'})"))
-    final_counts = ", ".join(
-        f"s{i}.pii_{name}" for i, (name, _, _) in enumerate(PII_PATTERNS))
-    # chain CTEs; each si carries its own count column forward
     carry = []
     for i, (name, _, _) in enumerate(PII_PATTERNS):
         carry.append(f"pii_{name}")
