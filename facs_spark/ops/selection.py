@@ -1,0 +1,76 @@
+"""Data-selection operators: DSIR hashed importance resampling.
+
+Implements the importance-weight core of DSIR — Data Selection with
+Importance Resampling (Xie, Santurkar, Ma, Liang; NeurIPS 2023,
+arXiv:2302.03169): raw text is featurized into hashed n-gram
+buckets, bag-of-buckets unigram models are fit for the target and
+source corpora, and every source document gets the log importance
+ratio  sum_t log( p_target(b(t)) / p_source(b(t)) )  over its
+tokens.  Selecting the top-weighted documents (or Gumbel-top-k for
+sampled selection) yields a target-like subcorpus.
+
+No counterpart in the reference (facs gates on Bloom membership,
+`facs/facs.py`); this is a first-class curation operator for the
+100-TB pipeline.
+
+Scale notes:
+* The bucket table is bounded (16**prefix rows ≤ 4096 at the
+  default) — it broadcasts; fitting it is one partial-aggregated
+  groupBy over exploded tokens.
+* Doc weights are one more groupBy over the same exploded rows with
+  the broadcast log-ratio joined in — two shuffles total, both on
+  bounded-width keys, never on raw text.
+* Buckets come from md5-prefix strings (the repo-wide convention,
+  see ops/sampling.py): any engine — including the DuckDB oracle —
+  replays the exact bucketing, no Spark-private hash in the
+  semantics.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+
+def _bucket(tok: Column, prefix: int) -> Column:
+    """Hashed feature bucket: first ``prefix`` hex chars of md5."""
+    return F.substring(F.md5(tok), 1, prefix)
+
+
+def dsir_weights(df: DataFrame, target: Column, id_col: str = "doc_id",
+                 text_col: str = "text", prefix: int = 3,
+                 alpha: float = 0.5) -> DataFrame:
+    """Per-document DSIR log importance weights.
+
+    ``target`` is a boolean column marking the target corpus inside
+    ``df``; every row (target and source alike) is scored.  Bucket
+    unigram models use add-``alpha`` smoothing over the full
+    ``16**prefix`` bucket space so unseen buckets stay finite.
+
+    Returns (id, n_tokens, weight) where weight =
+    sum over token occurrences of ln(p_target/p_source).
+    """
+    n_buckets = 16 ** prefix
+    toks = (df.select(F.col(id_col), target.alias("_is_target"),
+                      F.explode(F.split(F.trim(F.col(text_col)), " +"))
+                      .alias("tok"))
+            .where(F.col("tok") != "")
+            .withColumn("bucket", _bucket(F.col("tok"), prefix)))
+
+    stats = (toks.groupBy("bucket")
+             .agg(F.sum(F.when(F.col("_is_target"), 1).otherwise(0))
+                  .alias("ct"),
+                  F.sum(F.when(F.col("_is_target"), 0).otherwise(1))
+                  .alias("cs")))
+    totals = stats.agg(F.sum("ct").alias("nt"), F.sum("cs").alias("ns"))
+    ratio = (stats.crossJoin(F.broadcast(totals))
+             .select("bucket",
+                     (F.log((F.col("ct") + alpha)
+                            / (F.col("nt") + alpha * n_buckets))
+                      - F.log((F.col("cs") + alpha)
+                              / (F.col("ns") + alpha * n_buckets)))
+                     .alias("log_ratio")))
+
+    return (toks.join(F.broadcast(ratio), "bucket")
+            .groupBy(id_col)
+            .agg(F.count(F.lit(1)).cast("long").alias("n_tokens"),
+                 F.sum("log_ratio").alias("weight")))

@@ -2929,6 +2929,127 @@ FROM range(1, 4) t(r) ORDER BY bucket
 
 
 # =====================================================================
+# q65 — context-window chunking (ops/chunking.chunk_text): every doc
+# cut into 32-token windows starting every 24 tokens (8-token
+# overlap), last window short, empty docs dropped.  Map-side only —
+# the posexplode multiplies rows inside the task, nothing shuffles.
+# The oracle replays the exact window arithmetic with
+# list_slice/array_to_string over the same single-space tokens.
+# =====================================================================
+def q65_chunk_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .ops.chunking import chunk_text
+    docs = _read(spark, sf_dir, "documents")
+    return (chunk_text(docs, "doc_id", "text", width=32, stride=24)
+            .orderBy("doc_id", "chunk_id"))
+
+
+Q65_SQL = """
+WITH d AS (
+  SELECT doc_id,
+         list_filter(string_split(text, ' '), x -> x <> '') AS toks
+  FROM documents),
+d2 AS (SELECT doc_id, toks, len(toks) AS n FROM d WHERE len(toks) > 0),
+idx AS (
+  SELECT doc_id, toks, n,
+         unnest(range(0, CASE WHEN n <= 32 THEN 1
+                 ELSE 1 + CAST(CEIL((n - 32) / 24.0) AS BIGINT) END)) AS k
+  FROM d2)
+SELECT doc_id, CAST(k AS BIGINT) AS chunk_id,
+       CAST(LEAST(32, n - k * 24) AS BIGINT) AS chunk_tokens,
+       array_to_string(
+         list_slice(toks, k * 24 + 1, LEAST(k * 24 + 32, n)),
+         ' ') AS chunk_text
+FROM idx ORDER BY doc_id, chunk_id
+"""
+
+
+# =====================================================================
+# q66 — sequence packing (ops/chunking.pack_tokens): shard the corpus
+# 4 ways, lay each shard out as one token stream in doc_id order, cut
+# every 512 tokens; a doc belongs to the bin where its first token
+# lands (exclusive prefix-sum — the distributable form of packing).
+# Output is per-(shard, bin) fill stats; the oracle replays the
+# window cumsum exactly.
+# =====================================================================
+def q66_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .ops.chunking import pack_tokens
+    docs = _read(spark, sf_dir, "documents")
+    packed = pack_tokens(docs, "doc_id", "text", budget=512, shards=4)
+    return (packed.groupBy("shard", "bin")
+            .agg(F.count(F.lit(1)).cast("long").alias("n_docs"),
+                 F.sum("doc_tokens").cast("long").alias("n_tokens"))
+            .orderBy("shard", "bin"))
+
+
+Q66_SQL = """
+WITH d AS (
+  SELECT doc_id, doc_id % 4 AS shard,
+         len(list_filter(string_split(text, ' '), x -> x <> ''))
+           AS doc_tokens
+  FROM documents),
+cum AS (
+  SELECT doc_id, shard, doc_tokens,
+         COALESCE(SUM(doc_tokens) OVER (
+           PARTITION BY shard ORDER BY doc_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+           AS tokens_before
+  FROM d)
+SELECT CAST(shard AS BIGINT) AS shard,
+       CAST(FLOOR(tokens_before / 512.0) AS BIGINT) AS bin,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(doc_tokens) AS BIGINT) AS n_tokens
+FROM cum GROUP BY 1, 2 ORDER BY shard, bin
+"""
+
+
+# =====================================================================
+# q67 — DSIR importance weights (ops/selection.dsir_weights; Xie et
+# al., NeurIPS 2023): target = English docs, hashed md5-prefix
+# unigram buckets (4096), add-0.5 smoothing over the full bucket
+# space, doc weight = sum of per-token log p_t/p_s.  The oracle
+# rebuilds the two bucket models and every doc's weight from the
+# same md5 prefixes; keep flag derives from the ROUNDED weight on
+# both sides so float last-ulp order can't flip it.
+# =====================================================================
+def q67_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .ops.selection import dsir_weights
+    docs = _read(spark, sf_dir, "documents")
+    out = dsir_weights(docs, target=F.col("lang") == "en",
+                       id_col="doc_id", text_col="text",
+                       prefix=3, alpha=0.5)
+    w = F.round("weight", 6)
+    return (out.select("doc_id", "n_tokens", w.alias("weight"),
+                       (w > 0).alias("keep"))
+            .orderBy("doc_id"))
+
+
+Q67_SQL = """
+WITH toks AS (
+  SELECT doc_id, (lang = 'en') AS is_target,
+         substr(md5(tok), 1, 3) AS bucket
+  FROM (SELECT doc_id, lang,
+               unnest(string_split(text, ' ')) AS tok FROM documents)
+  WHERE tok <> ''),
+stats AS (
+  SELECT bucket,
+         SUM(CASE WHEN is_target THEN 1 ELSE 0 END) AS ct,
+         SUM(CASE WHEN is_target THEN 0 ELSE 1 END) AS cs
+  FROM toks GROUP BY bucket),
+tot AS (SELECT SUM(ct) AS nt, SUM(cs) AS ns FROM stats),
+ratio AS (
+  SELECT bucket,
+         LN((ct + 0.5) / (nt + 0.5 * 4096))
+           - LN((cs + 0.5) / (ns + 0.5 * 4096)) AS log_ratio
+  FROM stats CROSS JOIN tot)
+SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens,
+       ROUND(SUM(log_ratio), 6) AS weight,
+       (ROUND(SUM(log_ratio), 6) > 0) AS keep
+FROM toks JOIN ratio USING (bucket)
+GROUP BY doc_id ORDER BY doc_id
+"""
+
+
+# =====================================================================
 # registry
 # =====================================================================
 def queries():
@@ -2997,6 +3118,9 @@ def queries():
         "q62_lm_score": q62_lm_score,
         "q63_domain_filter": q63_domain_filter,
         "q64_perplexity_buckets": q64_perplexity_buckets,
+        "q65_chunk_windows": q65_chunk_windows,
+        "q66_pack_sequences": q66_pack_sequences,
+        "q67_dsir_weights": q67_dsir_weights,
     }
 
 
@@ -3074,6 +3198,9 @@ def oracle_sql():
         "q62_lm_score": Q62_SQL,
         "q63_domain_filter": Q63_SQL,
         "q64_perplexity_buckets": Q64_SQL,
+        "q65_chunk_windows": Q65_SQL,
+        "q66_pack_sequences": Q66_SQL,
+        "q67_dsir_weights": Q67_SQL,
     }
 
 

@@ -1,0 +1,131 @@
+"""Context-window chunking, token-stream packing, and DSIR
+importance-weight selection (ops/chunking, ops/selection)."""
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from facs_spark.ops.chunking import chunk_text, pack_tokens
+from facs_spark.ops.selection import dsir_weights
+from facs_spark.session import get_spark
+
+
+@pytest.fixture(scope="module")
+def spark():
+    yield get_spark("facs_spark_chunking_tests", cpus=4,
+                    shuffle_partitions=4)
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def _py_chunks(text, width, stride):
+    toks = [t for t in text.split(" ") if t]
+    if not toks:
+        return []
+    n = len(toks)
+    m = 1 if n <= width else 1 + math.ceil((n - width) / stride)
+    return [(k, " ".join(toks[k * stride:k * stride + width]))
+            for k in range(m)]
+
+
+def test_chunk_text_matches_python_reference(spark):
+    rows = [(0, " ".join(f"t{i}" for i in range(100))),
+            (1, "one two three"),
+            (2, " ".join(f"w{i}" for i in range(32))),   # exactly width
+            (3, " ".join(f"w{i}" for i in range(33))),   # width + 1
+            (4, "  padded   spacing  here  "),
+            (5, ""), (6, "   ")]
+    out = (chunk_text(_docs(spark, rows), width=32, stride=24)
+           .orderBy("doc_id", "chunk_id").collect())
+    expect = []
+    for doc_id, text in rows:
+        for k, chunk in _py_chunks(text, 32, 24):
+            expect.append((doc_id, k, chunk))
+    assert [(r.doc_id, r.chunk_id, r.chunk_text) for r in out] == expect
+    # chunk_tokens agrees with the text
+    for r in out:
+        assert r.chunk_tokens == len(r.chunk_text.split(" "))
+
+
+def test_chunk_text_covers_every_token_without_gaps(spark):
+    text = " ".join(f"t{i}" for i in range(257))
+    out = (chunk_text(_docs(spark, [(0, text)]), width=64, stride=48)
+           .orderBy("chunk_id").collect())
+    toks = text.split(" ")
+    seen = []
+    for r in out:
+        start = r.chunk_id * 48
+        assert r.chunk_text.split(" ") == toks[start:start + 64]
+        seen.extend(range(start, min(start + 64, len(toks))))
+    assert set(seen) == set(range(len(toks)))   # full coverage
+    # every consecutive pair overlaps by width - stride
+    assert all(out[i + 1].chunk_id == out[i].chunk_id + 1
+               for i in range(len(out) - 1))
+
+
+def test_chunk_text_rejects_bad_stride(spark):
+    df = _docs(spark, [(0, "a b c")])
+    with pytest.raises(ValueError):
+        chunk_text(df, width=8, stride=0)
+    with pytest.raises(ValueError):
+        chunk_text(df, width=8, stride=9)
+
+
+def test_pack_tokens_matches_sequential_prefix_sum(spark):
+    rows = [(i, " ".join(["w"] * (7 * (i % 5) + 3))) for i in range(40)]
+    out = (pack_tokens(_docs(spark, rows), budget=50, shards=3)
+           .orderBy("doc_id").collect())
+    # replay per shard sequentially
+    streams = {}
+    for doc_id, text in rows:
+        shard = doc_id % 3
+        tok = len([t for t in text.split(" ") if t])
+        before = streams.get(shard, 0)
+        row = next(r for r in out if r.doc_id == doc_id)
+        assert (row.shard, row.doc_tokens, row.tokens_before,
+                row.bin) == (shard, tok, before, before // 50)
+        streams[shard] = before + tok
+
+
+def test_pack_tokens_bins_are_contiguous_and_full(spark):
+    rows = [(i, " ".join(["w"] * 10)) for i in range(100)]
+    packed = pack_tokens(_docs(spark, rows), budget=40, shards=2)
+    agg = (packed.groupBy("shard", "bin")
+           .agg(F.sum("doc_tokens").alias("fill"))
+           .orderBy("shard", "bin").collect())
+    by_shard = {}
+    for r in agg:
+        by_shard.setdefault(r.shard, []).append((r.bin, r.fill))
+    for shard, bins in by_shard.items():
+        assert [b for b, _ in bins] == list(range(len(bins)))
+        # every bin except the last holds exactly one budget's worth
+        # (docs are uniform here so no straddle remainder drift)
+        assert all(f == 40 for _, f in bins[:-1])
+
+
+def test_dsir_weights_prefers_target_like_docs(spark):
+    target_tokens = "alpha beta gamma delta"
+    source_tokens = "omega psi chi phi"
+    rows = ([(i, target_tokens, True) for i in range(20)]
+            + [(100 + i, source_tokens, False) for i in range(20)]
+            + [(200, target_tokens, False),       # target-like source doc
+               (201, source_tokens, False)])
+    df = spark.createDataFrame(
+        rows, "doc_id long, text string, is_target boolean")
+    out = {r.doc_id: r.weight
+           for r in dsir_weights(df, target=F.col("is_target")).collect()}
+    assert out[200] > 0 > out[201]
+    assert out[200] == pytest.approx(out[0])     # same text, same weight
+
+
+def test_dsir_weights_token_counts_and_total_rows(spark):
+    df = spark.createDataFrame(
+        [(0, "a b c", True), (1, "a  b", False), (2, "", False)],
+        "doc_id long, text string, is_target boolean")
+    rows = {r.doc_id: r for r in
+            dsir_weights(df, target=F.col("is_target")).collect()}
+    assert rows[0].n_tokens == 3 and rows[1].n_tokens == 2
+    assert 2 not in rows        # empty doc has no tokens → no row

@@ -345,3 +345,38 @@ def test_group_stat_filter_broadcasts_stats(spark):
     # doc side reaches the join without an exchange (broadcast side
     # has its own small exchange feeding the agg)
     assert "SortMergeJoin" not in plan
+
+
+def test_chunk_text_is_shuffle_free_generate(spark):
+    """Context-window chunking must be map-side only: the posexplode
+    multiplies rows inside each task (Generate node), with zero
+    exchanges and no Python eval — at 100 TB chunking costs exactly
+    one pass over the scan."""
+    from facs_spark.ops.chunking import chunk_text
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    plan = _formatted(chunk_text(docs))
+    assert _n_nodes(plan, "Exchange") == 0, plan
+    assert "Generate" in plan, plan
+    for bad in ("BatchEvalPython", "ArrowEvalPython", "MapInPandas"):
+        assert bad not in plan, f"{bad} in plan"
+
+
+def test_pack_tokens_single_shuffle(spark):
+    """Sequence packing is one exchange on the shard key feeding one
+    ordered window scan — the prefix-sum form that distributes."""
+    from facs_spark.ops.chunking import pack_tokens
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    plan = _formatted(pack_tokens(docs))
+    assert _n_nodes(plan, "Exchange") == 1, plan
+    assert "Window" in plan, plan
+
+
+def test_dsir_weights_broadcasts_bucket_model(spark):
+    """The DSIR log-ratio table (≤4096 buckets) must broadcast back
+    onto the token stream — the doc side never sort-merge joins."""
+    from pyspark.sql import functions as F
+    from facs_spark.ops.selection import dsir_weights
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    plan = _formatted(dsir_weights(docs, target=F.col("lang") == "en"))
+    assert "BroadcastHashJoin" in plan, plan
+    assert "SortMergeJoin" not in plan, plan
