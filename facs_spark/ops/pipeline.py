@@ -128,6 +128,32 @@ def clean_corpus(docs: DataFrame, ref_corpus: DataFrame,
     return cleaned, stats
 
 
+# ------------------------------------------- trainer-facing windows
+def prepare_context_windows(cleaned: DataFrame, id_col: str = "doc_id",
+                            text_col: str = "text", width: int = 1024,
+                            stride: int = 1024, budget: int = 8192,
+                            shards: int = 64) -> DataFrame:
+    """The funnel's trainer-facing tail: cut cleaned docs into
+    ``width``-token context windows, deterministically shuffle the
+    windows by hash (trainers want decorrelated order — adjacent
+    windows of one doc must not land in one bin), then pack the
+    stream into ``budget``-token bins (concat-and-cut, q66 form).
+
+    Returns window-level rows: (id, chunk_id, window_id, chunk_text,
+    shard, bin, doc_tokens, tokens_before).  Scale: chunking is
+    map-side, the hash key is a pure expression, packing shuffles
+    once on the shard key.
+    """
+    from .chunking import chunk_text, pack_tokens
+    chunks = chunk_text(cleaned, id_col, text_col,
+                        width=width, stride=stride)
+    windows = chunks.withColumn(
+        "window_id", F.xxhash64(F.col(id_col), F.col("chunk_id")))
+    packed = pack_tokens(windows, "window_id", "chunk_text",
+                         budget=budget, shards=shards)
+    return windows.join(packed, "window_id")
+
+
 # ----------------------------------------------- eval decontamination
 def decontaminate(train: DataFrame, eval_set: DataFrame,
                   id_col: str = "doc_id", text_col: str = "text",

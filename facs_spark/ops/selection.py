@@ -74,3 +74,36 @@ def dsir_weights(df: DataFrame, target: Column, id_col: str = "doc_id",
             .groupBy(id_col)
             .agg(F.count(F.lit(1)).cast("long").alias("n_tokens"),
                  F.sum("log_ratio").alias("weight")))
+
+
+def dsir_select(df: DataFrame, target: Column, k: int,
+                id_col: str = "doc_id", text_col: str = "text",
+                seed: int = 0, prefix: int = 3,
+                alpha: float = 0.5) -> DataFrame:
+    """DSIR's resampling step: sample ``k`` source documents without
+    replacement with probability ∝ exp(weight) via the Gumbel-top-k
+    trick (score = weight − ln(−ln(u)), u a seeded uniform; the top-k
+    scores ARE a softmax(weight) sample — Vieira 2014).
+
+    The uniform comes from the repo-wide md5 order-key convention
+    (``md5('<seed>:' || id)``, first 13 hex chars → 52-bit fraction),
+    so any engine replays the exact selection.  Target rows are the
+    model's positives, not candidates — only source rows compete.
+
+    Scale: the weight pass is dsir_weights (bounded broadcast model);
+    the top-k is TakeOrdered (per-partition heaps, no global sort).
+    Returns (id, weight, score) for the k selected docs.
+    """
+    w = dsir_weights(df, target, id_col=id_col, text_col=text_col,
+                     prefix=prefix, alpha=alpha)
+    pool = df.select(F.col(id_col), target.alias("_t")) \
+             .where(~F.col("_t")).drop("_t")
+    key = F.md5(F.concat(F.lit(f"{seed}:"),
+                         F.col(id_col).cast("string")))
+    u = ((F.conv(F.substring(key, 1, 13), 16, 10).cast("double") + 0.5)
+         / float(16 ** 13))
+    return (pool.join(w, id_col)
+            .withColumn("score", F.col("weight") - F.log(-F.log(u)))
+            .orderBy(F.desc("score"), id_col)
+            .limit(k)
+            .select(id_col, "weight", "score"))

@@ -3050,6 +3050,61 @@ GROUP BY doc_id ORDER BY doc_id
 
 
 # =====================================================================
+# q68 — DSIR Gumbel-top-k resampling (ops/selection.dsir_select):
+# sample 100 non-English docs without replacement ∝ exp(DSIR weight)
+# via the Gumbel-max trick; the seeded uniform is the repo's
+# md5('<seed>:'||id) 13-hex fraction so DuckDB replays the exact
+# draw.  Weight/score ROUND(6) on both sides; the selected SET is
+# order-separated by continuous Gumbel noise, so last-ulp float
+# divergence cannot flip membership.
+# =====================================================================
+def q68_dsir_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .ops.selection import dsir_select
+    docs = _read(spark, sf_dir, "documents")
+    out = dsir_select(docs, target=F.col("lang") == "en", k=100,
+                      seed=7, prefix=3, alpha=0.5)
+    return (out.select("doc_id",
+                       F.round("weight", 6).alias("weight"),
+                       F.round("score", 6).alias("score"))
+            .orderBy("doc_id"))
+
+
+Q68_SQL = """
+WITH toks AS (
+  SELECT doc_id, (lang = 'en') AS is_target,
+         substr(md5(tok), 1, 3) AS bucket
+  FROM (SELECT doc_id, lang,
+               unnest(string_split(text, ' ')) AS tok FROM documents)
+  WHERE tok <> ''),
+stats AS (
+  SELECT bucket,
+         SUM(CASE WHEN is_target THEN 1 ELSE 0 END) AS ct,
+         SUM(CASE WHEN is_target THEN 0 ELSE 1 END) AS cs
+  FROM toks GROUP BY bucket),
+tot AS (SELECT SUM(ct) AS nt, SUM(cs) AS ns FROM stats),
+ratio AS (
+  SELECT bucket,
+         LN((ct + 0.5) / (nt + 0.5 * 4096))
+           - LN((cs + 0.5) / (ns + 0.5 * 4096)) AS log_ratio
+  FROM stats CROSS JOIN tot),
+w AS (
+  SELECT doc_id, SUM(log_ratio) AS weight
+  FROM toks JOIN ratio USING (bucket) GROUP BY doc_id),
+pool AS (
+  SELECT d.doc_id, w.weight,
+         w.weight - LN(-LN(
+           (CAST('0x' || substr(md5('7:' || CAST(d.doc_id AS VARCHAR)),
+                                1, 13) AS BIGINT) + 0.5)
+           / 4503599627370496.0)) AS score
+  FROM documents d JOIN w USING (doc_id)
+  WHERE d.lang <> 'en')
+SELECT doc_id, ROUND(weight, 6) AS weight, ROUND(score, 6) AS score
+FROM (SELECT * FROM pool ORDER BY score DESC, doc_id LIMIT 100)
+ORDER BY doc_id
+"""
+
+
+# =====================================================================
 # registry
 # =====================================================================
 def queries():
@@ -3121,6 +3176,7 @@ def queries():
         "q65_chunk_windows": q65_chunk_windows,
         "q66_pack_sequences": q66_pack_sequences,
         "q67_dsir_weights": q67_dsir_weights,
+        "q68_dsir_select": q68_dsir_select,
     }
 
 
@@ -3201,6 +3257,7 @@ def oracle_sql():
         "q65_chunk_windows": Q65_SQL,
         "q66_pack_sequences": Q66_SQL,
         "q67_dsir_weights": Q67_SQL,
+        "q68_dsir_select": Q68_SQL,
     }
 
 

@@ -7,7 +7,7 @@ import pytest
 from pyspark.sql import functions as F
 
 from facs_spark.ops.chunking import chunk_text, pack_tokens
-from facs_spark.ops.selection import dsir_weights
+from facs_spark.ops.selection import dsir_select, dsir_weights
 from facs_spark.session import get_spark
 
 
@@ -121,6 +121,33 @@ def test_dsir_weights_prefers_target_like_docs(spark):
     assert out[200] == pytest.approx(out[0])     # same text, same weight
 
 
+def test_dsir_select_seeded_biased_and_source_only(spark):
+    # 60 target docs of "good" tokens; a source pool split between
+    # target-like and junk docs — Gumbel-top-k must prefer the
+    # target-like half, never pick a target row, and replay per seed.
+    rows = ([(i, "alpha beta gamma delta", True) for i in range(60)]
+            + [(100 + i, "alpha beta gamma delta", False)
+               for i in range(30)]
+            + [(200 + i, "omega psi chi phi", False) for i in range(30)])
+    df = spark.createDataFrame(
+        rows, "doc_id long, text string, is_target boolean")
+    sel = dsir_select(df, target=F.col("is_target"), k=20, seed=3)
+    got = sel.collect()
+    ids = sorted(r.doc_id for r in got)
+    assert len(ids) == 20 and len(set(ids)) == 20
+    assert all(i >= 100 for i in ids)            # source rows only
+    # softmax(weight) with a large gap → target-like docs dominate
+    assert sum(1 for i in ids if i < 200) >= 16
+    again = sorted(r.doc_id for r in
+                   dsir_select(df, target=F.col("is_target"),
+                               k=20, seed=3).collect())
+    assert again == ids                          # seeded replay
+    other = sorted(r.doc_id for r in
+                   dsir_select(df, target=F.col("is_target"),
+                               k=20, seed=4).collect())
+    assert other != ids                          # seed moves the draw
+
+
 def test_dsir_weights_token_counts_and_total_rows(spark):
     df = spark.createDataFrame(
         [(0, "a b c", True), (1, "a  b", False), (2, "", False)],
@@ -129,3 +156,24 @@ def test_dsir_weights_token_counts_and_total_rows(spark):
             dsir_weights(df, target=F.col("is_target")).collect()}
     assert rows[0].n_tokens == 3 and rows[1].n_tokens == 2
     assert 2 not in rows        # empty doc has no tokens → no row
+
+
+def test_prepare_context_windows_conserves_tokens(spark):
+    from facs_spark.ops.pipeline import prepare_context_windows
+    rows = [(i, " ".join(f"d{i}t{j}" for j in range(5 + 13 * (i % 7))))
+            for i in range(60)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = prepare_context_windows(df, width=16, stride=16,
+                                  budget=64, shards=4).collect()
+    # non-overlapping windows: packed token total == corpus token total
+    corpus_tokens = sum(5 + 13 * (i % 7) for i in range(60))
+    assert sum(r.doc_tokens for r in out) == corpus_tokens
+    # window text really is what gets packed
+    assert all(r.doc_tokens == len(r.chunk_text.split(" ")) for r in out)
+    # every window appears exactly once
+    assert len({(r.doc_id, r.chunk_id) for r in out}) == len(out)
+    # hash shuffle decorrelates: some doc's windows span >1 bin/shard
+    by_doc = {}
+    for r in out:
+        by_doc.setdefault(r.doc_id, set()).add((r.shard, r.bin))
+    assert any(len(v) > 1 for v in by_doc.values())
