@@ -158,7 +158,9 @@ def prepare_context_windows(cleaned: DataFrame, id_col: str = "doc_id",
 def decontaminate(train: DataFrame, eval_set: DataFrame,
                   id_col: str = "doc_id", text_col: str = "text",
                   n_tokens: int = 13,
-                  min_overlap_windows: int = 1) -> DataFrame:
+                  min_overlap_windows: int = 1,
+                  bloom_prefilter: bool = False,
+                  bloom_error_rate: float = 1e-4) -> DataFrame:
     """Benchmark decontamination (the GPT-3 appendix-C pass, Brown et
     al. 2020): flag every TRAIN doc sharing at least
     ``min_overlap_windows`` distinct ``n_tokens``-token windows with
@@ -176,6 +178,19 @@ def decontaminate(train: DataFrame, eval_set: DataFrame,
     small and AQE broadcasts the semi side; the train side then
     aggregates matched windows per doc with a map-side-combined
     count.  Only longs shuffle; train text never does.
+
+    ``bloom_prefilter=True`` routes the semi-join through
+    ``bloom_prejoin``: the eval hashes build a Bloom filter (the
+    engine's core sketch) that prunes train windows MAP-SIDE before
+    the shuffle.  The output is bit-identical — the exact join after
+    the probe removes Bloom false positives — but only ~FPR of the
+    non-matching train windows ever shuffle.  This is the shape for
+    when the held-out side outgrows AQE's broadcast threshold (a
+    full benchmark SUITE, or decontaminating against another
+    corpus): broadcast dies at ~8 GiB of gram rows, a banked Bloom
+    of the same grams is ~100× smaller.  Range prefiltering is off —
+    window hashes are uniform on int64, a min/max BETWEEN cannot
+    prune.
     """
     from .dedup import window_hash_occurrences
 
@@ -184,8 +199,14 @@ def decontaminate(train: DataFrame, eval_set: DataFrame,
                .select("gh").distinct())
     train_occ = window_hash_occurrences(train, id_col, text_col,
                                         n_tokens)
-    hits = (train_occ.join(eval_gh, "gh", "left_semi")
-            .groupBy(id_col)
+    if bloom_prefilter:
+        from .joins import bloom_prejoin
+        semi = bloom_prejoin(train_occ, eval_gh, "gh", how="left_semi",
+                             error_rate=bloom_error_rate,
+                             range_prefilter=False)
+    else:
+        semi = train_occ.join(eval_gh, "gh", "left_semi")
+    hits = (semi.groupBy(id_col)
             .agg(F.countDistinct("gh").alias("overlap_windows")))
     return (train.select(id_col).join(hits, id_col, "left")
             .select(id_col,

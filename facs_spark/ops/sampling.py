@@ -194,7 +194,8 @@ def deterministic_shuffle(df: DataFrame, id_col: str,
 
 def rebalance_sources(df: DataFrame, group_col: str, id_col: str,
                       targets: dict, seed: int = 0,
-                      return_fractions: bool = False):
+                      return_fractions: bool = False,
+                      counts: dict | None = None):
     """Mixture rebalancing: downsample each group so the OUTPUT
     follows the ``targets`` proportions (e.g. the data-mixture
     weights of a training run), taking the largest output the mixture
@@ -211,12 +212,15 @@ def rebalance_sources(df: DataFrame, group_col: str, id_col: str,
     pre-pass is one map-side-combinable count agg.
 
     ``return_fractions=True`` returns (df, fractions) so callers and
-    oracles can replay the thresholds.
+    oracles can replay the thresholds.  ``counts``: precomputed
+    group sizes (skips the count agg — for callers that already
+    counted, e.g. ``temperature_rebalance``).
     """
-    counts = {r[group_col]: r["n"]
-              for r in (df.groupBy(group_col)
-                        .agg(F.count(F.lit(1)).alias("n"))
-                        .collect())}
+    if counts is None:
+        counts = {r[group_col]: r["n"]
+                  for r in (df.groupBy(group_col)
+                            .agg(F.count(F.lit(1)).alias("n"))
+                            .collect())}
     missing = [g for g in targets if g not in counts]
     if missing:
         raise ValueError(f"target groups absent from data: {missing}")
@@ -229,6 +233,42 @@ def rebalance_sources(df: DataFrame, group_col: str, id_col: str,
                  for g, t in targets.items()}
     out = stratified_sample(df, group_col, fractions, id_col, seed)
     return (out, fractions) if return_fractions else out
+
+
+def temperature_rebalance(df: DataFrame, group_col: str, id_col: str,
+                          alpha: float = 0.5, seed: int = 0,
+                          return_fractions: bool = False):
+    """Temperature-smoothed mixture: target share t_g ∝ n_g^α — the
+    exponential smoothing of multilingual pretraining (mBERT's
+    sampling; Conneau & Lample 2019; XLM-R uses α=0.3).  α=1 keeps
+    the natural mixture, α→0 approaches uniform; α<1 upweights
+    low-resource groups without upsampling (the binding group keeps
+    everything, everyone else thins to match — rebalance_sources'
+    largest-achievable-output rule).
+
+    Shares are computed from one count agg and reused for the
+    selection pass, so the whole op costs one tiny agg + the
+    map-side md5-threshold filter.  The n_g^α shares are passed
+    UNNORMALIZED (rebalance_sources reads targets as ratios and the
+    normalizer cancels algebraically), so no order-dependent float
+    sum enters the fractions; with α=0.5 every remaining operand is
+    IEEE-exact (sqrt is correctly rounded) and a SQL oracle replays
+    the selection row for row.
+    """
+    counts = {r[group_col]: r["n"]
+              for r in (df.groupBy(group_col)
+                        .agg(F.count(F.lit(1)).alias("n"))
+                        .collect())}
+    if not counts:
+        raise ValueError("temperature_rebalance on an empty frame")
+    # α=0.5 routes through sqrt: IEEE requires sqrt correctly rounded
+    # (pow(x, .5) only is on new-enough libm), so SQL SQRT replays it
+    import math
+    targets = {g: (math.sqrt(n) if alpha == 0.5 else float(n) ** alpha)
+               for g, n in counts.items()}
+    return rebalance_sources(df, group_col, id_col, targets, seed=seed,
+                             return_fractions=return_fractions,
+                             counts=counts)
 
 
 def group_stat_filter(df: DataFrame, group_col: str | list[str],

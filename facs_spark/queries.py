@@ -3105,6 +3105,47 @@ ORDER BY doc_id
 
 
 # =====================================================================
+# q69 — temperature-smoothed mixture (ops/sampling.temperature_
+# rebalance; mBERT exponential smoothing, XLM-R α-sampling): target
+# share ∝ n_lang^0.5, binding group keeps everything, selection is
+# the md5-threshold replay.  Unnormalized shares + correctly-rounded
+# sqrt make every fraction engine-exact, so the oracle replays the
+# exact row set — selection-exact like q59, but with the shares
+# themselves computed from the data.
+# =====================================================================
+Q69_SEED = 11
+
+
+def q69_temperature_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .ops.sampling import temperature_rebalance
+    docs = _read(spark, sf_dir, "documents")
+    out = temperature_rebalance(docs, "lang", "doc_id", alpha=0.5,
+                                seed=Q69_SEED)
+    return out.select("doc_id", "lang").orderBy("doc_id")
+
+
+Q69_SQL = f"""
+WITH cnt AS (SELECT lang, CAST(COUNT(*) AS DOUBLE) AS n
+             FROM documents GROUP BY lang),
+tgt AS (SELECT lang, SQRT(n) AS t, n FROM cnt),
+nn AS (SELECT MIN(n / t) AS nout FROM tgt),
+fr AS (SELECT lang, LEAST(1.0, t * (SELECT nout FROM nn) / n) AS frac
+       FROM tgt),
+thr AS (SELECT lang,
+               CASE WHEN frac >= 1.0 THEN 'g'
+                    ELSE lpad(lower(hex(CAST(FLOOR(
+                         frac * 4503599627370496.0) AS BIGINT))),
+                         13, '0') END AS h
+        FROM fr)
+SELECT d.doc_id, d.lang
+FROM documents d JOIN thr USING (lang)
+WHERE substr(md5('{Q69_SEED}:' || CAST(d.doc_id AS VARCHAR)), 1, 13)
+      < thr.h
+ORDER BY d.doc_id
+"""
+
+
+# =====================================================================
 # registry
 # =====================================================================
 def queries():
@@ -3177,6 +3218,7 @@ def queries():
         "q66_pack_sequences": q66_pack_sequences,
         "q67_dsir_weights": q67_dsir_weights,
         "q68_dsir_select": q68_dsir_select,
+        "q69_temperature_mixture": q69_temperature_mixture,
     }
 
 
@@ -3258,6 +3300,7 @@ def oracle_sql():
         "q66_pack_sequences": Q66_SQL,
         "q67_dsir_weights": Q67_SQL,
         "q68_dsir_select": Q68_SQL,
+        "q69_temperature_mixture": Q69_SQL,
     }
 
 

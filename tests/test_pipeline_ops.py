@@ -1158,6 +1158,27 @@ def test_decontaminate_flags_eval_and_near_copies(spark):
     assert strict[1] is False and strict[3] is False
 
 
+def test_decontaminate_bloom_prefilter_is_exact(spark):
+    """The Bloom-prefiltered path (map-side prune before the
+    semi-join shuffle — the beyond-broadcast eval-side shape) must be
+    bit-identical to the plain path: the exact join removes every
+    Bloom false positive."""
+    from facs_spark.ops.pipeline import decontaminate
+
+    words = [f"w{i}" for i in range(400)]
+    train = spark.createDataFrame(
+        [(i, " ".join(words[i % 40:i % 40 + 30])) for i in range(80)],
+        "doc_id long, text string")
+    eval_set = spark.createDataFrame(
+        [(900, " ".join(words[5:25])), (901, " ".join(words[200:230]))],
+        "doc_id long, text string")
+    plain = sorted(map(tuple, decontaminate(train, eval_set).collect()))
+    bloom = sorted(map(tuple, decontaminate(
+        train, eval_set, bloom_prefilter=True).collect()))
+    assert bloom == plain
+    assert any(r[2] for r in plain) and not all(r[2] for r in plain)
+
+
 def test_semantic_dedup_planted_groups(spark):
     """Planted duplicate groups around distinct anchors: exactly one
     survivor (the min id) per group; singletons untouched; assignment
@@ -1256,6 +1277,42 @@ def test_rebalance_sources_hits_targets(spark):
                               seed=1)
     assert out.exceptAll(again).count() == 0
     assert again.exceptAll(out).count() == 0
+
+
+def test_temperature_rebalance_smooths_toward_uniform(spark):
+    """α=0.5 shares follow sqrt(n): the low-resource group's output
+    share rises above its natural share, the binding group keeps
+    everything, α=1 reproduces the natural mixture (no-op), and the
+    precomputed-counts path equals the recount path."""
+    import math
+
+    from facs_spark.ops.sampling import temperature_rebalance
+
+    rows = [(i, "en" if i % 10 < 8 else ("de" if i % 10 < 9 else "sv"))
+            for i in range(5000)]
+    df = spark.createDataFrame(rows, "doc_id long, lang string")
+    out, fr = temperature_rebalance(df, "lang", "doc_id", alpha=0.5,
+                                    seed=2, return_fractions=True)
+    got = {r["lang"]: r["n"] for r in
+           out.groupBy("lang").agg(F.count(F.lit(1)).alias("n"))
+           .collect()}
+    # sv (500 rows) is binding: smallest n/sqrt(n); keeps everything
+    # (the fraction computes as 1 − ulp: t·(n/t)/n round-trips through
+    # three roundings — the oracle replays the identical expression,
+    # so the threshold still keeps every row, as asserted next)
+    assert fr["sv"] > 1.0 - 1e-12 and got["sv"] == 500
+    total = sum(got.values())
+    n = {"en": 4000, "de": 500, "sv": 500}
+    z = sum(math.sqrt(v) for v in n.values())
+    for lang in n:
+        want = math.sqrt(n[lang]) / z
+        assert abs(got[lang] / total - want) < 0.05, (lang, got)
+    # sv's smoothed share beats its natural 10%
+    assert got["sv"] / total > 0.15
+    # α=1: natural mixture → every fraction 1.0 (nothing thins)
+    _, fr1 = temperature_rebalance(df, "lang", "doc_id", alpha=1.0,
+                                   seed=2, return_fractions=True)
+    assert all(v == 1.0 for v in fr1.values())
 
 
 def test_rebalance_sources_missing_group_raises(spark):
