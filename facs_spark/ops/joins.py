@@ -78,6 +78,81 @@ def bloom_key_filter(df: DataFrame, key: str, blob: bytes | list,
     return ensure_parallelism(df).mapInPandas(kernel, schema=schema)
 
 
+def bloom_key_flag(df: DataFrame, key: str, blob: bytes | list,
+                   flag_col: str = "bloom_maybe",
+                   spark=None) -> DataFrame:
+    """``df`` plus a boolean ``flag_col``: True where ``key`` is
+    (possibly) in the Bloom filter — zero false negatives, false-True
+    rate = the filter's error rate.  The column form of
+    ``bloom_key_filter`` for callers that need BOTH sides of the
+    membership split (e.g. ``bloom_anti_join``)."""
+    from pyspark.sql.types import BooleanType, StructField, StructType
+    spark = spark or df.sparkSession
+    ensure_shipped(spark)
+    bc = spark.sparkContext.broadcast(blob)
+    # NEVER df.schema.add(...): .add mutates the DataFrame's cached
+    # StructType in place, planting a phantom column on the SOURCE
+    schema = StructType(list(df.schema.fields)
+                        + [StructField(flag_col, BooleanType())])
+
+    def kernel(iterator):
+        from facs_spark.sketch import BloomFilter
+        from facs_spark.sketch.hashing import raw_key_matrices
+        b = bc.value
+        bf = (BloomFilter.from_banks([bytes(x) for x in b])
+              if isinstance(b, list) else BloomFilter.from_bytes(bytes(b)))
+        for batch in iterator:
+            mask = np.zeros(len(batch), dtype=bool)
+            for idx, mat in raw_key_matrices(batch[key]):
+                mask[idx] = bf.contains_batch(mat)
+            out = batch.copy()
+            out[flag_col] = mask
+            yield out
+
+    return ensure_parallelism(df).mapInPandas(kernel, schema=schema)
+
+
+def bloom_anti_join(probe: DataFrame, build: DataFrame, key: str,
+                    error_rate: float = 0.01,
+                    n_keys: int | None = None) -> DataFrame:
+    """Exact left-anti join with Bloom acceleration — the incremental
+    ingest screen: "which of today's crawl keys are NOT already in
+    the corpus".
+
+    Zero-false-negative logic inverted for anti semantics: a probe
+    row whose key FAILS the filter is a definite non-member and
+    bypasses the shuffle entirely (it IS output, map-side); only the
+    possible-members — true matches plus ~FPR of the rest — take the
+    exact anti-join that removes false positives.  Output equals
+    ``probe.join(build.select(key), key, "left_anti")`` row for row.
+
+    At 100 TB of daily crawl vs an existing corpus this shuffles
+    ~|matches| + FPR·|new| rows instead of the whole day: with most
+    input genuinely new (the common crawl case) the anti-join's
+    shuffle collapses to the duplicate slice.  Build/probe share the
+    one raw-key encoding (``raw_key_matrices``), like every Bloom
+    path in the engine.
+    """
+    if n_keys is None:
+        n_keys = build.count()
+    if n_keys == 0:
+        return probe
+    spec = SketchSpec.make("bloom", key, prep="raw",
+                           capacity=max(n_keys, 1),
+                           error_rate=error_rate)
+    bloom, _rows = build_sketch(build.select(key), spec)
+    if bloom is None:
+        return probe
+    blob = bloom.to_bytes()
+    banked = bloom.split_banks(1 << 30) if len(blob) > (1 << 30) else blob
+    flag = "_bloom_maybe"
+    flagged = bloom_key_flag(probe, key, banked, flag_col=flag)
+    definite_new = flagged.where(~F.col(flag)).drop(flag)
+    maybe = flagged.where(F.col(flag)).drop(flag)
+    verified_new = maybe.join(build.select(key), key, "left_anti")
+    return definite_new.unionByName(verified_new.select(*probe.columns))
+
+
 def bloom_prejoin(probe: DataFrame, build: DataFrame, key: str,
                   how: str = "inner", error_rate: float = 0.01,
                   n_keys: int | None = None,

@@ -3146,6 +3146,42 @@ ORDER BY d.doc_id
 
 
 # =====================================================================
+# q70 — incremental corpus dedup (ops/joins.bloom_anti_join): the
+# daily-ingest screen — docs whose text key is NOT already in the
+# existing corpus (doc_id % 3 == 0 plays the existing side).  Keys
+# are 60-bit md5-prefix ints (both engines compute them identically —
+# the repo's injectivity convention), the Bloom's definite-negatives
+# bypass the shuffle map-side, possible-members verify via the exact
+# anti-join, so the output is exactly the SQL anti join the oracle
+# runs.
+# =====================================================================
+def q70_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .ops.joins import bloom_anti_join
+    docs = _read(spark, sf_dir, "documents")
+    keyed = docs.select(
+        "doc_id",
+        F.conv(F.substring(F.md5("text"), 1, 15), 16, 10)
+        .cast("long").alias("text_key"))
+    existing = keyed.where(F.col("doc_id") % 3 == 0).select("text_key")
+    new = bloom_anti_join(keyed, existing, "text_key",
+                          error_rate=1e-4)
+    return new.select("doc_id", "text_key").orderBy("doc_id")
+
+
+Q70_SQL = """
+WITH k AS (
+  SELECT doc_id,
+         CAST('0x' || substr(md5(text), 1, 15) AS BIGINT) AS text_key
+  FROM documents),
+ex AS (SELECT DISTINCT text_key FROM k WHERE doc_id % 3 = 0)
+SELECT doc_id, text_key
+FROM k
+WHERE NOT EXISTS (SELECT 1 FROM ex WHERE ex.text_key = k.text_key)
+ORDER BY doc_id
+"""
+
+
+# =====================================================================
 # registry
 # =====================================================================
 def queries():
@@ -3219,6 +3255,7 @@ def queries():
         "q67_dsir_weights": q67_dsir_weights,
         "q68_dsir_select": q68_dsir_select,
         "q69_temperature_mixture": q69_temperature_mixture,
+        "q70_incremental_dedup": q70_incremental_dedup,
     }
 
 
@@ -3301,6 +3338,7 @@ def oracle_sql():
         "q67_dsir_weights": Q67_SQL,
         "q68_dsir_select": Q68_SQL,
         "q69_temperature_mixture": Q69_SQL,
+        "q70_incremental_dedup": Q70_SQL,
     }
 
 

@@ -118,3 +118,28 @@ def test_bloom_key_filter_banked(spark):
     banked = {r["v"] for r in
               bloom_key_filter(probe, "k", banks).collect()}
     assert banked == whole and whole
+
+
+def test_bloom_anti_join_equals_plain_anti(spark):
+    """bloom_anti_join must be bit-identical to the plain left-anti
+    join: definite-negatives bypass map-side, false positives are
+    removed by the exact branch (forced common with error_rate=0.5),
+    and an empty build side returns the probe untouched."""
+    from facs_spark.ops.joins import bloom_anti_join
+
+    probe = spark.createDataFrame(
+        [(i, i % 700) for i in range(2000)], "row_id long, k long")
+    build = spark.createDataFrame(
+        [(v,) for v in range(0, 700, 3)], "k long")
+    want = sorted(map(tuple,
+                      probe.join(build, "k", "left_anti")
+                      .select("row_id", "k").collect()))
+    for err in (0.5, 1e-4):   # FP-heavy and FP-rare filters
+        got = sorted(map(tuple,
+                         bloom_anti_join(probe, build, "k",
+                                         error_rate=err).collect()))
+        assert got == want, f"error_rate={err}"
+    empty = build.where("k < 0")
+    got = sorted(map(tuple,
+                     bloom_anti_join(probe, empty, "k").collect()))
+    assert got == sorted(map(tuple, probe.collect()))
