@@ -177,3 +177,55 @@ def test_prepare_context_windows_conserves_tokens(spark):
     for r in out:
         by_doc.setdefault(r.doc_id, set()).add((r.shard, r.bin))
     assert any(len(v) > 1 for v in by_doc.values())
+
+
+def test_chunk_text_fuzz_vs_reference(spark):
+    """150 random texts (mixed token counts, runs of spaces, empties)
+    × three (width, stride) shapes — heavy overlap, no overlap, and
+    stride 1 — all verified chunk-for-chunk against the pure-python
+    reference in one Spark job per shape."""
+    import random
+
+    rng = random.Random(42)
+    rows = []
+    for i in range(150):
+        n = rng.randrange(0, 120)
+        toks = [f"t{i}_{j}" for j in range(n)]
+        sep = lambda: " " * rng.randrange(1, 4)
+        text = sep().join(toks) if toks else rng.choice(["", " ", "   "])
+        if rng.random() < 0.3:
+            text = " " + text + "  "
+        rows.append((i, text))
+    for width, stride in ((16, 5), (16, 16), (8, 1)):
+        out = (chunk_text(_docs(spark, rows), width=width, stride=stride)
+               .orderBy("doc_id", "chunk_id").collect())
+        expect = []
+        for doc_id, text in rows:
+            for k, chunk in _py_chunks(text, width, stride):
+                expect.append((doc_id, k, chunk))
+        got = [(r.doc_id, r.chunk_id, r.chunk_text) for r in out]
+        assert got == expect, f"shape ({width},{stride})"
+
+
+def test_pack_tokens_fuzz_vs_sequential(spark):
+    """Random doc sizes incl. zero-token docs and docs larger than the
+    budget, several shard counts — bin assignment always equals the
+    sequential per-shard replay."""
+    import random
+
+    rng = random.Random(7)
+    rows = [(i, " ".join(["w"] * rng.randrange(0, 70)))
+            for i in range(200)]
+    for shards, budget in ((1, 64), (5, 17), (3, 1000)):
+        out = {r.doc_id: r for r in
+               pack_tokens(_docs(spark, rows), budget=budget,
+                           shards=shards).collect()}
+        streams = {}
+        for doc_id, text in rows:
+            shard = doc_id % shards
+            tok = len([t for t in text.split(" ") if t])
+            before = streams.get(shard, 0)
+            r = out[doc_id]
+            assert (r.shard, r.doc_tokens, r.tokens_before, r.bin) == \
+                (shard, tok, before, before // budget), doc_id
+            streams[shard] = before + tok
