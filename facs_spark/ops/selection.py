@@ -61,8 +61,15 @@ def dsir_weights(df: DataFrame, target: Column, id_col: str = "doc_id",
                   .alias("ct"),
                   F.sum(F.when(F.col("_is_target"), 0).otherwise(1))
                   .alias("cs")))
-    totals = stats.agg(F.sum("ct").alias("nt"), F.sum("cs").alias("ns"))
-    ratio = (stats.crossJoin(F.broadcast(totals))
+    # corpus totals attach via a global window over the ≤4096-row
+    # stats table (one tiny single-partition exchange) — NOT a 1-row
+    # crossJoin, which plans as BroadcastNestedLoopJoin and trips the
+    # repo-wide no-nested-loop plan invariant (PLANS.md)
+    from pyspark.sql import Window
+    w_all = Window.partitionBy(F.lit(1))
+    ratio = (stats
+             .withColumn("nt", F.sum("ct").over(w_all))
+             .withColumn("ns", F.sum("cs").over(w_all))
              .select("bucket",
                      (F.log((F.col("ct") + alpha)
                             / (F.col("nt") + alpha * n_buckets))

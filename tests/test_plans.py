@@ -380,3 +380,6 @@ def test_dsir_weights_broadcasts_bucket_model(spark):
     plan = _formatted(dsir_weights(docs, target=F.col("lang") == "en"))
     assert "BroadcastHashJoin" in plan, plan
     assert "SortMergeJoin" not in plan, plan
+    # the corpus-totals attach must be the global-window form, never
+    # a 1-row crossJoin (which plans as a nested loop)
+    assert "BroadcastNestedLoopJoin" not in plan, plan
