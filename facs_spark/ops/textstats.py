@@ -376,6 +376,56 @@ def lm_doc_score(df: DataFrame, id_col: str = "doc_id",
                  F.round(F.avg("logp"), 6).alias("lm_score")))
 
 
+def lm_doc_score_bigram(df: DataFrame, id_col: str = "doc_id",
+                        text_col: str = "text",
+                        alpha: float = 0.5) -> DataFrame:
+    """Corpus-trained BIGRAM LM doc score — the conditional upgrade
+    of :func:`lm_doc_score` (the CCNet/KenLM signal uses a 5-gram;
+    the bigram is the first-order form with the same training and
+    smoothing shape): score(d) = mean over adjacent token pairs of
+    ln((C(w1,w2)+α) / (C1(w1)+α·V)), with C1 the corpus unigram
+    counts and V the unigram vocabulary.  Docs with < 2 tokens have
+    no bigrams and emit no row (same convention as the unigram form
+    dropping empty docs).
+
+    Scale shape: pair extraction is pure JVM (slice + arrays_zip +
+    one explode — no lambda HOF); training is two map-side-combined
+    groupBys (pair table, unigram table); scoring joins the pairs
+    back to both tables — the pair table can exceed broadcast at
+    corpus scale, where AQE plans a sort-merge join on the short
+    token-pair keys (never full text).  V collects as one bounded
+    1-row agg, like the unigram form.
+    """
+    t = F.trim(F.col(text_col))
+    arr = F.when(F.length(t) == 0,
+                 F.array().cast("array<string>")) \
+           .otherwise(F.split(t, " +"))
+    base = (df.select(F.col(id_col), arr.alias("_t"))
+            .withColumn("_n", F.size("_t"))
+            .where(F.col("_n") >= 2))
+    pairs = (base.select(
+        id_col,
+        F.explode(F.arrays_zip(
+            F.slice("_t", 1, F.col("_n") - 1).alias("w1"),
+            F.slice("_t", 2, F.col("_n") - 1).alias("w2"))).alias("p"))
+        .select(F.col(id_col), F.col("p.w1").alias("w1"),
+                F.col("p.w2").alias("w2")))
+    uni = (df.select(F.explode(F.split(F.col(text_col), " "))
+                     .alias("w1"))
+           .filter(F.col("w1") != "")
+           .groupBy("w1").agg(F.count(F.lit(1)).alias("cu")))
+    vocab = uni.count()
+    big = (pairs.groupBy("w1", "w2")
+           .agg(F.count(F.lit(1)).alias("cb")))
+    logp = F.log((F.col("cb") + F.lit(alpha))
+                 / (F.col("cu") + F.lit(alpha) * F.lit(vocab)))
+    scored = (pairs.join(big, ["w1", "w2"]).join(uni, "w1")
+              .withColumn("logp", logp))
+    return (scored.groupBy(id_col)
+            .agg(F.count(F.lit(1)).alias("n_bigrams"),
+                 F.round(F.avg("logp"), 6).alias("lm2_score")))
+
+
 def lm_doc_score_cms(df: DataFrame, id_col: str = "doc_id",
                      text_col: str = "text", alpha: float = 0.5,
                      epsilon: float = 1e-5, delta: float = 1e-3

@@ -3182,6 +3182,45 @@ ORDER BY doc_id
 
 
 # =====================================================================
+# q71 — bigram-LM doc score (ops/textstats.lm_doc_score_bigram): the
+# conditional upgrade of q62 — mean ln((C(w1,w2)+α)/(C1(w1)+α·V))
+# over a doc's adjacent pairs, trained on the corpus itself.  The
+# oracle rebuilds both count tables and every score from the same
+# single-space tokens (list_zip pair construction, ROUND 6).
+# =====================================================================
+def q71_bigram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .ops.textstats import lm_doc_score_bigram
+    docs = _read(spark, sf_dir, "documents")
+    return (lm_doc_score_bigram(docs)
+            .select("doc_id",
+                    F.col("n_bigrams").cast("long").alias("n_bigrams"),
+                    "lm2_score")
+            .orderBy("doc_id"))
+
+
+Q71_SQL = """
+WITH d AS (
+  SELECT doc_id,
+         list_filter(string_split(text, ' '), x -> x <> '') AS t
+  FROM documents),
+toks AS (SELECT unnest(t) AS w1 FROM d),
+uni AS (SELECT w1, CAST(COUNT(*) AS BIGINT) AS cu
+        FROM toks GROUP BY w1),
+v AS (SELECT CAST(COUNT(*) AS DOUBLE) AS vocab FROM uni),
+zp AS (SELECT doc_id, unnest(list_zip(t, t[2:])) AS pr
+       FROM d WHERE len(t) >= 2),
+pairs AS (SELECT doc_id, pr[1] AS w1, pr[2] AS w2
+          FROM zp WHERE pr[2] IS NOT NULL),
+big AS (SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS cb
+        FROM pairs GROUP BY w1, w2)
+SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+       ROUND(AVG(LN((cb + 0.5) / (cu + 0.5 * vocab))), 6) AS lm2_score
+FROM pairs JOIN big USING (w1, w2) JOIN uni USING (w1) CROSS JOIN v
+GROUP BY doc_id ORDER BY doc_id
+"""
+
+
+# =====================================================================
 # registry
 # =====================================================================
 def queries():
@@ -3256,6 +3295,7 @@ def queries():
         "q68_dsir_select": q68_dsir_select,
         "q69_temperature_mixture": q69_temperature_mixture,
         "q70_incremental_dedup": q70_incremental_dedup,
+        "q71_bigram_lm_score": q71_bigram_lm_score,
     }
 
 
@@ -3339,6 +3379,7 @@ def oracle_sql():
         "q68_dsir_select": Q68_SQL,
         "q69_temperature_mixture": Q69_SQL,
         "q70_incremental_dedup": Q70_SQL,
+        "q71_bigram_lm_score": Q71_SQL,
     }
 
 

@@ -1457,6 +1457,40 @@ def test_lm_doc_score_exact_values(spark):
     assert abs(out[1]["lm_score"] - round(exp1, 6)) < 1e-9
 
 
+def test_lm_doc_score_bigram_exact_values(spark):
+    """Hand-checked bigram scores on a 2-doc corpus, plus the edge
+    conventions: <2-token docs emit no row; repeated bigrams count
+    per occurrence; extra spaces don't create tokens."""
+    import math
+
+    from facs_spark.ops.textstats import lm_doc_score_bigram
+    df = spark.createDataFrame(
+        [(1, "a a b"), (2, "b  c c"), (3, "solo"), (4, "")],
+        "doc_id long, text string")
+    out = {r["doc_id"]: r for r in
+           lm_doc_score_bigram(df, alpha=0.5).collect()}
+    # corpus unigrams: a=2, b=2, c=2, solo=1 → V=4
+    # bigrams: (a,a)=1 (a,b)=1 (b,c)=1 (c,c)=1
+    V = 4
+
+    def lp(cb, cu):
+        return math.log((cb + 0.5) / (cu + 0.5 * V))
+
+    exp1 = (lp(1, 2) + lp(1, 2)) / 2          # (a,a), (a,b)
+    exp2 = (lp(1, 2) + lp(1, 2)) / 2          # (b,c), (c,c)
+    assert out[1]["n_bigrams"] == 2
+    assert abs(out[1]["lm2_score"] - round(exp1, 6)) < 1e-9
+    assert abs(out[2]["lm2_score"] - round(exp2, 6)) < 1e-9
+    assert 3 not in out and 4 not in out      # no bigrams → no row
+    # a doc repeating a common bigram outscores one of rare pairs
+    df2 = spark.createDataFrame(
+        [(i, "x y") for i in range(10)] + [(99, "p q")],
+        "doc_id long, text string")
+    s = {r["doc_id"]: r["lm2_score"]
+         for r in lm_doc_score_bigram(df2).collect()}
+    assert s[0] > s[99]
+
+
 def test_lm_doc_score_cms_tracks_exact(spark, docs):
     from facs_spark.ops.textstats import lm_doc_score, lm_doc_score_cms
     sub = docs.limit(200)
