@@ -3221,6 +3221,48 @@ GROUP BY doc_id ORDER BY doc_id
 
 
 # =====================================================================
+# q72 — distributed k-means (ops/clustering.kmeans_fit/assign): the
+# SemDeDup clustering stage as a first-class op.  An iterative
+# algorithm has no SQL twin, so — like q64's sketch-accuracy gates —
+# the oracle checks PROVABLE invariants the driver can hash: Lloyd's
+# assignment-step inertia must be non-increasing iteration over
+# iteration, every vector must be assigned, and every cluster id
+# must be in range.  A wrong kernel (bad argmin, dropped partials,
+# mis-summed centroids) breaks monotonicity immediately.
+# =====================================================================
+def q72_kmeans_invariants(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import pandas as pd
+
+    from .ops.clustering import kmeans_assign, kmeans_fit
+    emb = _read(spark, sf_dir, "embeddings")
+    n = emb.count()
+    cents, inertia = kmeans_fit(emb, "vec_id", "embedding",
+                                k=8, n_iters=4, seed=3)
+    assigned = kmeans_assign(emb, cents, "embedding")
+    agg = assigned.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.min("cluster").alias("cmin"),
+        F.max("cluster").alias("cmax")).collect()[0]
+    pdf = pd.DataFrame({
+        "iteration": list(range(1, len(inertia) + 1)),
+        "inertia_non_increasing": [
+            bool(i == 0 or inertia[i] <= inertia[i - 1] * (1 + 1e-12))
+            for i in range(len(inertia))],
+        "all_assigned": [bool(agg["n"] == n)] * len(inertia),
+        "clusters_in_range": [bool(0 <= agg["cmin"]
+                                   and agg["cmax"] < 8)] * len(inertia),
+    })
+    return spark.createDataFrame(pdf).orderBy("iteration")
+
+
+Q72_SQL = """
+SELECT CAST(r AS BIGINT) AS iteration, TRUE AS inertia_non_increasing,
+       TRUE AS all_assigned, TRUE AS clusters_in_range
+FROM range(1, 5) t(r) ORDER BY iteration
+"""
+
+
+# =====================================================================
 # registry
 # =====================================================================
 def queries():
@@ -3296,6 +3338,7 @@ def queries():
         "q69_temperature_mixture": q69_temperature_mixture,
         "q70_incremental_dedup": q70_incremental_dedup,
         "q71_bigram_lm_score": q71_bigram_lm_score,
+        "q72_kmeans_invariants": q72_kmeans_invariants,
     }
 
 
@@ -3380,6 +3423,7 @@ def oracle_sql():
         "q69_temperature_mixture": Q69_SQL,
         "q70_incremental_dedup": Q70_SQL,
         "q71_bigram_lm_score": Q71_SQL,
+        "q72_kmeans_invariants": Q72_SQL,
     }
 
 
