@@ -513,7 +513,9 @@ def ivf_topk(df: DataFrame, id_col: str, vec_col: str, k: int = 10,
 # ------------------------------------------------------- SemDeDup
 def semantic_dedup(df: DataFrame, id_col: str, vec_col: str,
                    n_clusters: int = 8, threshold: float = 0.9,
-                   block: int = 1024) -> DataFrame:
+                   block: int = 1024,
+                   anchor_mode: str = "min_id",
+                   kmeans_iters: int = 4) -> DataFrame:
     """Semantic deduplication (SemDeDup, Abbas et al. 2023): cluster
     the embedding space, then inside each cluster drop every vector
     that has a LOWER-id near-duplicate at cosine >= threshold — one
@@ -521,11 +523,14 @@ def semantic_dedup(df: DataFrame, id_col: str, vec_col: str,
     group, and cross-cluster pairs are never compared (the method's
     own approximation).
 
-    Cluster anchors are the ``n_clusters`` vectors with the smallest
-    ids (deterministic and engine-replayable; a production run swaps
-    in k-means centroids — the assignment and intra-cluster machinery
-    are identical).  Assignment is argmax cosine against the
-    broadcast anchor matrix, ties to the lowest anchor index.
+    ``anchor_mode="min_id"`` (default) anchors on the ``n_clusters``
+    smallest-id vectors — deterministic and engine-replayable, the
+    q58 oracle's convention.  ``anchor_mode="kmeans"`` fits real
+    Lloyd centroids first (``ops/clustering.kmeans_fit``,
+    farthest-first seeded, ``kmeans_iters`` iterations) — the
+    published SemDeDup configuration; assignment and the
+    intra-cluster machinery are identical either way (argmax cosine
+    against the broadcast anchor matrix, ties to the lowest index).
 
     Scale shape: anchors broadcast (n_clusters × dim floats), one
     shuffle on cluster id, and the intra-cluster pairwise pass runs
@@ -536,13 +541,20 @@ def semantic_dedup(df: DataFrame, id_col: str, vec_col: str,
 
     Returns (id_col, cluster, kept).
     """
+    if anchor_mode not in ("min_id", "kmeans"):
+        raise ValueError(f"unknown anchor_mode {anchor_mode!r}")
     rows = (df.select(id_col, vec_col).orderBy(id_col)
             .limit(n_clusters).collect())
     if not rows:  # empty corpus: empty result, not a numpy axis error
         return df.sparkSession.createDataFrame(
             [], f"{id_col} long, cluster long, kept boolean")
-    anchors = _normalize(np.array([r[vec_col] for r in rows],
-                                  dtype=np.float64))
+    if anchor_mode == "kmeans" and len(rows) >= n_clusters:
+        from .clustering import kmeans_fit
+        raw, _inertia = kmeans_fit(df, id_col, vec_col, k=n_clusters,
+                                   n_iters=kmeans_iters)
+    else:
+        raw = np.array([r[vec_col] for r in rows], dtype=np.float64)
+    anchors = _normalize(raw)
     spark = df.sparkSession
     b_anchors = spark.sparkContext.broadcast(anchors)
     dim = anchors.shape[1]

@@ -1224,6 +1224,18 @@ def test_semantic_dedup_planted_groups(spark):
     for g in range(3):
         cl = {out[3 + 3 * g + c]["cluster"] for c in range(3)}
         assert len(cl) == 1 and cl == {out[g]["cluster"]}
+    # the published configuration — real k-means anchors — must make
+    # the same keep/drop decisions on well-separated planted groups
+    # (near-identical twins are co-clustered under ANY sane anchors)
+    km = {r["vec_id"]: r for r in
+          semantic_dedup(df, "vec_id", "embedding", n_clusters=3,
+                         threshold=0.95,
+                         anchor_mode="kmeans").collect()}
+    assert len(km) == vid
+    assert {v for v, r in km.items() if not r["kept"]} == expect_dropped
+    with pytest.raises(ValueError):
+        semantic_dedup(df, "vec_id", "embedding",
+                       anchor_mode="medoids")
 
 
 def test_semantic_dedup_blockwise_matches_full(spark):
