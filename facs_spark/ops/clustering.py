@@ -16,8 +16,9 @@ per iteration):
 * the driver reduces ≤ partitions·k partial rows (a bounded collect,
   like the engine's other driver reduces) and broadcasts the k·dim
   update — classic mini-EM, no shuffle of the data at all.
-* iterations rescan the input; callers at corpus scale should
-  ``.persist()`` the projected (id, vec) frame first.
+* the projected (id, vec) frame is persisted (MEMORY_AND_DISK) for
+  the fit's duration — init + iterations read it ~k+n_iters times —
+  and released before returning.
 * seeding is the repo's md5 order key — the same k initial vectors
   on any engine, cluster layout, or partitioning.
 
@@ -62,7 +63,11 @@ def kmeans_fit(df: DataFrame, id_col: str, vec_col: str, k: int = 8,
         raise ValueError("k and n_iters must be positive")
     spark = df.sparkSession
     ensure_shipped(spark)
-    src = ensure_parallelism(df.select(id_col, vec_col))
+    # iterative op: the projected (id, vec) frame is read k−1 times
+    # by the init and n_iters times by Lloyd — persist it for the
+    # fit's duration (MEMORY_AND_DISK: spills, never recomputes the
+    # upstream lineage), released before returning
+    src = ensure_parallelism(df.select(id_col, vec_col)).persist()
 
     # farthest-first init (Gonzalez 1985 — the deterministic member
     # of the k-means++ family): seed with the min-md5-key vector,
@@ -118,6 +123,7 @@ def kmeans_fit(df: DataFrame, id_col: str, vec_col: str, k: int = 8,
             break        # every remaining vector duplicates a centroid
         cents_list.append(v)
     if len(cents_list) < k:
+        src.unpersist()
         raise ValueError(f"k={k} but only {len(cents_list)} distinct "
                          "vectors reachable")
     cents = np.array(cents_list, dtype=np.float64)
@@ -166,6 +172,7 @@ def kmeans_fit(df: DataFrame, id_col: str, vec_col: str, k: int = 8,
         cents = cents.copy()
         cents[live] = sums[live] / counts[live, None]
         bc.destroy()
+    src.unpersist()
     return cents, inertia
 
 
