@@ -426,6 +426,42 @@ def lm_doc_score_bigram(df: DataFrame, id_col: str = "doc_id",
                  F.round(F.avg("logp"), 6).alias("lm2_score")))
 
 
+def token_entropy(df: DataFrame, id_col: str = "doc_id",
+                  text_col: str = "text",
+                  min_entropy: float = 1.0) -> DataFrame:
+    """Within-document Shannon entropy over the doc's own token
+    distribution — the low-entropy screen for template/spam/
+    keyword-stuffed pages (a standard quality-classifier feature;
+    complements ``repetition_ratio``, which sees only adjacent
+    n-gram repeats).
+
+    entropy(d) = −Σ_t (c_t/n)·ln(c_t/n) = ln(n) − (Σ_t c_t·ln c_t)/n
+    over d's token counts — the right-hand identity is what both the
+    engine and the SQL oracle evaluate, so one pair of SUMs replaces
+    a per-token probability column.  Docs with no tokens emit no row.
+
+    Scale: one explode + two map-side-combined aggs keyed on
+    (id, token) then (id) — the shuffles carry one row per DISTINCT
+    token per doc, never positions.  ``keep`` = entropy ≥
+    ``min_entropy`` (nats); singleton-token docs have entropy 0.
+    """
+    toks = (df.select(id_col,
+                      F.explode(F.split(F.col(text_col), " "))
+                      .alias("tok"))
+            .filter(F.col("tok") != ""))
+    per_tok = (toks.groupBy(id_col, "tok")
+               .agg(F.count(F.lit(1)).alias("c")))
+    ent = (F.log(F.col("n").cast("double"))
+           - F.col("clc") / F.col("n"))
+    return (per_tok.groupBy(id_col)
+            .agg(F.sum("c").alias("n"),
+                 F.sum(F.col("c") * F.log(F.col("c"))).alias("clc"))
+            .select(F.col(id_col),
+                    F.col("n").cast("long").alias("n_tokens"),
+                    F.round(ent, 6).alias("entropy"),
+                    (F.round(ent, 6) >= min_entropy).alias("keep")))
+
+
 def lm_doc_score_cms(df: DataFrame, id_col: str = "doc_id",
                      text_col: str = "text", alpha: float = 0.5,
                      epsilon: float = 1e-5, delta: float = 1e-3

@@ -3263,6 +3263,34 @@ FROM range(1, 5) t(r) ORDER BY iteration
 
 
 # =====================================================================
+# q73 — within-doc token entropy (ops/textstats.token_entropy): the
+# low-entropy template/spam screen.  Both engines evaluate the same
+# ln(n) − Σc·ln(c)/n identity over per-doc token counts; ROUND 6 and
+# the keep flag derives from the rounded value on both sides.
+# =====================================================================
+def q73_token_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .ops.textstats import token_entropy
+    docs = _read(spark, sf_dir, "documents")
+    return token_entropy(docs, min_entropy=1.0).orderBy("doc_id")
+
+
+Q73_SQL = """
+WITH toks AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+  FROM documents),
+cnt AS (SELECT doc_id, tok, CAST(COUNT(*) AS BIGINT) AS c
+        FROM toks WHERE tok <> '' GROUP BY doc_id, tok),
+agg AS (SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n,
+               SUM(c * LN(c)) AS clc
+        FROM cnt GROUP BY doc_id)
+SELECT doc_id, n AS n_tokens,
+       ROUND(LN(CAST(n AS DOUBLE)) - clc / n, 6) AS entropy,
+       (ROUND(LN(CAST(n AS DOUBLE)) - clc / n, 6) >= 1.0) AS keep
+FROM agg ORDER BY doc_id
+"""
+
+
+# =====================================================================
 # registry
 # =====================================================================
 def queries():
@@ -3339,6 +3367,7 @@ def queries():
         "q70_incremental_dedup": q70_incremental_dedup,
         "q71_bigram_lm_score": q71_bigram_lm_score,
         "q72_kmeans_invariants": q72_kmeans_invariants,
+        "q73_token_entropy": q73_token_entropy,
     }
 
 
@@ -3424,6 +3453,7 @@ def oracle_sql():
         "q70_incremental_dedup": Q70_SQL,
         "q71_bigram_lm_score": Q71_SQL,
         "q72_kmeans_invariants": Q72_SQL,
+        "q73_token_entropy": Q73_SQL,
     }
 
 

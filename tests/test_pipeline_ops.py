@@ -1469,6 +1469,29 @@ def test_lm_doc_score_exact_values(spark):
     assert abs(out[1]["lm_score"] - round(exp1, 6)) < 1e-9
 
 
+def test_token_entropy_exact_values(spark):
+    """Hand-checked entropies: uniform tokens hit ln(k); a constant
+    doc has entropy 0 (dropped by keep); empty docs emit no row."""
+    import math
+
+    from facs_spark.ops.textstats import token_entropy
+    df = spark.createDataFrame(
+        [(1, "a b c d"),            # uniform over 4 → ln(4)
+         (2, "x x x x x"),          # constant → 0
+         (3, "a a b"),              # 2/3,1/3 mix
+         (4, "")],
+        "doc_id long, text string")
+    out = {r["doc_id"]: r for r in
+           token_entropy(df, min_entropy=1.0).collect()}
+    assert abs(out[1]["entropy"] - round(math.log(4), 6)) < 1e-9
+    assert out[1]["keep"] is True
+    assert out[2]["entropy"] == 0.0 and out[2]["keep"] is False
+    exp3 = -(2 / 3 * math.log(2 / 3) + 1 / 3 * math.log(1 / 3))
+    assert abs(out[3]["entropy"] - round(exp3, 6)) < 1e-9
+    assert 4 not in out
+    assert out[1]["n_tokens"] == 4 and out[2]["n_tokens"] == 5
+
+
 def test_lm_doc_score_bigram_exact_values(spark):
     """Hand-checked bigram scores on a 2-doc corpus, plus the edge
     conventions: <2-token docs emit no row; repeated bigrams count
