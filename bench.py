@@ -215,6 +215,55 @@ def dedup_job(spark, n_pages: int) -> dict:
     }
 
 
+def chunk_job(spark, n_pages: int) -> dict:
+    """Scaling job #3: context-window preparation (chunk_text →
+    hash-shuffled pack_tokens, the q65/q66 ops as the
+    prepare_context_windows composition) over the same deterministic
+    synthetic pages table.  Covers the shapes the other two jobs
+    don't: a map-side Generate that multiplies rows in-task, and a
+    keyed window cumsum over the shard exchange.  The aggregate
+    forces full materialization of every window and bin."""
+    from pyspark.sql import functions as F
+
+    from facs_spark.ops.chunking import chunk_text, pack_tokens
+
+    load0 = round(os.getloadavg()[0], 1)  # see throughput_job
+    pages = (spark.read.parquet(_pages_parquet(spark, n_pages))
+             .select(F.xxhash64("url").alias("doc_id"), "text"))
+
+    def run():
+        chunks = chunk_text(pages, "doc_id", "text",
+                            width=64, stride=48)
+        windows = chunks.withColumn(
+            "window_id", F.xxhash64(F.col("doc_id"), F.col("chunk_id")))
+        packed = pack_tokens(windows, "window_id", "chunk_text",
+                             budget=8192, shards=256)
+        row = packed.agg(
+            F.count(F.lit(1)).alias("windows"),
+            F.sum("doc_tokens").alias("tokens"),
+            F.countDistinct("shard", "bin").alias("bins")).collect()[0]
+        return int(row["windows"]), int(row["tokens"]), int(row["bins"])
+
+    # warm-up slice, then steady state, best of 2 (stateless — no
+    # cache to clear)
+    chunk_text(pages.sample(0.02, seed=1), "doc_id", "text").count()
+    best, stats = None, None
+    for _ in range(2):
+        t0 = time.perf_counter()
+        stats = run()
+        dt = time.perf_counter() - t0
+        best = dt if best is None else min(best, dt)
+    return {
+        "pages": n_pages,
+        "windows": stats[0],
+        "tokens": stats[1],
+        "bins": stats[2],
+        "sec": round(best, 3),
+        "pages_per_sec": round(n_pages / best, 1),
+        "host_load_1m": load0,
+    }
+
+
 def run_queries(spark, trials: int) -> tuple[dict[str, float],
                                              dict[str, list[float]]]:
     """Per-query MEDIAN of ``trials`` runs + the raw per-trial times.
@@ -293,19 +342,23 @@ def main() -> None:
         print(summary())
         return
 
-    job_flag = ("--dedup-only" if "--dedup-only" in sys.argv
-                else "--throughput-only")
-    if "--throughput-only" in sys.argv or "--dedup-only" in sys.argv:
+    jobs = {"--throughput-only": throughput_job,
+            "--dedup-only": dedup_job, "--chunk-only": chunk_job}
+    job_flag = next((f for f in jobs if f in sys.argv),
+                    "--throughput-only")
+    if any(f in sys.argv for f in jobs):
         spark = get_spark("bench_tp", cpus=CPUS, shuffle_partitions=CPUS)
-        job = dedup_job if job_flag == "--dedup-only" else throughput_job
-        tp = job(spark, BENCH_PAGES)
+        tp = jobs[job_flag](spark, BENCH_PAGES)
         spark.stop()
         print(json.dumps({"cpus": CPUS, **tp}))
         return
 
-    if "--scaling" in sys.argv or "--scaling-dedup" in sys.argv:
-        sub_flag = ("--dedup-only" if "--scaling-dedup" in sys.argv
-                    else "--throughput-only")
+    scaling_subs = {"--scaling": "--throughput-only",
+                    "--scaling-dedup": "--dedup-only",
+                    "--scaling-chunk": "--chunk-only"}
+    if any(f in sys.argv for f in scaling_subs):
+        sub_flag = next(v for f, v in scaling_subs.items()
+                        if f in sys.argv)
         levels = [int(x) for x in
                   os.environ.get("SCALING_LEVELS", "8,32").split(",")]
         trials = int(os.environ.get("SCALING_TRIALS", "3"))
@@ -355,18 +408,17 @@ def main() -> None:
         lo, hi = min(levels), max(levels)
         eff = ((results[hi]["pages_per_sec"] / results[lo]["pages_per_sec"])
                / (hi / lo))
+        suffix = {"--dedup-only": "_dedup",
+                  "--chunk-only": "_chunk"}.get(sub_flag, "")
         payload = {
-            "metric": ("scaling_efficiency_dedup"
-                       if sub_flag == "--dedup-only"
-                       else "scaling_efficiency"),
+            "metric": f"scaling_efficiency{suffix}",
             "value": round(eff, 3),
             "unit": "ratio",
             "levels": {str(l): results[l] for l in levels},
             "pages": n_pages,
         }
         with open(os.path.join(
-                REPO, f"BENCH_scaling{'_dedup' if sub_flag == '--dedup-only' else ''}.json"),
-                "w") as fh:
+                REPO, f"BENCH_scaling{suffix}.json"), "w") as fh:
             json.dump(payload, fh, indent=1)
             fh.write("\n")
         print(json.dumps(payload))
