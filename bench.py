@@ -373,7 +373,11 @@ def main() -> None:
         # candidate/verify rewrites made the job fast enough that 2M
         # no longer amortizes the 5-job wave's fixed latencies), so
         # the dedup protocol also defaults to 4M
-        default_pages = "4000000"
+        # the chunk job drains 4M pages in ~6 s at 32 cores — still
+        # inside the fixed-wave-latency regime (measured eff 0.51 at
+        # 2M vs 0.949 at 8M) — so its protocol defaults larger
+        default_pages = ("8000000" if sub_flag == "--chunk-only"
+                         else "4000000")
         n_pages = int(os.environ.get("BENCH_PAGES", default_pages))
         results = {}
         # interleave trials across levels so shared-host noise hits
