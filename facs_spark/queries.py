@@ -3291,6 +3291,43 @@ FROM agg ORDER BY doc_id
 
 
 # =====================================================================
+# q74 — snapshot time-travel diff (io/snapshots.read_snaptable +
+# snapshots): the cross-commit churn query — read the q48 staging
+# table at its FIRST commit and at HEAD, anti-join for the added
+# rows.  Exercises time travel and snapshot isolation through the
+# oracle gate with exact numbers (not TRUE-gates): the first commit
+# is exactly doc_id ≤ max(doc_id)//2, which the oracle recomputes
+# from the documents table.
+# =====================================================================
+def q74_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .io.snapshots import read_snaptable, snapshots
+    root = _q48_stage(spark, sf_dir)
+    tgt = "snap:" + root
+    hist = snapshots(root)
+    t1, t2 = hist[0]["snapshot_id"], hist[-1]["snapshot_id"]
+    d1 = read_snaptable(spark, tgt, snapshot_id=t1).select("doc_id")
+    d2 = read_snaptable(spark, tgt, snapshot_id=t2).select("doc_id")
+    added = d2.join(d1, "doc_id", "left_anti")
+    n1 = d1.count()
+    return (added.agg(F.count(F.lit(1)).alias("n_added"),
+                      F.min("doc_id").alias("added_min"),
+                      F.max("doc_id").alias("added_max"))
+            .withColumn("n_first_commit", F.lit(n1).cast("long"))
+            .select("n_first_commit", "n_added",
+                    "added_min", "added_max"))
+
+
+Q74_SQL = """
+WITH m AS (SELECT MAX(doc_id) // 2 AS mid FROM documents)
+SELECT CAST((SELECT COUNT(*) FROM documents, m WHERE doc_id <= mid)
+            AS BIGINT) AS n_first_commit,
+       CAST(COUNT(*) AS BIGINT) AS n_added,
+       MIN(doc_id) AS added_min, MAX(doc_id) AS added_max
+FROM documents, m WHERE doc_id > mid
+"""
+
+
+# =====================================================================
 # registry
 # =====================================================================
 def queries():
@@ -3368,6 +3405,7 @@ def queries():
         "q71_bigram_lm_score": q71_bigram_lm_score,
         "q72_kmeans_invariants": q72_kmeans_invariants,
         "q73_token_entropy": q73_token_entropy,
+        "q74_snapshot_diff": q74_snapshot_diff,
     }
 
 
@@ -3454,6 +3492,7 @@ def oracle_sql():
         "q71_bigram_lm_score": Q71_SQL,
         "q72_kmeans_invariants": Q72_SQL,
         "q73_token_entropy": Q73_SQL,
+        "q74_snapshot_diff": Q74_SQL,
     }
 
 
