@@ -103,26 +103,37 @@ def _file_stats(path: str) -> dict:
     md = pq.ParquetFile(path).metadata
     mins: dict = {}
     maxs: dict = {}
+    # A column's file-level range is sound only if EVERY row group
+    # contributed usable min/max: a partial range understates the file
+    # and would let plan_files skip a file that holds matching rows.
+    # Any row group with absent/undecodable stats poisons the column
+    # for this file (absent stats already mean "cannot prune" — safe).
+    unusable: set = set()
     for rg in range(md.num_row_groups):
         for ci in range(md.num_columns):
             col = md.row_group(rg).column(ci)
+            name = col.path_in_schema
+            if name in unusable:
+                continue
             st = col.statistics
             if st is None or not st.has_min_max:
+                unusable.add(name)
                 continue
-            name = col.path_in_schema
             lo, hi = st.min, st.max
             if isinstance(lo, bytes):
                 try:
                     lo, hi = lo.decode(), hi.decode()
                 except UnicodeDecodeError:
+                    unusable.add(name)
                     continue
             if not isinstance(lo, (int, float, str)):
-                continue  # timestamps/decimals: skip, never unsafe
+                unusable.add(name)  # timestamps/decimals: never unsafe
+                continue
             if name not in mins or lo < mins[name]:
                 mins[name] = lo
             if name not in maxs or hi > maxs[name]:
                 maxs[name] = hi
-    return {c: [mins[c], maxs[c]] for c in mins}
+    return {c: [mins[c], maxs[c]] for c in mins if c not in unusable}
 
 
 def plan_files(path: str, snapshot_id: int | None = None,

@@ -73,7 +73,18 @@ def _parse_header(buf: bytes, pos: int):
     if hdr_end < 0:
         return None
     headers: dict[str, str] = {}
-    for line in buf[pos:hdr_end].split(b"\r\n")[1:]:
+    # WARC 1.1 allows LWS continuation lines (value folded over
+    # multiple lines, each starting with SP/TAB) — fold them into the
+    # previous header's value before the name:value split
+    lines: list[bytes] = []
+    for raw in buf[pos:hdr_end].split(b"\r\n")[1:]:
+        if raw[:1] in (b" ", b"\t"):
+            if not lines:
+                return None  # continuation with nothing to continue
+            lines[-1] += b" " + raw.strip()
+            continue
+        lines.append(raw)
+    for line in lines:
         k, sep, v = line.partition(b":")
         if not sep:
             return None

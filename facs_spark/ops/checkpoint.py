@@ -119,8 +119,24 @@ def incremental_snaptable_sketch(spark: SparkSession, table: str,
     chain = []
     sid = head
     while sid is not None:
-        m = _read_manifest(root, sid)
+        try:
+            m = _read_manifest(root, sid)
+        except ValueError as exc:
+            raise ValueError(
+                f"snaptable {table!r} snapshot {sid} was expired "
+                f"(expire_snapshots) and the checkpoint at "
+                f"{ckpt_path!r} does not already cover it — expired "
+                "history can only be resumed from a checkpoint that "
+                "ingested it before expiry; otherwise rebuild the "
+                "sketch from the current snapshot") from exc
         chain.append(m)
+        if _has_split(spark, ckpt_path, f"snap-{sid:08d}"):
+            # this commit is already checkpointed; append manifests
+            # carry the FULL cumulative file list, so seeding
+            # prev_files from it covers every ancestor — stop the
+            # walk here so expire_snapshots on older history and
+            # incremental maintenance stay compatible
+            break
         sid = m["parent_id"]
     chain.reverse()
     if any(m["operation"] == "overwrite" for m in chain[1:]):

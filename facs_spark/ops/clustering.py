@@ -95,11 +95,15 @@ def kmeans_fit(df: DataFrame, id_col: str, vec_col: str, k: int = 8,
                     continue
                 mat = np.array(pdf[vec_col].tolist(), dtype=np.float64)
                 _, d2 = _assign_batch(mat, c)
-                i = int(d2.argmax())
-                cand = (float(d2[i]), int(pdf[id_col].iloc[i]),
-                        mat[i])
                 # ties to the SMALLEST id so any partitioning picks
-                # the same next centroid
+                # the same next centroid — both across batches (the
+                # cross-partition max below) and WITHIN the batch:
+                # argmax alone picks first-row-position among equals,
+                # which depends on partition layout
+                tie = np.flatnonzero(d2 == d2.max())
+                ids = pdf[id_col].to_numpy()[tie]
+                j = int(tie[int(ids.argmin())])
+                cand = (float(d2[j]), int(ids.min()), mat[j])
                 if (best is None or cand[0] > best[0]
                         or (cand[0] == best[0] and cand[1] < best[1])):
                     best = cand

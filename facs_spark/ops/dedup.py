@@ -389,7 +389,11 @@ def exact_jaccard_pairs(df: DataFrame, pairs: DataFrame, id_col: str,
 
     Pairs with either id missing from ``df`` are dropped (the old
     inner-join behavior); two empty shingle sets score 1.0, one empty
-    set scores 0.0 (ditto).
+    set scores 0.0 (ditto).  Duplicate rows in ``pairs`` collapse to
+    ONE output row (the gather step groupBys on ``(id_a, id_b)``) —
+    the result is a set of scored pairs, not a row-per-input-row map;
+    callers needing multiplicity should carry their own pair-row key
+    and re-join on it.
 
     Scale contract: the broadcast in step 1 is 8 B per distinct
     candidate id — fine up to ~10⁸ pairs; past that, replace it with a

@@ -301,6 +301,27 @@ def test_snaptable_stats_pruning(tmp_path):
     assert len(kept4) == 8 and skipped4 == 0
 
 
+def test_file_stats_partial_row_groups(tmp_path):
+    """A column whose min/max are usable in SOME row groups but not
+    others must contribute NO file-level stats: a partial range
+    understates the file and would let plan_files skip a file that
+    actually holds matching rows (silent wrong results).  Absent
+    stats always mean "cannot prune" — the safe direction."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    from facs_spark.io.snapshots import _file_stats
+    tbl = pa.table({
+        # row group 2's byte min/max are not valid UTF-8 → unusable
+        "b": [b"aaa", b"\xff\xfe\xfd"],
+        "i": [1, 2],
+    })
+    p = str(tmp_path / "f.parquet")
+    pq.write_table(tbl, p, row_group_size=1)
+    stats = _file_stats(p)
+    assert "b" not in stats, "partial per-row-group stats must drop the column"
+    assert stats["i"] == [1, 2]
+
+
 def test_incremental_snaptable_sketch(tmp_path):
     """Commit-by-commit sketch maintenance: the first call ingests
     every commit, a re-run ingests nothing, a new append ingests only
@@ -340,3 +361,38 @@ def test_incremental_snaptable_sketch(tmp_path):
     with pytest.raises(ValueError, match="append-only"):
         incremental_snaptable_sketch(spark, tgt, spec,
                                      str(tmp_path / "ckpt2"))
+
+
+def test_incremental_sketch_after_expiry(tmp_path):
+    """expire_snapshots and incremental maintenance must compose: once
+    the checkpoint covers a commit, the chain walk stops there, so
+    expiring older manifests cannot break later maintenance calls —
+    and a checkpoint that does NOT cover the expired history fails
+    with a diagnostic naming the cause, not a bare missing-snapshot
+    error."""
+    from facs_spark.io.snapshots import expire_snapshots, write_snaptable
+    from facs_spark.ops.checkpoint import incremental_snaptable_sketch
+    from facs_spark.ops.sketch_agg import SketchSpec, build_sketch
+    from facs_spark.session import get_spark
+    spark = get_spark("snap_expire_incr_test", cpus=2,
+                      shuffle_partitions=2)
+    tgt = "snap:" + str(tmp_path / "t")
+    ckpt = str(tmp_path / "ckpt")
+    spec = SketchSpec.make("hll", "id", p=12)
+    write_snaptable(spark.range(0, 2000), tgt)
+    write_snaptable(spark.range(2000, 3000), tgt, mode="append")
+    _, rows, _ = incremental_snaptable_sketch(spark, tgt, spec, ckpt)
+    assert rows == 3000
+    # expire everything but HEAD, then append: maintenance still runs
+    expire_snapshots(tgt, keep_last=1)
+    write_snaptable(spark.range(3000, 4000), tgt, mode="append")
+    sk, rows2, processed = incremental_snaptable_sketch(
+        spark, tgt, spec, ckpt)
+    assert processed == ["snap-00000003"] and rows2 == 4000
+    cold, _ = build_sketch(spark.range(0, 4000), spec)
+    assert abs(sk.estimate() - cold.estimate()) < 1e-9
+    # a FRESH checkpoint cannot cover the expired commits → loud,
+    # actionable diagnostic
+    with pytest.raises(ValueError, match="expired"):
+        incremental_snaptable_sketch(spark, tgt, spec,
+                                     str(tmp_path / "ckpt_fresh"))

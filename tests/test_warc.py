@@ -93,6 +93,29 @@ def test_warc_malformed_is_loud(spark, tmp_path):
         read_warc(spark, str(trunc)).collect()
 
 
+def test_warc_folded_header_lines(spark, tmp_path):
+    """WARC 1.1 permits LWS continuation lines (a header value folded
+    across lines, continuations starting with SP/TAB).  Spec-legal
+    crawl input must parse, with the folded value rejoined — not fail
+    the whole task."""
+    payload = b"hello"
+    rec = (b"WARC/1.1\r\n"
+           b"WARC-Type: response\r\n"
+           b"WARC-Target-URI: http://example.com/a\r\n"
+           b"WARC-Date: 2024-01-01T00:00:00Z\r\n"
+           b"Content-Type: text/html;\r\n"
+           b"\tcharset=utf-8\r\n"
+           b"Content-Length: %d\r\n\r\n" % len(payload)
+           + payload + b"\r\n\r\n")
+    p = tmp_path / "folded.warc"
+    p.write_bytes(rec)
+    rows = read_warc(spark, str(p)).collect()
+    assert len(rows) == 1
+    assert rows[0]["url"] == "http://example.com/a"
+    assert rows[0]["content_type"] == "text/html; charset=utf-8"
+    assert bytes(rows[0]["payload"]) == payload
+
+
 def test_warc_empty_file_and_missing(spark, tmp_path):
     empty = tmp_path / "empty.warc"
     empty.write_bytes(b"")
