@@ -3328,6 +3328,81 @@ FROM documents, m WHERE doc_id > mid
 
 
 # =====================================================================
+# q75 — k-means VALUE-level oracle (ops/clustering, init="parallel"):
+# q72 gates Lloyd's provable invariants; this query additionally
+# compares real numbers.  The fit (k-means‖ init — Bahmani 2012,
+# O(log k) passes — then Lloyd) materializes its final centroids to
+# a pid-keyed parquet, and the DuckDB oracle REPLAYS nearest-centroid
+# assignment from those exact doubles (unnest + argmin over summed
+# squared dims), so the per-cluster assignment counts must agree
+# value-for-value.  Ties break to the lowest cluster id on both
+# engines (numpy argmin = first index; SQL orders by d2, cluster).
+# =====================================================================
+_Q75_CLEANUP_REGISTERED = False
+
+
+def _q75_cents_path() -> str:
+    """Materialized-centroid handoff path shared by the q75 Spark
+    query and its DuckDB oracle (same process ⇒ same tempdir and same
+    pid) — the q11 fingerprint-handoff pattern."""
+    import atexit
+    import os
+    import tempfile
+
+    global _Q75_CLEANUP_REGISTERED
+    path = os.path.join(tempfile.gettempdir(),
+                        f"facs_spark_q75_cents_{os.getpid()}.parquet")
+    if not _Q75_CLEANUP_REGISTERED:
+        _Q75_CLEANUP_REGISTERED = True
+
+        def _rm(p=path):
+            import contextlib
+            with contextlib.suppress(OSError):
+                os.remove(p)
+        atexit.register(_rm)
+    return path
+
+
+def q75_kmeans_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from .ops.clustering import kmeans_assign, kmeans_fit
+    emb = _read(spark, sf_dir, "embeddings")
+    cents, _ = kmeans_fit(emb, "vec_id", "embedding", k=8, n_iters=4,
+                          seed=3, init="parallel")
+    k, dim = cents.shape
+    pq.write_table(pa.table({
+        "cluster": [c for c in range(k) for _ in range(dim)],
+        "d": [d + 1 for _ in range(k) for d in range(dim)],
+        "v": [float(cents[c, d]) for c in range(k)
+              for d in range(dim)]}), _q75_cents_path())
+    return (kmeans_assign(emb, cents, "embedding")
+            .groupBy("cluster")
+            .agg(F.count(F.lit(1)).cast("long").alias("n_assigned"))
+            .orderBy("cluster"))
+
+
+def _q75_sql() -> str:
+    return f"""
+WITH c AS (SELECT cluster, d, v
+           FROM read_parquet('{_q75_cents_path()}')),
+e AS (SELECT vec_id, generate_subscripts(embedding, 1) AS d,
+             CAST(unnest(embedding) AS DOUBLE) AS ev
+      FROM embeddings),
+dist AS (SELECT e.vec_id, c.cluster, SUM((e.ev - c.v) ^ 2) AS d2
+         FROM e JOIN c ON e.d = c.d
+         GROUP BY e.vec_id, c.cluster),
+best AS (SELECT vec_id, cluster,
+                ROW_NUMBER() OVER (PARTITION BY vec_id
+                                   ORDER BY d2, cluster) AS rn
+         FROM dist)
+SELECT cluster, CAST(COUNT(*) AS BIGINT) AS n_assigned
+FROM best WHERE rn = 1 GROUP BY cluster ORDER BY cluster
+"""
+
+
+# =====================================================================
 # registry
 # =====================================================================
 def queries():
@@ -3406,6 +3481,7 @@ def queries():
         "q72_kmeans_invariants": q72_kmeans_invariants,
         "q73_token_entropy": q73_token_entropy,
         "q74_snapshot_diff": q74_snapshot_diff,
+        "q75_kmeans_counts": q75_kmeans_counts,
     }
 
 
@@ -3493,6 +3569,10 @@ def oracle_sql():
         "q72_kmeans_invariants": Q72_SQL,
         "q73_token_entropy": Q73_SQL,
         "q74_snapshot_diff": Q74_SQL,
+        # q75: the query materializes its fitted centroids to parquet
+        # at call time; the oracle replays nearest-centroid assignment
+        # from those exact doubles (q11's handoff pattern)
+        "q75_kmeans_counts": _q75_sql(),
     }
 
 
