@@ -79,9 +79,27 @@ def chunk_text(df: DataFrame, id_col: str = "doc_id",
                     .alias("chunk_text")))
 
 
+def _auto_shards(df: DataFrame) -> int:
+    """Default shard count for packing, derived from plan-stat bytes
+    (the ``ensure_parallelism`` sizing): floor at the cluster's
+    defaultParallelism so every core gets a shard even on small
+    inputs, grow with estimated uncompressed bytes so each shard's
+    sequential window scan stays bounded at any input size.  A
+    hardcoded default would cap packing parallelism regardless of
+    cluster size — each shard is ONE ordered scan."""
+    from ..session import (_COMPRESSION_FACTOR, _KERNEL_SPLIT_BYTES,
+                           _plan_size_bytes)
+    cores = df.sparkSession.sparkContext.defaultParallelism
+    size = _plan_size_bytes(df)
+    if size is None:
+        return cores
+    return max(cores, -(-int(size * _COMPRESSION_FACTOR)
+                        // _KERNEL_SPLIT_BYTES))
+
+
 def pack_tokens(df: DataFrame, id_col: str = "doc_id",
                 text_col: str = "text", budget: int = 2048,
-                shards: int = 4) -> DataFrame:
+                shards: int | None = None) -> DataFrame:
     """Concat-and-cut sequence packing: within each shard, documents
     are laid out in ``id_col`` order as one contiguous token stream
     and cut every ``budget`` tokens; a document belongs to the bin
@@ -92,8 +110,15 @@ def pack_tokens(df: DataFrame, id_col: str = "doc_id",
     One shuffle on the shard key; the assignment itself is an
     exclusive prefix-sum, so it distributes (a sequential first-fit
     would not).
+
+    ``shards`` defaults to a plan-stat-derived count (core floor,
+    byte growth — ``_auto_shards``); pass it explicitly when the
+    shard/bin layout must be replayable across engines or cluster
+    sizes (the oracle-checked queries do).
     """
     from pyspark.sql import Window
+    if shards is None:
+        shards = _auto_shards(df)
     if budget <= 0 or shards <= 0:
         raise ValueError("budget and shards must be positive")
     toks = F.size(_tokens(text_col))

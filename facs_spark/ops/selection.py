@@ -15,10 +15,13 @@ No counterpart in the reference (facs gates on Bloom membership,
 
 Scale notes:
 * The bucket table is bounded (16**prefix rows ≤ 4096 at the
-  default) — it broadcasts; fitting it is one partial-aggregated
-  groupBy over exploded tokens.
-* Doc weights are one more groupBy over the same exploded rows with
-  the broadcast log-ratio joined in — two shuffles total, both on
+  default) — it collects as a bounded driver reduce and broadcasts
+  back as literals.
+* The corpus tokenization explode runs ONCE: it feeds a single
+  persisted (id, is_target, bucket)-count table that serves both the
+  model fit and the scoring pass; scoring is one more groupBy over
+  count rows (distinct buckets per doc, not occurrences) with the
+  broadcast log-ratio joined in — two shuffles total, both on
   bounded-width keys, never on raw text.
 * Buckets come from md5-prefix strings (the repo-wide convention,
   see ops/sampling.py): any engine — including the DuckDB oracle —
@@ -49,6 +52,9 @@ def dsir_weights(df: DataFrame, target: Column, id_col: str = "doc_id",
     Returns (id, n_tokens, weight) where weight =
     sum over token occurrences of ln(p_target/p_source).
     """
+    import math
+    import weakref
+
     n_buckets = 16 ** prefix
     toks = (df.select(F.col(id_col), target.alias("_is_target"),
                       F.explode(F.split(F.trim(F.col(text_col)), " +"))
@@ -56,31 +62,50 @@ def dsir_weights(df: DataFrame, target: Column, id_col: str = "doc_id",
             .where(F.col("tok") != "")
             .withColumn("bucket", _bucket(F.col("tok"), prefix)))
 
-    stats = (toks.groupBy("bucket")
-             .agg(F.sum(F.when(F.col("_is_target"), 1).otherwise(0))
-                  .alias("ct"),
-                  F.sum(F.when(F.col("_is_target"), 0).otherwise(1))
-                  .alias("cs")))
-    # corpus totals attach via a global window over the ≤4096-row
-    # stats table (one tiny single-partition exchange) — NOT a 1-row
-    # crossJoin, which plans as BroadcastNestedLoopJoin and trips the
-    # repo-wide no-nested-loop plan invariant (PLANS.md)
-    from pyspark.sql import Window
-    w_all = Window.partitionBy(F.lit(1))
-    ratio = (stats
-             .withColumn("nt", F.sum("ct").over(w_all))
-             .withColumn("ns", F.sum("cs").over(w_all))
-             .select("bucket",
-                     (F.log((F.col("ct") + alpha)
-                            / (F.col("nt") + alpha * n_buckets))
-                      - F.log((F.col("cs") + alpha)
-                              / (F.col("ns") + alpha * n_buckets)))
-                     .alias("log_ratio")))
+    # ONE tokenization pass: the explode feeds a single
+    # (id, is_target, bucket)-count aggregation, which is persisted
+    # and serves BOTH the model fit and the scoring pass (the old
+    # shape ran the corpus explode twice as separate lineage — at
+    # 100 TB the explode is the dominant cost).  The per-doc-bucket
+    # table also carries counts instead of occurrences, so the
+    # scoring shuffle shrinks to distinct-bucket rows per doc.
+    per_doc = (toks.groupBy(id_col, "_is_target", "bucket")
+               .agg(F.count(F.lit(1)).cast("long").alias("c"))
+               .persist())
 
-    return (toks.join(F.broadcast(ratio), "bucket")
-            .groupBy(id_col)
-            .agg(F.count(F.lit(1)).cast("long").alias("n_tokens"),
-                 F.sum("log_ratio").alias("weight")))
+    # model fit: a bounded driver reduce (≤ 16**prefix = 4096 rows,
+    # like the engine's other ≤4096-row model collects) — this is
+    # the call's single execution of the tokenization pass, and it
+    # leaves per_doc cached for the scoring plan
+    stats = (per_doc.groupBy("bucket")
+             .agg(F.sum(F.when(F.col("_is_target"), F.col("c"))
+                        .otherwise(0)).alias("ct"),
+                  F.sum(F.when(F.col("_is_target"), 0)
+                        .otherwise(F.col("c"))).alias("cs"))
+             .collect())
+    nt = sum(r["ct"] for r in stats)
+    ns = sum(r["cs"] for r in stats)
+    spark = df.sparkSession
+    model = spark.createDataFrame(
+        [(r["bucket"],
+          math.log((r["ct"] + alpha) / (nt + alpha * n_buckets))
+          - math.log((r["cs"] + alpha) / (ns + alpha * n_buckets)))
+         for r in stats],
+        "bucket string, log_ratio double")
+
+    out = (per_doc.join(F.broadcast(model), "bucket")
+           .groupBy(id_col)
+           .agg(F.sum("c").cast("long").alias("n_tokens"),
+                F.sum(F.col("c") * F.col("log_ratio")).alias("weight")))
+
+    # release the cache when the result becomes unreachable — an
+    # action after that point recomputes (correct, just uncached)
+    def _release(pd_ref=per_doc):
+        import contextlib
+        with contextlib.suppress(Exception):
+            pd_ref.unpersist(blocking=False)
+    weakref.finalize(out, _release)
+    return out
 
 
 def dsir_select(df: DataFrame, target: Column, k: int,

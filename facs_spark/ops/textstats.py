@@ -390,11 +390,14 @@ def lm_doc_score_bigram(df: DataFrame, id_col: str = "doc_id",
 
     Scale shape: pair extraction is pure JVM (slice + arrays_zip +
     one explode — no lambda HOF); training is two map-side-combined
-    groupBys (pair table, unigram table); scoring joins the pairs
-    back to both tables — the pair table can exceed broadcast at
-    corpus scale, where AQE plans a sort-merge join on the short
-    token-pair keys (never full text).  V collects as one bounded
-    1-row agg, like the unigram form.
+    groupBys (pair table, unigram table), and the unigram count is
+    folded into the bigram table at TRAINING time (a table-sized
+    join on w1), so the pair stream joins the model exactly ONCE —
+    the pair stream is the corpus-scale object, the model tables are
+    not.  The model can exceed broadcast at corpus scale, where AQE
+    plans a sort-merge join on the short token-pair keys (never full
+    text).  V collects as one bounded 1-row agg, like the unigram
+    form.
     """
     t = F.trim(F.col(text_col))
     arr = F.when(F.length(t) == 0,
@@ -417,10 +420,14 @@ def lm_doc_score_bigram(df: DataFrame, id_col: str = "doc_id",
     vocab = uni.count()
     big = (pairs.groupBy("w1", "w2")
            .agg(F.count(F.lit(1)).alias("cb")))
-    logp = F.log((F.col("cb") + F.lit(alpha))
-                 / (F.col("cu") + F.lit(alpha) * F.lit(vocab)))
-    scored = (pairs.join(big, ["w1", "w2"]).join(uni, "w1")
-              .withColumn("logp", logp))
+    # fold C1(w1) into the bigram MODEL (model-sized join), not the
+    # pair stream: one pair-stream exchange instead of two
+    model = (big.join(uni, "w1")
+             .select("w1", "w2",
+                     F.log((F.col("cb") + F.lit(alpha))
+                           / (F.col("cu") + F.lit(alpha)
+                              * F.lit(vocab))).alias("logp")))
+    scored = pairs.join(model, ["w1", "w2"])
     return (scored.groupBy(id_col)
             .agg(F.count(F.lit(1)).alias("n_bigrams"),
                  F.round(F.avg("logp"), 6).alias("lm2_score")))

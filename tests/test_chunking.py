@@ -207,6 +207,33 @@ def test_chunk_text_fuzz_vs_reference(spark):
         assert got == expect, f"shape ({width},{stride})"
 
 
+def test_pack_tokens_auto_shards_scale_with_input(spark, tmp_path):
+    """Default shards derive from plan-stat bytes: a small input gets
+    the core-count floor (every core busy, no over-sharding), a big
+    input gets MORE shards than cores — the hardcoded default 4 that
+    capped packing parallelism regardless of input size is gone."""
+    from pyspark.sql import functions as F
+
+    from facs_spark.ops.chunking import _auto_shards
+    cores = spark.sparkContext.defaultParallelism
+    small_p = str(tmp_path / "small")
+    big_p = str(tmp_path / "big")
+    mk = lambda n: spark.range(n).select(  # noqa: E731
+        F.col("id").alias("doc_id"),
+        F.concat(*[F.sha2(F.concat(F.col("id").cast("string"),
+                                   F.lit(f"salt{i}")), 256)
+                   for i in range(4)]).alias("text"))
+    mk(100).write.mode("overwrite").parquet(small_p)
+    mk(60000).write.mode("overwrite").parquet(big_p)
+    small = spark.read.parquet(small_p)
+    big = spark.read.parquet(big_p)
+    assert _auto_shards(small) == cores
+    assert _auto_shards(big) > cores
+    # the auto default actually drives the op (and stays positive)
+    out = pack_tokens(small, budget=50)
+    assert out.select(F.max("shard")).first()[0] < cores
+
+
 def test_pack_tokens_fuzz_vs_sequential(spark):
     """Random doc sizes incl. zero-token docs and docs larger than the
     budget, several shard counts — bin assignment always equals the

@@ -373,13 +373,43 @@ def test_pack_tokens_single_shuffle(spark):
 
 def test_dsir_weights_broadcasts_bucket_model(spark):
     """The DSIR log-ratio table (≤4096 buckets) must broadcast back
-    onto the token stream — the doc side never sort-merge joins."""
+    onto the token stream — the doc side never sort-merge joins.
+    The corpus tokenization explode must appear ONCE in the scoring
+    plan (the model fit consumed the same persisted count table at
+    call time; the old shape exploded the corpus twice)."""
     from pyspark.sql import functions as F
     from facs_spark.ops.selection import dsir_weights
     docs = spark.read.parquet(f"{SF}/documents.parquet")
     plan = _formatted(dsir_weights(docs, target=F.col("lang") == "en"))
     assert "BroadcastHashJoin" in plan, plan
     assert "SortMergeJoin" not in plan, plan
-    # the corpus-totals attach must be the global-window form, never
-    # a 1-row crossJoin (which plans as a nested loop)
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    # the scoring side reads the PERSISTED (id, is_target, bucket)
+    # count table — any Generate in the text is inside the
+    # InMemoryRelation's build recipe (runs once at cache
+    # population), not a second corpus explode
+    assert "InMemoryTableScan" in plan, plan
+
+
+def test_bigram_lm_pair_stream_joins_once(spark):
+    """lm_doc_score_bigram folds the unigram count into the bigram
+    MODEL at training time, so the corpus-scale pair stream (the
+    exploded Generate branch feeding the final per-doc agg) joins
+    exactly once — the old shape shuffled the pair stream through
+    two joins."""
+    from facs_spark.ops.textstats import lm_doc_score_bigram
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    plan = _formatted(lm_doc_score_bigram(docs))
+    # pair stream appears once as probe side of the scoring join and
+    # once inside the model fit = 2 Generates for pairs + 1 for the
+    # unigram explode; the old two-join shape had the same Generates
+    # but routed the SCORING pair stream through two exchanges.
+    # Pin the discriminating property: exactly one join touches a
+    # plan subtree containing the per-doc id column (the pair
+    # stream); equivalently, the total join count is 2 (model fit
+    # w1-join + one scoring join), not 3.
+    joins = sum(_n_nodes(plan, j) for j in
+                ("BroadcastHashJoin", "SortMergeJoin",
+                 "ShuffledHashJoin"))
+    assert joins == 2, plan
     assert "BroadcastNestedLoopJoin" not in plan, plan
