@@ -6,11 +6,13 @@ mapInPandas signatures, metadata extraction) is real and tested.
 Decode support comes in two tiers:
 
 * **real codecs, pure python** — WAV (RIFF/WAVE, PCM16 mono:
-  ``decode_wav``/``encode_wav``) and BMP (Windows BITMAPINFOHEADER,
-  24-bit uncompressed: ``decode_bmp``/``encode_bmp``).  These parse
-  actual container bytes end-to-end; ``decode_audio``/``decode_image``
+  ``decode_wav``/``encode_wav``), BMP (Windows BITMAPINFOHEADER,
+  24-bit uncompressed: ``decode_bmp``/``encode_bmp``), and PNG
+  (ISO/IEC 15948: 8-bit RGB/RGBA, all five filter types, zlib via
+  the stdlib: ``decode_png``/``encode_png``).  These parse actual
+  container bytes end-to-end; ``decode_audio``/``decode_image``
   dispatch to them on magic.
-* **stubbed codecs** — compressed formats (JPEG/PNG/MP3/...) need
+* **stubbed codecs** — lossy formats (JPEG/MP3/...) need
   libjpeg/ffmpeg, which this container lacks; those payloads raise a
   clearly-marked ``NotImplementedError`` exactly where a PIL/soundfile
   call slots in.  The FIMG/FAUD deterministic fakes remain for
@@ -124,6 +126,140 @@ def decode_bmp(blob: bytes) -> np.ndarray:
     return (px[::-1] if flip else px).copy()
 
 
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+
+
+def encode_png(px: np.ndarray) -> bytes:
+    """PNG bytes for an (H, W, 3|4) uint8 RGB/RGBA array (ISO/IEC
+    15948: 8-bit truecolor, non-interlaced, stdlib zlib).
+
+    Rows cycle through all five filter types (row y uses filter
+    y mod 5), so a round-trip exercises every unfilter path — not
+    just the trivial None filter."""
+    import zlib
+    h, w, ch = px.shape
+    if ch not in (3, 4):
+        raise ValueError("encode_png needs (H, W, 3|4) uint8")
+    raw = bytearray()
+    prev = np.zeros((w, ch), np.int32)
+    for y in range(h):
+        cur = px[y].astype(np.int32)
+        left = np.vstack([np.zeros((1, ch), np.int32), cur[:-1]])
+        upleft = np.vstack([np.zeros((1, ch), np.int32), prev[:-1]])
+        f = y % 5
+        if f == 0:
+            filt = cur
+        elif f == 1:                       # Sub
+            filt = cur - left
+        elif f == 2:                       # Up
+            filt = cur - prev
+        elif f == 3:                       # Average
+            filt = cur - (left + prev) // 2
+        else:                              # Paeth
+            p = left + prev - upleft
+            pa, pb, pc = (np.abs(p - left), np.abs(p - prev),
+                          np.abs(p - upleft))
+            pred = np.where((pa <= pb) & (pa <= pc), left,
+                            np.where(pb <= pc, prev, upleft))
+            filt = cur - pred
+        raw.append(f)
+        raw.extend((filt & 255).astype(np.uint8).tobytes())
+        prev = cur
+
+    def chunk(typ: bytes, body: bytes) -> bytes:
+        return (_struct.pack(">I", len(body)) + typ + body
+                + _struct.pack(">I", zlib.crc32(typ + body)))
+
+    ihdr = _struct.pack(">IIBBBBB", w, h, 8, 2 if ch == 3 else 6,
+                        0, 0, 0)
+    return (_PNG_SIG + chunk(b"IHDR", ihdr)
+            + chunk(b"IDAT", zlib.compress(bytes(raw)))
+            + chunk(b"IEND", b""))
+
+
+def _png_chunks(blob: bytes):
+    """(type, body) pairs of a PNG byte stream (CRCs not verified —
+    corrupt streams fail at zlib/unfilter instead)."""
+    pos = len(_PNG_SIG)
+    while pos + 8 <= len(blob):
+        ln = int.from_bytes(blob[pos:pos + 4], "big")
+        typ = blob[pos + 4:pos + 8]
+        yield typ, blob[pos + 8:pos + 8 + ln]
+        if typ == b"IEND":
+            return
+        pos += 12 + ln
+
+
+def decode_png(blob: bytes) -> np.ndarray:
+    """Parse PNG bytes → (H, W, 3|4) uint8.  Supports 8-bit
+    truecolor (color type 2) and truecolor+alpha (6), non-interlaced,
+    with all five scanline filter types (None/Sub/Up/Average/Paeth —
+    the spec's complete filter set for these color types)."""
+    import zlib
+    if blob[:8] != _PNG_SIG:
+        raise ValueError("not a PNG payload")
+    ihdr = None
+    idat = bytearray()
+    for typ, body in _png_chunks(blob):
+        if typ == b"IHDR":
+            ihdr = _struct.unpack(">IIBBBBB", body)
+        elif typ == b"IDAT":
+            idat.extend(body)
+    if ihdr is None or not idat:
+        raise ValueError("PNG missing IHDR or IDAT")
+    w, h, depth, ctype, _comp, _filt, interlace = ihdr
+    if depth != 8 or ctype not in (2, 6) or interlace != 0:
+        raise NotImplementedError(
+            f"PNG depth={depth} color_type={ctype} "
+            f"interlace={interlace} needs a codec library; only 8-bit "
+            "RGB/RGBA non-interlaced decodes in pure python here")
+    ch = 3 if ctype == 2 else 4
+    stride = w * ch
+    raw = zlib.decompress(bytes(idat))
+    if len(raw) != h * (stride + 1):
+        raise ValueError("PNG pixel data truncated")
+    out = np.zeros((h, stride), dtype=np.uint8)
+    pos = 0
+    for y in range(h):
+        f = raw[pos]
+        row = np.frombuffer(raw, np.uint8, stride, pos + 1) \
+            .astype(np.int32)
+        pos += 1 + stride
+        prev = out[y - 1].astype(np.int32) if y else \
+            np.zeros(stride, np.int32)
+        if f == 0:                         # None
+            cur = row
+        elif f == 1:                       # Sub: mod-256 prefix sum
+            cur = np.cumsum(row.reshape(w, ch), axis=0).ravel() & 255
+        elif f == 2:                       # Up
+            cur = (row + prev) & 255
+        elif f in (3, 4):                  # Average / Paeth: left-
+            # dependent ⇒ sequential along x, but the ch channel
+            # lanes are independent — walk pixels, vectorize lanes
+            row2 = row.reshape(w, ch)
+            prev2 = prev.reshape(w, ch)
+            cur2 = np.zeros((w, ch), np.int32)
+            a = np.zeros(ch, np.int32)
+            c = np.zeros(ch, np.int32)
+            for x in range(w):
+                b = prev2[x]
+                if f == 3:
+                    pred = (a + b) // 2
+                else:
+                    p = a + b - c
+                    pa, pb, pc = (np.abs(p - a), np.abs(p - b),
+                                  np.abs(p - c))
+                    pred = np.where((pa <= pb) & (pa <= pc), a,
+                                    np.where(pb <= pc, b, c))
+                cur2[x] = (row2[x] + pred) & 255
+                a, c = cur2[x], b
+            cur = cur2.ravel()
+        else:
+            raise ValueError(f"bad PNG filter byte {f}")
+        out[y] = cur.astype(np.uint8)
+    return out.reshape(h, w, ch)
+
+
 def synth_samples(i: int) -> np.ndarray:
     """Deterministic int16 sample pattern for doc ``i`` — chosen to be
     replayable in plain SQL (the q47 oracle rebuilds it with
@@ -131,6 +267,23 @@ def synth_samples(i: int) -> np.ndarray:
     n = 256 + (i * 37) % 1024
     j = np.arange(n, dtype=np.int64)
     return ((i * 31 + j * 7) % 201 - 100).astype("<i2")
+
+
+def synth_png_pixels(i: int) -> np.ndarray:
+    """Deterministic pixel pattern for doc ``i`` — SQL-replayable
+    (the q76 oracle recomputes the channel sums with range() joins):
+    w = 8+(i*3)%24, h = 8+(i*7)%24, RGB for even i / RGBA for odd,
+    R=(y*11+i)%256, G=(x*17+2i)%256, B=(3y+5x+i)%251, A=(x*y+i)%256.
+    """
+    w = 8 + (i * 3) % 24
+    h = 8 + (i * 7) % 24
+    yy, xx = np.mgrid[0:h, 0:w]
+    planes = [(yy * 11 + i) % 256,
+              (xx * 17 + 2 * i) % 256,
+              (3 * yy + 5 * xx + i) % 251]
+    if i % 2 == 1:
+        planes.append((xx * yy + i) % 256)
+    return np.stack(planes, axis=-1).astype(np.uint8)
 
 
 def synth_media(df: DataFrame, id_col: str, kind: str = "image") -> DataFrame:
@@ -141,9 +294,12 @@ def synth_media(df: DataFrame, id_col: str, kind: str = "image") -> DataFrame:
     ``kind="wav"``: a REAL RIFF/WAVE PCM16 file per row (the
     ``synth_samples`` pattern — SQL-replayable for oracle checks).
     ``kind="bmp"``: a REAL 24-bit BMP per row (deterministic pixels).
+    ``kind="png"``: a REAL PNG per row — RGB for even ids, RGBA for
+    odd, rows cycling all five filter types; pixels follow the
+    SQL-replayable pattern in :func:`synth_png_pixels`.
     """
     ensure_shipped(df.sparkSession)
-    if kind not in ("image", "audio", "wav", "bmp"):
+    if kind not in ("image", "audio", "wav", "bmp", "png"):
         raise ValueError(f"unknown media kind {kind!r}")
 
     def kernel(iterator):
@@ -167,6 +323,8 @@ def synth_media(df: DataFrame, id_col: str, kind: str = "image") -> DataFrame:
                                  + wave.tobytes())
                 elif kind == "wav":
                     blobs.append(encode_wav(synth_samples(int(i)), 8000))
+                elif kind == "png":
+                    blobs.append(encode_png(synth_png_pixels(int(i))))
                 else:  # bmp
                     w = 8 + (int(i) * 5) % 24
                     h = 8 + (int(i) * 11) % 24
@@ -178,7 +336,12 @@ def synth_media(df: DataFrame, id_col: str, kind: str = "image") -> DataFrame:
                     blobs.append(encode_bmp(px))
             yield pd.DataFrame({id_col: ids, "media": blobs})
 
-    return ensure_parallelism(df.select(id_col)).mapInPandas(
+    # byte-based sizing undercounts generator kernels (8-byte ids
+    # expand to KB payloads + real codec work) — floor at core count
+    # so synth and every chained decode kernel run partition-parallel
+    cores = df.sparkSession.sparkContext.defaultParallelism
+    return ensure_parallelism(df.select(id_col),
+                              min_partitions=cores).mapInPandas(
         kernel, schema=f"{id_col} long, media binary")
 
 
@@ -219,6 +382,12 @@ def media_metadata(df: DataFrame, id_col: str,
                     metas["width"].append(int(w))
                     metas["height"].append(abs(int(h)))
                     metas["duration_ms"].append(0)
+                elif b[:8] == _PNG_SIG:
+                    w, h = _struct.unpack_from(">II", b, 16)  # IHDR
+                    metas["mime"].append("image/png")
+                    metas["width"].append(int(w))
+                    metas["height"].append(int(h))
+                    metas["duration_ms"].append(0)
                 else:
                     metas["mime"].append("application/octet-stream")
                     metas["width"].append(0)
@@ -238,20 +407,24 @@ def media_metadata(df: DataFrame, id_col: str,
 
 
 def decode_image(blob: bytes) -> np.ndarray:
-    """Dispatch on magic: BMP decodes for REAL (pure-python 24-bit
-    BI_RGB parser); FIMG is the deterministic plumbing fake;
-    compressed formats (JPEG/PNG/...) raise where a PIL/libjpeg call
-    would slot in.  Contract: returns an (H, W, 3) uint8 RGB array.
+    """Dispatch on magic: BMP and PNG decode for REAL (pure-python
+    parsers — 24-bit BI_RGB / 8-bit truecolor±alpha); FIMG is the
+    deterministic plumbing fake; lossy formats (JPEG/...) raise where
+    a PIL/libjpeg call would slot in.  Contract: returns an
+    (H, W, 3) uint8 RGB array (PNG alpha is dropped).
     """
     if blob[:2] == b"BM":
         return decode_bmp(blob)
+    if blob[:8] == _PNG_SIG:
+        px = decode_png(blob)
+        return np.ascontiguousarray(px[:, :, :3])
     if blob[:4] == b"FIMG":
         w, h = _struct.unpack_from("<HH", blob, 4)
         body = np.frombuffer(blob, np.uint8, offset=8)
         px = np.resize(body, w * h * 3).reshape(h, w, 3)
         return px
     raise NotImplementedError(
-        "compressed image decode (JPEG/PNG/...) requires PIL/libjpeg — "
+        "lossy image decode (JPEG/...) requires PIL/libjpeg — "
         "not present in this container; plug the codec in here")
 
 
@@ -334,6 +507,42 @@ def image_features(df: DataFrame, id_col: str,
 
     return df.select(id_col, media_col).mapInPandas(
         kernel, schema=f"{id_col} long, features array<double>")
+
+
+def image_channel_stats(df: DataFrame, id_col: str,
+                        media_col: str = "media") -> DataFrame:
+    """Decode each image payload (any ``decode_image`` format) and
+    emit exact per-channel value sums plus dimensions — the
+    decoded-bytes ground-truth surface: every pixel of every row
+    must survive the container round-trip for the sums to match an
+    independent replay (q76's oracle recomputes them from the synth
+    pixel formula in SQL).  Batched mapInPandas, no shuffle."""
+    ensure_shipped(df.sparkSession)
+
+    def kernel(iterator):
+        for batch in iterator:
+            out = {"id": [], "width": [], "height": [],
+                   "r_sum": [], "g_sum": [], "b_sum": []}
+            for i, blob in zip(batch[id_col], batch[media_col]):
+                img = decode_image(bytes(blob)).astype(np.int64)
+                h, w, _ = img.shape
+                s = img.sum(axis=(0, 1))
+                out["id"].append(i)
+                out["width"].append(w)
+                out["height"].append(h)
+                out["r_sum"].append(int(s[0]))
+                out["g_sum"].append(int(s[1]))
+                out["b_sum"].append(int(s[2]))
+            yield pd.DataFrame({id_col: out["id"],
+                                "width": out["width"],
+                                "height": out["height"],
+                                "r_sum": out["r_sum"],
+                                "g_sum": out["g_sum"],
+                                "b_sum": out["b_sum"]})
+
+    return df.select(id_col, media_col).mapInPandas(
+        kernel, schema=(f"{id_col} long, width int, height int, "
+                        "r_sum long, g_sum long, b_sum long"))
 
 
 def frame_sample_plan(df: DataFrame, id_col: str,

@@ -3403,6 +3403,41 @@ FROM best WHERE rn = 1 GROUP BY cluster ORDER BY cluster
 
 
 # =====================================================================
+# q76 — PNG decode ground truth (ops/multimodal.encode_png/
+# decode_png/image_channel_stats): each doc gets a REAL PNG payload
+# (8-bit RGB for even ids / RGBA for odd, scanlines cycling ALL five
+# filter types), the engine decodes the container bytes and sums
+# each channel, and the oracle recomputes the exact sums from the
+# synth pixel formula with range() joins — every pixel of every row
+# must survive zlib + unfiltering for the sums to match.  The q18
+# metadata pattern upgraded from header parsing to decoded bytes.
+# =====================================================================
+def q76_png_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .ops.multimodal import image_channel_stats, synth_media
+    docs = _read(spark, sf_dir, "documents").select("doc_id")
+    media = synth_media(docs, "doc_id", kind="png")
+    return (image_channel_stats(media, "doc_id")
+            .orderBy("doc_id"))
+
+
+Q76_SQL = """
+WITH dims AS (
+  SELECT doc_id, 8 + (doc_id * 3) % 24 AS w, 8 + (doc_id * 7) % 24 AS h
+  FROM documents),
+px AS (
+  SELECT d.doc_id, d.w, d.h, y.y, x.x
+  FROM dims d,
+       LATERAL (SELECT unnest(range(0, d.h)) AS y) y,
+       LATERAL (SELECT unnest(range(0, d.w)) AS x) x)
+SELECT doc_id, CAST(MAX(w) AS INT) AS width, CAST(MAX(h) AS INT) AS height,
+       CAST(SUM((y * 11 + doc_id) % 256) AS BIGINT) AS r_sum,
+       CAST(SUM((x * 17 + 2 * doc_id) % 256) AS BIGINT) AS g_sum,
+       CAST(SUM((3 * y + 5 * x + doc_id) % 251) AS BIGINT) AS b_sum
+FROM px GROUP BY doc_id ORDER BY doc_id
+"""
+
+
+# =====================================================================
 # registry
 # =====================================================================
 def queries():
@@ -3482,6 +3517,7 @@ def queries():
         "q73_token_entropy": q73_token_entropy,
         "q74_snapshot_diff": q74_snapshot_diff,
         "q75_kmeans_counts": q75_kmeans_counts,
+        "q76_png_decode": q76_png_decode,
     }
 
 
@@ -3573,6 +3609,7 @@ def oracle_sql():
         # at call time; the oracle replays nearest-centroid assignment
         # from those exact doubles (q11's handoff pattern)
         "q75_kmeans_counts": _q75_sql(),
+        "q76_png_decode": Q76_SQL,
     }
 
 

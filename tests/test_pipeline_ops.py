@@ -637,6 +637,45 @@ def test_bmp_codec_roundtrip():
         decode_bmp(bytes(bad))
 
 
+def test_png_codec_roundtrip():
+    """The pure-python PNG parser: RGB + RGBA round-trips at odd
+    dimensions, ALL five filter types exercised (the encoder cycles
+    them per row), Sub's mod-256 prefix-sum path, corrupt/exotic
+    inputs loud."""
+    import struct
+    import zlib
+
+    from facs_spark.ops.multimodal import (decode_image, decode_png,
+                                           encode_png, synth_png_pixels)
+    rng = np.random.default_rng(5)
+    for h, w, ch in [(8, 5, 3), (7, 3, 4), (1, 1, 3), (2, 33, 4),
+                     (11, 1, 3), (6, 6, 4)]:
+        px = rng.integers(0, 256, size=(h, w, ch), dtype=np.uint8)
+        assert np.array_equal(decode_png(encode_png(px)), px), (h, w, ch)
+    # synth pattern: RGBA for odd ids, alpha dropped by decode_image
+    px = synth_png_pixels(7)
+    assert px.shape[2] == 4
+    assert np.array_equal(decode_image(encode_png(px)), px[:, :, :3])
+    # 16-bit depth stays a loud stub (flip IHDR depth byte + fix len)
+    blob = bytearray(encode_png(synth_png_pixels(2)))
+    blob[24] = 16
+    with pytest.raises(NotImplementedError):
+        decode_png(bytes(blob))
+    # truncated pixel stream is loud, not silently short
+    good = encode_png(synth_png_pixels(2))
+    ihdr_end = 8 + 8 + 13 + 4
+    short = zlib.compress(b"\x00" * 3)
+    bad = (good[:ihdr_end]
+           + struct.pack(">I", len(short)) + b"IDAT" + short
+           + struct.pack(">I", zlib.crc32(b"IDAT" + short))
+           + struct.pack(">I", 0) + b"IEND"
+           + struct.pack(">I", zlib.crc32(b"IEND")))
+    with pytest.raises(ValueError, match="truncated"):
+        decode_png(bad)
+    with pytest.raises(ValueError, match="not a PNG"):
+        decode_png(b"nope")
+
+
 def test_real_media_through_spark_pipeline(spark, docs):
     """End-to-end over REAL container bytes: synth real WAV + BMP
     columns, metadata parses the actual headers, and the feature
