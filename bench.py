@@ -335,11 +335,90 @@ def summary(path: str = None) -> str:
             f"{q[slowest]} s | {d['pages_per_sec']} pages/s @ {d['cpus']} cores")
 
 
+def check_md() -> list[str]:
+    """Recompute every current-round BENCH.md headline number from the
+    persisted ``BENCH*.json`` records and report drift — the guard
+    that keeps the round-4 class of record bugs dead (a hand-typed
+    headline that the record does not support).  Each claim is the
+    canonical substring BENCH.md must contain; intentional edits
+    update the JSONs (rerun bench) FIRST, then the prose.  Returns a
+    list of problems (empty = BENCH.md agrees with the records);
+    wired as ``--check-md`` and run by ``tests/test_bench_md.py``.
+    """
+    with open(os.path.join(REPO, "BENCH.md")) as fh:
+        md = fh.read()
+    problems = []
+
+    def expect(substr: str, what: str, where: str) -> None:
+        if substr not in md:
+            problems.append(
+                f"{what}: BENCH.md lacks {substr!r} (from {where})")
+
+    # the prose pins against BENCH_headline.json — a verbatim copy of
+    # a bench run's BENCH.json made by ``--pin`` when the headline is
+    # written.  BENCH.json itself is rewritten by every bench run
+    # (including the driver's own per-round rerun), so checking the
+    # prose against it directly would flag ambient-noise drift, not
+    # record-integrity bugs.  The pin IS the record the prose quotes;
+    # anyone can diff it against a fresh run.
+    pin = os.path.join(REPO, "BENCH_headline.json")
+    bench_path = pin if os.path.exists(pin) \
+        else os.path.join(REPO, "BENCH.json")
+    if os.path.exists(bench_path):
+        with open(bench_path) as fh:
+            d = json.load(fh)
+        q = d["queries"]
+        total = round(sum(q.values()) + d["throughput"]["sec"], 1)
+        slowest = max(q, key=q.get)
+        src = os.path.basename(bench_path)
+        expect(f"{total} s", "suite total", src)
+        expect(f"{len(q)} queries", "query count", src)
+        expect(f"{round(d['pages_per_sec']):,} pages/s",
+               "in-suite throughput", src)
+        short = slowest.split("_")[0]
+        if (f"{short} {q[slowest]}" not in md
+                and f"{short} {round(q[slowest], 2)}" not in md):
+            problems.append(
+                f"slowest query: BENCH.md lacks "
+                f"'{short} {q[slowest]}' (or its 2-decimal rounding; "
+                f"from {src})")
+    for suffix, label in (("", "flagship"), ("_dedup", "dedup"),
+                          ("_chunk", "chunk")):
+        path = os.path.join(REPO, f"BENCH_scaling{suffix}.json")
+        if not os.path.exists(path):
+            continue
+        with open(path) as fh:
+            s = json.load(fh)
+        expect(f"efficiency {s['value']}",
+               f"{label} scaling efficiency", os.path.basename(path))
+        for lvl, r in s["levels"].items():
+            expect(f"{round(r['pages_per_sec']):,}",
+                   f"{label} {lvl}-core throughput",
+                   os.path.basename(path))
+    return problems
+
+
 def main() -> None:
     from facs_spark.session import get_spark
 
     if "--summary" in sys.argv:
         print(summary())
+        return
+
+    if "--check-md" in sys.argv:
+        problems = check_md()
+        for p in problems:
+            print("DRIFT:", p)
+        print(json.dumps({"metric": "bench_md_drift",
+                          "value": len(problems), "unit": "claims"}))
+        sys.exit(1 if problems else 0)
+
+    if "--pin" in sys.argv:
+        # snapshot the latest bench record as the one BENCH.md quotes
+        import shutil
+        shutil.copyfile(os.path.join(REPO, "BENCH.json"),
+                        os.path.join(REPO, "BENCH_headline.json"))
+        print(json.dumps({"pinned": "BENCH_headline.json"}))
         return
 
     jobs = {"--throughput-only": throughput_job,
