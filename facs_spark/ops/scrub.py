@@ -61,3 +61,62 @@ def scrub_pii(df: DataFrame, text_col: str = "text",
     if out_col not in df.columns:
         cols.append(cur.alias(out_col))
     return df.select(*cols, *counts)
+
+
+# control chars minus \t\n\r (which the whitespace collapse handles);
+# shared verbatim with the q77 oracle (same class in Java regex + RE2)
+CONTROL_CLASS = r"[\x00-\x08\x0B\x0C\x0E-\x1F\x7F]"
+_WS_CLASS = r"[ \t\r\n]+"
+
+
+def normalize_text(df: DataFrame, id_col: str = "doc_id",
+                   text_col: str = "text",
+                   form: str = "NFC") -> DataFrame:
+    """Unicode + whitespace hygiene — the canonicalization pass crawl
+    text gets before dedup/tokenization (C4/CCNet-style cleanup):
+
+    1. strip control characters (C0 minus tab/newline/CR, plus DEL) —
+       pure JVM ``regexp_replace``;
+    2. Unicode-normalize to ``form`` (NFC by default: combining
+       sequences compose, so ``e`` + U+0301 and precomposed ``é``
+       dedup/hash identically) — the ONE step Spark has no builtin
+       for, done in a vectorized pandas kernel (``Series.str
+       .normalize``, Arrow-batched, no per-row Python);
+    3. collapse runs of space/tab/CR/LF to one space and trim —
+       pure JVM again.
+
+    Returns (id, text_norm, n_chars_before, n_chars_after, changed).
+    Char counts are code points on both engines (Spark ``length`` ==
+    DuckDB ``length``), so the q77 oracle replays every value with
+    ``nfc_normalize`` + the same regex classes.  Scale: two codegen
+    maps around one Arrow map — no shuffle anywhere.
+    """
+    import pandas as pd
+
+    from ..session import ensure_parallelism, ensure_shipped
+    if form not in ("NFC", "NFD", "NFKC", "NFKD"):
+        raise ValueError(f"unknown normalization form {form!r}")
+    ensure_shipped(df.sparkSession)
+    base = (df.select(F.col(id_col),
+                      F.col(text_col).alias("_raw"),
+                      F.regexp_replace(F.col(text_col), CONTROL_CLASS,
+                                       "").alias("_t")))
+
+    def kernel(batches):
+        for pdf in batches:
+            out = pd.DataFrame({
+                id_col: pdf[id_col],
+                "_raw": pdf["_raw"],
+                "_t": pdf["_t"].astype("string").str.normalize(form)
+                .astype(object)})
+            yield out
+
+    schema = f"{id_col} long, _raw string, _t string"
+    normed = ensure_parallelism(base).mapInPandas(kernel, schema=schema)
+    text_norm = F.trim(F.regexp_replace(F.col("_t"), _WS_CLASS, " "))
+    return (normed.select(
+        F.col(id_col),
+        text_norm.alias("text_norm"),
+        F.length("_raw").cast("long").alias("n_chars_before"),
+        F.length(text_norm).cast("long").alias("n_chars_after"),
+        (F.col("_raw") != text_norm).alias("changed")))

@@ -522,3 +522,80 @@ def lm_doc_score_cms(df: DataFrame, id_col: str = "doc_id",
     src = ensure_parallelism(df.select(id_col, text_col))
     return src.mapInPandas(
         kernel, schema=f"{id_col} long, n_tokens long, lm_score double")
+
+
+# Unicode-block classes per script — shared verbatim with the q78
+# oracle (plain character-class ranges: identical meaning in Java
+# regex and RE2).  Coarse by design: block membership, not the full
+# Unicode Script property (fine for corpus routing; ICU-grade script
+# detection slots in the same shape).
+SCRIPT_CLASSES: tuple[tuple[str, str], ...] = (
+    ("arabic", "؀-ۿ"),
+    ("cjk", "一-鿿"),
+    ("cyrillic", "Ѐ-ӿ"),
+    ("greek", "Ͱ-Ͽ"),
+    ("latin", "A-Za-zÀ-ɏ"),
+)
+
+
+def script_profile(df: DataFrame, id_col: str = "doc_id",
+                   text_col: str = "text") -> DataFrame:
+    """Per-document writing-script profile: count characters in each
+    script's Unicode blocks and name the dominant script — the
+    routing signal multilingual curation pipelines use next to
+    ``lang_id`` (which reads trigram/stopword content; this reads the
+    raw codepoint distribution, so it also catches mixed-script spam
+    and mojibake).
+
+    Pure JVM ``regexp_count`` per script + one ``array_sort`` argmax
+    (ties break alphabetically); zero shuffles, zero Python — a
+    codegen map at any corpus size.  Returns (id, <script>_chars...,
+    dominant_script, script_chars).
+    """
+    counts = {name: F.regexp_count(F.col(text_col), F.lit(f"[{cls}]"))
+              .cast("long") for name, cls in SCRIPT_CLASSES}
+    # argmax by (count desc, name asc): sort structs of (-count, name)
+    # ascending and take the head — whole-stage codegen, no UDF
+    ranked = F.array_sort(F.array(*[
+        F.struct((-counts[n]).alias("neg"), F.lit(n).alias("name"))
+        for n, _ in SCRIPT_CLASSES]))
+    total = sum(list(counts.values())[1:], list(counts.values())[0])
+    return df.select(
+        F.col(id_col),
+        *[counts[n].alias(f"{n}_chars") for n, _ in SCRIPT_CLASSES],
+        F.element_at(ranked, 1)["name"].alias("dominant_script"),
+        total.alias("script_chars"))
+
+
+def hashed_linear_score(df: DataFrame, id_col: str = "doc_id",
+                        text_col: str = "text", prefix: int = 3,
+                        seed: int = 0) -> DataFrame:
+    """fastText-style linear quality classifier over hashed
+    bag-of-words features — the shape of every learned quality filter
+    (CCNet's fastText lang/quality models, GPT-3's WebText-vs-crawl
+    LR): score(d) = mean over tokens of w[bucket(token)], keep iff
+    σ(score) > 0.5 (⇔ score > 0).
+
+    The weight vector here is a deterministic hash stand-in
+    (w[b] = 2·u−1 with u the md5('<seed>:'||b) 13-hex fraction — the
+    repo-wide replayable-uniform convention) so the oracle can replay
+    every score exactly; a trained model drops in as a broadcast
+    ≤16**prefix-row weight table without changing the plan shape.
+
+    Scale: bucketing and weights are pure JVM md5/conv expressions on
+    the exploded token stream, one map-side-combined groupBy — no
+    Python, no model shuffle, nothing but (id, double) rows exchange.
+    """
+    toks = (df.select(F.col(id_col),
+                      F.explode(F.split(F.trim(F.col(text_col)), " +"))
+                      .alias("tok"))
+            .where(F.col("tok") != ""))
+    bucket = F.substring(F.md5(F.col("tok")), 1, prefix)
+    u = ((F.conv(F.substring(
+        F.md5(F.concat(F.lit(f"{seed}:"), bucket)), 1, 13), 16, 10)
+        .cast("double") + 0.5) / float(16 ** 13))
+    w = u * 2.0 - 1.0
+    return (toks.select(F.col(id_col), w.alias("_w"))
+            .groupBy(id_col)
+            .agg(F.count(F.lit(1)).cast("long").alias("n_tokens"),
+                 F.avg("_w").alias("score")))

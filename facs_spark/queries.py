@@ -3439,6 +3439,139 @@ FROM px GROUP BY doc_id ORDER BY doc_id
 
 
 # =====================================================================
+# q77 — unicode + whitespace normalization (ops/scrub.normalize_text):
+# the canonicalization pass crawl text gets before dedup/tokenization.
+# Both engines build the same adversarial input (combining sequences,
+# control chars, whitespace runs appended per doc_id residue), strip
+# controls, NFC-normalize (pandas Series.str.normalize vs DuckDB
+# nfc_normalize — both implement the Unicode standard), collapse
+# whitespace, trim — full normalized TEXT plus code-point counts
+# compared value-for-value.
+# =====================================================================
+def q77_normalize_text(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .ops.scrub import normalize_text
+    docs = _read(spark, sf_dir, "documents")
+    junk = (F.when(F.col("doc_id") % 3 == 1,
+                   F.lit("  é\x07"))
+            .when(F.col("doc_id") % 3 == 2,
+                  F.lit("\tẍo"))
+            .otherwise(F.lit("")))
+    inp = docs.select("doc_id",
+                      F.concat(F.col("text"), junk).alias("text"))
+    return normalize_text(inp, "doc_id", "text").orderBy("doc_id")
+
+
+Q77_SQL = r"""
+WITH inp AS (
+  SELECT doc_id,
+         text || CASE CAST(doc_id % 3 AS INT)
+             WHEN 1 THEN '  e' || chr(769) || chr(7)
+             WHEN 2 THEN chr(9) || 'x' || chr(776) || 'o'
+             ELSE '' END AS t
+  FROM documents),
+steps AS (
+  SELECT doc_id, t,
+         TRIM(regexp_replace(
+             nfc_normalize(regexp_replace(
+                 t, '[\x00-\x08\x0B\x0C\x0E-\x1F\x7F]', '', 'g')),
+             '[ \t\r\n]+', ' ', 'g')) AS text_norm
+  FROM inp)
+SELECT doc_id, text_norm,
+       CAST(LENGTH(t) AS BIGINT) AS n_chars_before,
+       CAST(LENGTH(text_norm) AS BIGINT) AS n_chars_after,
+       (t <> text_norm) AS changed
+FROM steps ORDER BY doc_id
+"""
+
+
+# =====================================================================
+# q78 — writing-script profile (ops/textstats.script_profile): count
+# codepoints per script block and name the dominant script, the
+# multilingual-routing signal next to lang_id.  Non-Latin snippets
+# are appended per doc_id residue on BOTH sides so every script
+# branch is exercised; counts and the tie-broken argmax replay
+# exactly (plain character-class ranges mean the same thing in Java
+# regex and RE2).
+# =====================================================================
+def q78_script_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .ops.textstats import script_profile
+    docs = _read(spark, sf_dir, "documents")
+    snip = (F.when(F.col("doc_id") % 4 == 1, F.lit(" привет мир"))
+            .when(F.col("doc_id") % 4 == 2, F.lit(" 你好世界"))
+            .when(F.col("doc_id") % 4 == 3, F.lit(" γειά σου"))
+            .otherwise(F.lit("")))
+    inp = docs.select("doc_id",
+                      F.concat(F.col("text"), snip).alias("text"))
+    return script_profile(inp, "doc_id", "text").orderBy("doc_id")
+
+
+Q78_SQL = """
+WITH inp AS (
+  SELECT doc_id,
+         text || CASE CAST(doc_id % 4 AS INT)
+             WHEN 1 THEN ' привет мир'
+             WHEN 2 THEN ' 你好世界'
+             WHEN 3 THEN ' γειά σου'
+             ELSE '' END AS t
+  FROM documents),
+cnt AS (
+  SELECT doc_id,
+         CAST(len(regexp_extract_all(t, '[؀-ۿ]')) AS BIGINT) AS arabic_chars,
+         CAST(len(regexp_extract_all(t, '[一-鿿]')) AS BIGINT) AS cjk_chars,
+         CAST(len(regexp_extract_all(t, '[Ѐ-ӿ]')) AS BIGINT) AS cyrillic_chars,
+         CAST(len(regexp_extract_all(t, '[Ͱ-Ͽ]')) AS BIGINT) AS greek_chars,
+         CAST(len(regexp_extract_all(t, '[A-Za-zÀ-ɏ]')) AS BIGINT) AS latin_chars
+  FROM inp)
+SELECT c.*, d.name AS dominant_script,
+       arabic_chars + cjk_chars + cyrillic_chars + greek_chars
+         + latin_chars AS script_chars
+FROM cnt c, LATERAL (
+  SELECT name
+  FROM (VALUES (-c.arabic_chars, 'arabic'), (-c.cjk_chars, 'cjk'),
+               (-c.cyrillic_chars, 'cyrillic'), (-c.greek_chars, 'greek'),
+               (-c.latin_chars, 'latin')) t(neg, name)
+  ORDER BY neg, name LIMIT 1) d
+ORDER BY doc_id
+"""
+
+
+# =====================================================================
+# q79 — hashed linear quality classifier
+# (ops/textstats.hashed_linear_score): the fastText/LR quality-filter
+# shape — mean hashed-bag-of-words weight per doc, keep iff
+# σ(score) > 0.5.  Weights derive from the repo-wide md5 13-hex
+# uniform convention so DuckDB replays every score exactly
+# (CAST('0x'||hex AS BIGINT) ↔ F.conv(hex,16,10), the q68/q70
+# identity); score ROUND 6 on both sides.
+# =====================================================================
+def q79_linear_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .ops.textstats import hashed_linear_score
+    docs = _read(spark, sf_dir, "documents")
+    out = hashed_linear_score(docs, "doc_id", "text",
+                              prefix=3, seed=0)
+    s = F.round("score", 6)
+    return (out.select("doc_id", "n_tokens", s.alias("score"),
+                       (s > 0).alias("keep"))
+            .orderBy("doc_id"))
+
+
+Q79_SQL = """
+WITH toks AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+  FROM documents),
+w AS (
+  SELECT doc_id,
+         ((CAST('0x' || substr(md5('0:' || substr(md5(tok), 1, 3)),
+                               1, 13) AS BIGINT) + 0.5)
+          / POWER(16, 13)) * 2 - 1 AS w
+  FROM toks WHERE tok <> '')
+SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens,
+       ROUND(AVG(w), 6) AS score, (ROUND(AVG(w), 6) > 0) AS keep
+FROM w GROUP BY doc_id ORDER BY doc_id
+"""
+
+
+# =====================================================================
 # registry
 # =====================================================================
 def queries():
@@ -3527,6 +3660,9 @@ def queries():
         "q74_snapshot_diff": q74_snapshot_diff,
         "q75_kmeans_counts": q75_kmeans_counts,
         "q76_png_decode": q76_png_decode,
+        "q77_normalize_text": q77_normalize_text,
+        "q78_script_profile": q78_script_profile,
+        "q79_linear_quality": q79_linear_quality,
     }
     return dict(reversed(list(ordered.items())))
 
@@ -3620,6 +3756,9 @@ def oracle_sql():
         # from those exact doubles (q11's handoff pattern)
         "q75_kmeans_counts": _q75_sql(),
         "q76_png_decode": Q76_SQL,
+        "q77_normalize_text": Q77_SQL,
+        "q78_script_profile": Q78_SQL,
+        "q79_linear_quality": Q79_SQL,
     }
 
 

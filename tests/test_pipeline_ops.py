@@ -563,7 +563,11 @@ def test_decode_stub_contract():
     blob = b"FIMG" + (16).to_bytes(2, "little") + (8).to_bytes(2, "little") + b"x" * 128
     img = decode_image(blob)
     assert img.shape == (8, 16, 3)
+    # lossy formats stay loud stubs (PNG now decodes for real —
+    # test_png_codec_roundtrip; a malformed PNG is a ValueError)
     with pytest.raises(NotImplementedError):
+        decode_image(b"\xff\xd8\xff\xe0notajpeg")
+    with pytest.raises(ValueError):
         decode_image(b"\x89PNG\r\n\x1a\nnotreal")
 
 
@@ -1624,3 +1628,78 @@ def test_quantile_buckets_tracks_exact_ntile(spark, docs):
     joined = out.join(exact, ["doc_id", "v"])
     mismatch = joined.filter(F.col("bucket") != F.col("nt")).count()
     assert mismatch / n < 0.1
+
+
+def test_normalize_text_unicode_hygiene(spark):
+    """Control strip + NFC composition + whitespace collapse, with
+    code-point counts: 'e'+COMBINING ACUTE composes to one char,
+    BEL disappears, runs of tab/newline collapse to one space."""
+    from facs_spark.ops.scrub import normalize_text
+    rows = [
+        (1, "plain text"),
+        (2, "e\u0301clair\x07 bell"),   # combining + control
+        (3, "  a\t\tb\nc  "),                   # whitespace runs
+        (4, "café"),                       # already NFC
+        (5, ""),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r.doc_id: r for r in
+           normalize_text(df, "doc_id", "text").collect()}
+    assert got[1].text_norm == "plain text" and not got[1].changed
+    assert got[2].text_norm == "éclair bell"  # composed é
+    assert got[2].n_chars_before == 13                 # raw codepoints
+    assert got[2].n_chars_after == 11
+    assert got[2].changed
+    assert got[3].text_norm == "a b c" and got[3].changed
+    assert got[4].text_norm == "café" and not got[4].changed
+    assert got[5].text_norm == "" and got[5].n_chars_after == 0
+    with pytest.raises(ValueError, match="normalization form"):
+        normalize_text(df, "doc_id", "text", form="NFX")
+
+
+def test_script_profile_counts_and_dominant(spark):
+    from facs_spark.ops.textstats import script_profile
+    rows = [
+        (1, "hello world"),                      # latin only
+        (2, "привет hello"),                     # cyrillic 6 > latin 5
+        (3, "你好"),                              # cjk
+        (4, "αβ ab"),                            # greek 2 == latin 2 → tie
+        (5, "123 !!!"),                          # no script chars
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r.doc_id: r for r in
+           script_profile(df, "doc_id", "text").collect()}
+    assert got[1].latin_chars == 10 and got[1].dominant_script == "latin"
+    assert got[2].cyrillic_chars == 6 and got[2].latin_chars == 5
+    assert got[2].dominant_script == "cyrillic"
+    assert got[3].cjk_chars == 2 and got[3].dominant_script == "cjk"
+    # tie breaks alphabetically: greek < latin
+    assert got[4].greek_chars == 2 and got[4].latin_chars == 2
+    assert got[4].dominant_script == "greek"
+    assert got[5].script_chars == 0 and got[5].dominant_script == "arabic"
+
+
+def test_hashed_linear_score_replayable_and_mapside(spark):
+    """Scores replay exactly from the md5 convention in pure python,
+    and the plan is one explode + one agg — no join, no second
+    tokenization branch."""
+    import hashlib
+
+    from facs_spark.ops.textstats import hashed_linear_score
+    rows = [(1, "the quick fox"), (2, "the the the"), (3, "")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r.doc_id: r for r in
+           hashed_linear_score(df, "doc_id", "text", seed=0).collect()}
+
+    def w(tok):
+        b = hashlib.md5(tok.encode()).hexdigest()[:3]
+        u = (int(hashlib.md5(f"0:{b}".encode()).hexdigest()[:13], 16)
+             + 0.5) / 16 ** 13
+        return u * 2 - 1
+
+    for doc_id, text in rows[:2]:
+        toks = [t for t in text.split(" ") if t]
+        want = sum(map(w, toks)) / len(toks)
+        assert got[doc_id].n_tokens == len(toks)
+        assert abs(got[doc_id].score - want) < 1e-12
+    assert 3 not in got  # empty doc emits no row (no tokens)
