@@ -3580,7 +3580,7 @@ def queries():
     # at 50 entries (round 5 recorded exactly q01-q50 of 74), so the
     # newest, least-proven operators must sit inside the gate.  The
     # queries left past the cap each round are the longest-green ones
-    # (q01-q26 here: driver-green since rounds 1-3), and the full
+    # (q01-q29 here: driver-green since rounds 1-3), and the full
     # registry stays strict-checked at sf0.001/0.01/0.1 via
     # tools/check_correctness.py regardless of driver order.
     ordered = {
