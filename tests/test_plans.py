@@ -333,6 +333,29 @@ def test_scrub_and_gopher_are_shuffle_free_maps(spark):
         assert "ReadSchema" in read
 
 
+def test_script_profile_is_shuffle_free_map(spark):
+    """The script profile (regexp_count per block + array_sort
+    argmax) must stay a pure projection — zero exchanges, no Python."""
+    from facs_spark.ops.textstats import script_profile
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    plan = _formatted(script_profile(docs))
+    assert _n_nodes(plan, "Exchange") == 0, plan
+    for bad in ("BatchEvalPython", "ArrowEvalPython", "MapInPandas"):
+        assert bad not in plan, f"{bad} in plan"
+
+
+def test_linear_quality_single_agg_no_join(spark):
+    """hashed_linear_score: in-expression weights ⇒ one explode, one
+    map-side-combined agg, no join, no Python anywhere."""
+    from facs_spark.ops.textstats import hashed_linear_score
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    plan = _formatted(hashed_linear_score(docs))
+    assert _n_nodes(plan, "Exchange") == 1, plan
+    assert "Join" not in plan, plan
+    for bad in ("BatchEvalPython", "ArrowEvalPython", "MapInPandas"):
+        assert bad not in plan, f"{bad} in plan"
+
+
 def test_group_stat_filter_broadcasts_stats(spark):
     """The group-verdict join must be broadcast when requested (no
     shuffle of the doc side) and the stats agg map-side partial."""
