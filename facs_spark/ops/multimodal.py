@@ -130,16 +130,17 @@ _PNG_SIG = b"\x89PNG\r\n\x1a\n"
 
 
 def encode_png(px: np.ndarray) -> bytes:
-    """PNG bytes for an (H, W, 3|4) uint8 RGB/RGBA array (ISO/IEC
-    15948: 8-bit truecolor, non-interlaced, stdlib zlib).
+    """PNG bytes for an (H, W, C) uint8 array — C = 1 (greyscale),
+    2 (grey+alpha), 3 (RGB), 4 (RGBA) — i.e. every 8-bit non-palette
+    color type of ISO/IEC 15948, non-interlaced, stdlib zlib.
 
     Rows cycle through all five filter types (row y uses filter
     y mod 5), so a round-trip exercises every unfilter path — not
     just the trivial None filter."""
     import zlib
     h, w, ch = px.shape
-    if ch not in (3, 4):
-        raise ValueError("encode_png needs (H, W, 3|4) uint8")
+    if ch not in (1, 2, 3, 4):
+        raise ValueError("encode_png needs (H, W, 1|2|3|4) uint8")
     raw = bytearray()
     prev = np.zeros((w, ch), np.int32)
     for y in range(h):
@@ -170,8 +171,8 @@ def encode_png(px: np.ndarray) -> bytes:
         return (_struct.pack(">I", len(body)) + typ + body
                 + _struct.pack(">I", zlib.crc32(typ + body)))
 
-    ihdr = _struct.pack(">IIBBBBB", w, h, 8, 2 if ch == 3 else 6,
-                        0, 0, 0)
+    ihdr = _struct.pack(">IIBBBBB", w, h, 8,
+                        {1: 0, 2: 4, 3: 2, 4: 6}[ch], 0, 0, 0)
     return (_PNG_SIG + chunk(b"IHDR", ihdr)
             + chunk(b"IDAT", zlib.compress(bytes(raw)))
             + chunk(b"IEND", b""))
@@ -191,10 +192,11 @@ def _png_chunks(blob: bytes):
 
 
 def decode_png(blob: bytes) -> np.ndarray:
-    """Parse PNG bytes → (H, W, 3|4) uint8.  Supports 8-bit
-    truecolor (color type 2) and truecolor+alpha (6), non-interlaced,
+    """Parse PNG bytes → (H, W, C) uint8.  Supports every 8-bit
+    non-palette color type — greyscale (0, C=1), truecolor (2, C=3),
+    grey+alpha (4, C=2), truecolor+alpha (6, C=4) — non-interlaced,
     with all five scanline filter types (None/Sub/Up/Average/Paeth —
-    the spec's complete filter set for these color types)."""
+    the spec's complete filter set)."""
     import zlib
     if blob[:8] != _PNG_SIG:
         raise ValueError("not a PNG payload")
@@ -208,12 +210,13 @@ def decode_png(blob: bytes) -> np.ndarray:
     if ihdr is None or not idat:
         raise ValueError("PNG missing IHDR or IDAT")
     w, h, depth, ctype, _comp, _filt, interlace = ihdr
-    if depth != 8 or ctype not in (2, 6) or interlace != 0:
+    channels = {0: 1, 2: 3, 4: 2, 6: 4}
+    if depth != 8 or ctype not in channels or interlace != 0:
         raise NotImplementedError(
             f"PNG depth={depth} color_type={ctype} "
             f"interlace={interlace} needs a codec library; only 8-bit "
-            "RGB/RGBA non-interlaced decodes in pure python here")
-    ch = 3 if ctype == 2 else 4
+            "non-palette non-interlaced decodes in pure python here")
+    ch = channels[ctype]
     stride = w * ch
     raw = zlib.decompress(bytes(idat))
     if len(raw) != h * (stride + 1):
@@ -417,6 +420,8 @@ def decode_image(blob: bytes) -> np.ndarray:
         return decode_bmp(blob)
     if blob[:8] == _PNG_SIG:
         px = decode_png(blob)
+        if px.shape[2] in (1, 2):          # grey(+alpha) → RGB
+            px = np.repeat(px[:, :, :1], 3, axis=2)
         return np.ascontiguousarray(px[:, :, :3])
     if blob[:4] == b"FIMG":
         w, h = _struct.unpack_from("<HH", blob, 4)

@@ -653,7 +653,8 @@ def test_png_codec_roundtrip():
                                            encode_png, synth_png_pixels)
     rng = np.random.default_rng(5)
     for h, w, ch in [(8, 5, 3), (7, 3, 4), (1, 1, 3), (2, 33, 4),
-                     (11, 1, 3), (6, 6, 4)]:
+                     (11, 1, 3), (6, 6, 4),
+                     (9, 4, 1), (5, 7, 2)]:  # grey / grey+alpha
         px = rng.integers(0, 256, size=(h, w, ch), dtype=np.uint8)
         assert np.array_equal(decode_png(encode_png(px)), px), (h, w, ch)
     # synth pattern: RGBA for odd ids, alpha dropped by decode_image
@@ -1703,3 +1704,38 @@ def test_hashed_linear_score_replayable_and_mapside(spark):
         assert got[doc_id].n_tokens == len(toks)
         assert abs(got[doc_id].score - want) < 1e-12
     assert 3 not in got  # empty doc emits no row (no tokens)
+
+
+def test_normalize_text_fuzz_matches_python_reference(spark):
+    """Fuzz parity: 300 adversarial strings (controls, combining
+    marks, odd whitespace, mixed scripts) through the Spark op equal
+    the pure-python reference (re + unicodedata) row for row, and the
+    op is idempotent (normalizing its own output changes nothing)."""
+    import re
+    import unicodedata
+
+    from facs_spark.ops.scrub import normalize_text
+
+    def ref(s: str) -> str:
+        s = re.sub("[\x00-\x08\x0B\x0C\x0E-\x1F\x7F]", "", s)
+        s = unicodedata.normalize("NFC", s)
+        # strip(" ") not strip(): Spark/DuckDB TRIM remove ASCII
+        # space only — NBSP at the edges is content, not whitespace
+        return re.sub("[ \t\r\n]+", " ", s).strip(" ")
+
+    rng = np.random.default_rng(11)
+    pool = (list("abcXYZ09 .,!\t\n\r")
+            + ["\x07", "\x1b", "\x7f",            # controls
+               "́", "̈", "̧",      # combining marks
+               "é", "ẍ", "ç",                     # precomposed
+               "α", "ж", "好", "ؤ",               # scripts
+               "  ", " "])                   # runs + NBSP (kept)
+    rows = [(i, "".join(rng.choice(pool, size=rng.integers(0, 40))))
+            for i in range(300)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r.doc_id: r.text_norm
+           for r in normalize_text(df, "doc_id", "text").collect()}
+    for i, s in rows:
+        want = ref(s)
+        assert got[i] == want, (i, repr(s), repr(got[i]), repr(want))
+        assert ref(want) == want  # idempotent
