@@ -3451,10 +3451,14 @@ FROM px GROUP BY doc_id ORDER BY doc_id
 def q77_normalize_text(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .ops.scrub import normalize_text
     docs = _read(spark, sf_dir, "documents")
+    # explicit \uXXXX escapes, NOT raw combining characters: the
+    # oracle builds the decomposed sequence with chr(769)/chr(776),
+    # and a source-file unicode normalization would silently compose
+    # a raw literal and break the parity this query exists to test
     junk = (F.when(F.col("doc_id") % 3 == 1,
-                   F.lit("  é\x07"))
+                   F.lit("  e\u0301\x07"))
             .when(F.col("doc_id") % 3 == 2,
-                  F.lit("\tẍo"))
+                  F.lit("\tx\u0308o"))
             .otherwise(F.lit("")))
     inp = docs.select("doc_id",
                       F.concat(F.col("text"), junk).alias("text"))
