@@ -375,3 +375,118 @@ def screen_report(classified_multi: DataFrame) -> DataFrame:
         .withColumn("contamination_rate",
                     F.col("contaminated_reads") / F.col("total_read_count"))
         .orderBy("filter_name"))
+
+
+def token_containment_grid(docs: DataFrame, lang_col: str = "lang",
+                           text_col: str = "text",
+                           error_rate: float = 1e-4) -> DataFrame:
+    """Cross-corpus Bloom containment grid (SURVEY §2.3/§2.5): for
+    every ordered pair of corpora (a, b), what fraction of corpus a's
+    distinct vocabulary is contained in corpus b's?
+
+    This is the reference's ``query()`` hit-ratio semantics
+    (facs/query.c:402-468) lifted from one reads-vs-filter pair to an
+    all-pairs grid: each corpus builds one Bloom over its distinct
+    tokens (map-side partials, tree OR-merge — never a token shuffle),
+    the tiny filters broadcast, and a single probe pass over the
+    distinct (lang, token) rows counts hits against every OTHER
+    corpus's filter.  Raw tokens are never shuffled for the estimate —
+    only per-partition (lang_a, lang_b, hits) partial counts are
+    exchanged, so the grid costs one broadcast + one scan at any
+    corpus count that fits the driver (filters are ~m/8 bytes each).
+
+    Probes are restricted to printable-ASCII tokens, lowercased, so
+    the exact verifier can lower() identically in Spark and the DuckDB
+    oracle (unicode lowercasing differs between engines; the Bloom key
+    encoding is byte-level ASCII tolower for reference parity —
+    ``sketch/hashing.ascii_lower``).
+
+    Output per ordered pair with non-empty exact overlap:
+    ``lang_a, lang_b, distinct_a, exact_overlap, est_overlap,
+    containment, within_bound`` where ``within_bound`` asserts the
+    published Bloom guarantees: zero false negatives (est >= exact)
+    and FPR ≤ error_rate with a generous binomial-tail slack.
+    """
+    import numpy as np
+
+    spark = docs.sparkSession
+    ensure_shipped(spark)
+    toks = (docs.select(F.col(lang_col).alias("lang"),
+                        F.explode(F.split(F.col(text_col), " ")).alias("tok"))
+            .filter((F.col("tok") != "") & F.col("tok").rlike("^[!-~]+$"))
+            .select("lang", F.lower(F.col("tok")).alias("tok"))
+            .distinct())
+    toks = ensure_parallelism(toks).persist()
+    try:
+        sizes = {r["lang"]: r["cnt"] for r in
+                 toks.groupBy("lang").agg(F.count(F.lit(1)).alias("cnt"))
+                 .collect()}
+        if not sizes:
+            return spark.createDataFrame(
+                [], "lang_a string, lang_b string, distinct_a long, "
+                    "exact_overlap long, est_overlap long, "
+                    "containment double, within_bound boolean")
+        capacity = max(sizes.values())
+        from .sketch_agg import grouped_sketches
+        spec = SketchSpec.make("bloom", "tok", capacity=capacity,
+                               error_rate=error_rate, sizing="standard")
+        grouped = grouped_sketches(toks, ["lang"], spec).collect()
+        blobs = {r["lang"]: bytes(r["sketch"]) for r in grouped}
+        bc = spark.sparkContext.broadcast(blobs)
+
+        def probe(iterator):
+            from ..sketch.hashing import raw_key_matrices
+            blooms = {name: BloomFilter.from_bytes(blob)
+                      for name, blob in bc.value.items()}
+            hits: dict[tuple, int] = {}
+            for batch in iterator:
+                for lang_a, sub in batch.groupby("lang", sort=False):
+                    series = sub["tok"]
+                    mats = list(raw_key_matrices(series))
+                    for lang_b, bloom in blooms.items():
+                        if lang_b == lang_a:
+                            continue
+                        n_hit = 0
+                        for _idx, mat in mats:
+                            n_hit += int(bloom.contains_batch(mat).sum())
+                        key = (lang_a, lang_b)
+                        hits[key] = hits.get(key, 0) + n_hit
+            yield pd.DataFrame({
+                "lang_a": [k[0] for k in hits],
+                "lang_b": [k[1] for k in hits],
+                "hits": list(hits.values()),
+            })
+
+        est = (toks.mapInPandas(
+                   probe, schema="lang_a string, lang_b string, hits long")
+               .groupBy("lang_a", "lang_b")
+               .agg(F.sum("hits").alias("est_overlap")))
+
+        a = toks.select(F.col("lang").alias("lang_a"), "tok")
+        b = toks.select(F.col("lang").alias("lang_b"), "tok")
+        exact = (a.join(b, "tok")
+                 .filter(F.col("lang_a") != F.col("lang_b"))
+                 .groupBy("lang_a", "lang_b")
+                 .agg(F.count(F.lit(1)).alias("exact_overlap")))
+
+        sizes_df = spark.createDataFrame(
+            [(k, v) for k, v in sizes.items()], "lang_a string, distinct_a long")
+        # binomial FP slack: probes·p mean + a fat deterministic tail
+        slack = (F.lit(float(error_rate)) * F.col("distinct_a") * 10
+                 + F.lit(25.0))
+        out = (exact.join(F.broadcast(sizes_df), "lang_a")
+               .join(F.broadcast(est), ["lang_a", "lang_b"], "left")
+               .select(
+                   "lang_a", "lang_b", "distinct_a", "exact_overlap",
+                   F.coalesce("est_overlap", F.lit(0)).alias("est_overlap"),
+                   F.round(F.col("exact_overlap")
+                           / F.col("distinct_a"), 6).alias("containment"))
+               .withColumn(
+                   "within_bound",
+                   (F.col("est_overlap") >= F.col("exact_overlap"))
+                   & (F.col("est_overlap")
+                      <= F.col("exact_overlap") + slack)))
+        out = out.localCheckpoint(eager=True)
+    finally:
+        toks.unpersist()
+    return out

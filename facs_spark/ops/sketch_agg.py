@@ -39,7 +39,7 @@ PARTIAL_SCHEMA = ("partition_id long, rows_seen long, wall_ms double, "
 class SketchSpec:
     """Picklable recipe: which sketch, over which column, how to feed it.
 
-    kind: bloom | hll | cms | tdigest | kll | theta
+    kind: bloom | hll | cms | tdigest | kll | theta | mg | fd
     prep: how batch values are fed to ``update_batch``:
       * "kgram"  — shingle text into k-gram windows (bloom only)
       * "tokens" — whitespace-split text into tokens
@@ -79,6 +79,12 @@ class SketchSpec:
         if self.kind == "theta":
             from ..sketch.theta import ThetaSketch
             return ThetaSketch(k=p.get("k", 4096))
+        if self.kind == "mg":
+            from ..sketch.mg import MisraGries
+            return MisraGries(k=p.get("k", 1024))
+        if self.kind == "fd":
+            from ..sketch.fd import FrequentDirections
+            return FrequentDirections(l=p.get("l", 32), d=p.get("d", 64))
         raise ValueError(f"unknown sketch kind {self.kind!r}")
 
     def blob_bytes(self) -> int:
@@ -99,6 +105,12 @@ class SketchSpec:
             return d * w * 8 + 64
         if self.kind == "theta":
             return p.get("k", 4096) * 8 + 64
+        if self.kind == "mg":
+            # k entries, each tag + (len|8B key) + count; assume short keys
+            return p.get("k", 1024) * 40 + 64
+        if self.kind == "fd":
+            # to_bytes shrinks to l rows of d doubles before shipping
+            return p.get("l", 32) * p.get("d", 64) * 8 + 64
         return 64 * 1024  # t-digest/KLL: small, bounded
 
     def update(self, sketch, series: pd.Series) -> int:
@@ -135,6 +147,13 @@ class SketchSpec:
             from ..sketch.hashing import raw_key_matrices
             for _idx, mat in raw_key_matrices(series):
                 sketch.add_batch(mat)
+        elif self.kind == "fd":
+            # array<float> column: one (m, d) slab per Arrow batch —
+            # a single vectorized update (and at most one SVD) per batch
+            vecs = [np.asarray(v, dtype=np.float64)
+                    for v in series if v is not None]
+            if vecs:
+                sketch.update_batch(np.stack(vecs))
         elif self.kind in ("tdigest", "kll"):
             sketch.update_batch(series.to_numpy(dtype=np.float64, na_value=np.nan))
         else:

@@ -3576,6 +3576,164 @@ FROM w GROUP BY doc_id ORDER BY doc_id
 
 
 # =====================================================================
+# q80 — Misra–Gries heavy hitters (sketch/mg.py): the undercount-only
+# dual of q06's CMS.  Distributed build via the same partial → tree
+# merge path as every sketch (mergeable-summaries merge, Agarwal et
+# al. 2012), then the exact top-10 verifier asserts the deterministic
+# guarantee est <= true <= est + N/(k+1) — which holds for ANY merge
+# order, so the checked column is order-invariant even though raw
+# estimates are not (same discipline as q06).
+# =====================================================================
+def q80_mg_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _read(spark, sf_dir, "documents")
+    mg, _ = build_sketch(docs, SketchSpec.make("mg", "text", prep="tokens",
+                                               k=4096))
+    tokens = (docs.select(F.explode(F.split(F.col("text"), " ")).alias("token"))
+              .filter(F.col("token") != ""))
+    top = (tokens.groupBy("token").agg(F.count(F.lit(1)).alias("exact_count"))
+           .orderBy(F.desc("exact_count"), "token").limit(10))
+    rows = top.collect()
+    import pandas as pd
+    bound = mg.error_bound
+    pdf = pd.DataFrame({
+        "token": [r["token"] for r in rows],
+        "exact_count": [r["exact_count"] for r in rows],
+        "within_bound": [bool(est <= r["exact_count"]
+                              and r["exact_count"] - est <= bound)
+                         for est, r in zip(mg.query_batch(
+                             [r["token"] for r in rows]), rows)],
+    })
+    return spark.createDataFrame(pdf).orderBy(F.desc("exact_count"), "token")
+
+
+Q80_SQL = """
+SELECT token, COUNT(*) AS exact_count, TRUE AS within_bound
+FROM (SELECT unnest(string_split(text, ' ')) AS token FROM documents)
+WHERE token <> ''
+GROUP BY token
+ORDER BY exact_count DESC, token
+LIMIT 10
+"""
+
+
+# =====================================================================
+# q81 — Frequent Directions covariance sketch (sketch/fd.py) over the
+# embeddings table: a fixed-size mergeable digest of the (n × 64)
+# embedding matrix whose Gram estimate satisfies the deterministic
+# spectral bound ||AᵀA − BᵀB||₂ ≤ ||A||²_F / l for any merge order
+# (Ghashami et al. 2016).  The exact Gram is computed alongside as
+# per-partition partials (64×64 doubles each — only 32 KB ever reaches
+# the driver), and the checked columns are the exact row count, the
+# exactly-replayable Frobenius mass (left-fold per row — identical
+# IEEE op order in Spark's F.aggregate and DuckDB's list_reduce —
+# rounded then summed as DECIMAL so no cross-engine float aggregation
+# order), and the bound verdict.
+# =====================================================================
+def q81_fd_covariance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import numpy as np
+
+    emb = _read(spark, sf_dir, "embeddings")
+    fd, _ = build_sketch(emb, SketchSpec.make("fd", "embedding", l=16, d=64))
+
+    def gram_partials(iterator):
+        import pandas as pd
+        from pyspark import TaskContext
+        pid = TaskContext.get().partitionId() if TaskContext.get() else -1
+        g = np.zeros((64, 64))
+        n = 0
+        for pdf in iterator:
+            vecs = [np.asarray(v, dtype=np.float64)
+                    for v in pdf["embedding"] if v is not None]
+            if vecs:
+                x = np.stack(vecs)
+                g += x.T @ x
+                n += x.shape[0]
+        yield pd.DataFrame({"partition_id": [pid], "n": [n],
+                            "gram": [g.tobytes()]})
+
+    parts = emb.select("embedding").mapInPandas(
+        gram_partials, schema="partition_id long, n long, gram binary"
+    ).collect()
+    # fixed summation order (partition id) — deterministic for a fixed
+    # input layout, and the bound comparison has theorem-level margin
+    gram_exact = np.zeros((64, 64))
+    n_exact = 0
+    for r in sorted(parts, key=lambda r: r["partition_id"]):
+        gram_exact += np.frombuffer(bytes(r["gram"])).reshape(64, 64)
+        n_exact += r["n"]
+    err = float(np.linalg.norm(gram_exact - fd.gram(), 2))
+    ok = bool(err <= fd.error_bound and fd.n_rows == n_exact)
+
+    x2 = F.transform("embedding",
+                     lambda x: x.cast("double") * x.cast("double"))
+    row_norm2 = F.aggregate(x2, F.lit(0.0), lambda acc, x: acc + x)
+    return (emb.agg(
+        F.count(F.lit(1)).alias("n_vecs"),
+        F.round(F.sum(F.round(row_norm2, 6).cast("decimal(38,6)"))
+                .cast("double"), 6).alias("frob2"))
+        .select("n_vecs", "frob2",
+                F.lit(16).cast("int").alias("l"),
+                F.lit(ok).alias("within_bound")))
+
+
+Q81_SQL = """
+SELECT CAST(COUNT(*) AS BIGINT) AS n_vecs,
+       ROUND(CAST(SUM(CAST(ROUND(
+           list_reduce(
+               list_prepend(0.0, list_transform(
+                   embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))),
+               (acc, x) -> acc + x), 6) AS DECIMAL(38,6))) AS DOUBLE), 6
+           ) AS frob2,
+       CAST(16 AS INTEGER) AS l,
+       TRUE AS within_bound
+FROM embeddings
+"""
+
+
+# =====================================================================
+# q82 — cross-corpus Bloom containment grid
+# (ops/contamination.token_containment_grid): the reference's query()
+# hit-ratio semantics lifted to an all-pairs corpus grid.  Per-lang
+# Blooms build map-side and tree-OR-merge (no token shuffle), then one
+# probe pass counts every corpus's vocabulary against every other
+# filter — only (lang_a, lang_b, hits) partials are exchanged.  The
+# checked columns are exact (distinct sizes, exact overlap,
+# containment ratio) plus the Bloom-guarantee verdict: est >= exact
+# (zero false negatives, deterministic) and est <= exact + FPR slack.
+# =====================================================================
+def q82_containment_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .ops.contamination import token_containment_grid
+    docs = _read(spark, sf_dir, "documents")
+    grid = token_containment_grid(docs, "lang", "text", error_rate=1e-4)
+    return (grid.select("lang_a", "lang_b", "distinct_a", "exact_overlap",
+                        "containment", "within_bound")
+            .orderBy("lang_a", "lang_b"))
+
+
+Q82_SQL = """
+WITH toks AS (
+  SELECT DISTINCT lang, lower(tok) AS tok
+  FROM (SELECT lang, unnest(string_split(text, ' ')) AS tok
+        FROM documents)
+  WHERE tok <> '' AND regexp_matches(tok, '^[!-~]+$')),
+sizes AS (SELECT lang, CAST(COUNT(*) AS BIGINT) AS distinct_a
+          FROM toks GROUP BY lang),
+inter AS (
+  SELECT a.lang AS lang_a, b.lang AS lang_b,
+         CAST(COUNT(*) AS BIGINT) AS exact_overlap
+  FROM toks a JOIN toks b USING (tok)
+  WHERE a.lang <> b.lang
+  GROUP BY a.lang, b.lang)
+SELECT i.lang_a, i.lang_b, s.distinct_a, i.exact_overlap,
+       ROUND(CAST(i.exact_overlap AS DOUBLE) / s.distinct_a, 6)
+           AS containment,
+       TRUE AS within_bound
+FROM inter i JOIN sizes s ON s.lang = i.lang_a
+ORDER BY i.lang_a, i.lang_b
+"""
+
+
+# =====================================================================
 # registry
 # =====================================================================
 def queries():
@@ -3667,6 +3825,9 @@ def queries():
         "q77_normalize_text": q77_normalize_text,
         "q78_script_profile": q78_script_profile,
         "q79_linear_quality": q79_linear_quality,
+        "q80_mg_heavy_hitters": q80_mg_heavy_hitters,
+        "q81_fd_covariance": q81_fd_covariance,
+        "q82_containment_grid": q82_containment_grid,
     }
     return dict(reversed(list(ordered.items())))
 
@@ -3763,6 +3924,9 @@ def oracle_sql():
         "q77_normalize_text": Q77_SQL,
         "q78_script_profile": Q78_SQL,
         "q79_linear_quality": Q79_SQL,
+        "q80_mg_heavy_hitters": Q80_SQL,
+        "q81_fd_covariance": Q81_SQL,
+        "q82_containment_grid": Q82_SQL,
     }
 
 

@@ -1,15 +1,18 @@
 """Pure-numpy mergeable sketch core (no Spark dependency).
 
-Bloom (reference parity), HyperLogLog, count-min, t-digest, KLL, and
-theta/KMV (set-operation algebra) — each with ``update_batch`` /
-associative ``merge`` / ``to_bytes`` / ``from_bytes`` and a published
-error bound, per SURVEY.md §2.4.
+Bloom (reference parity), HyperLogLog, count-min, t-digest, KLL,
+theta/KMV (set-operation algebra), Misra–Gries (undercount-only
+heavy hitters), and Frequent Directions (matrix/covariance sketch)
+— each with ``update_batch`` / associative ``merge`` / ``to_bytes``
+/ ``from_bytes`` and a published error bound, per SURVEY.md §2.4.
 """
 
 from .bloom import BloomFilter
 from .cms import CountMinSketch
+from .fd import FrequentDirections
 from .hll import HyperLogLog
 from .kll import KLL
+from .mg import MisraGries
 from .sizing import (BloomStat, bloom_fpr, facs_sizing, find_close_prime,
                      is_prime, kmer_suggestion, mco_suggestion,
                      prob_suggestion, standard_sizing)
@@ -23,6 +26,8 @@ SKETCH_TYPES = {
     TDigest.MAGIC: TDigest,
     KLL.MAGIC: KLL,
     ThetaSketch.MAGIC: ThetaSketch,
+    MisraGries.MAGIC: MisraGries,
+    FrequentDirections.MAGIC: FrequentDirections,
 }
 
 
@@ -37,7 +42,7 @@ def sketch_from_bytes(blob: bytes):
 
 __all__ = [
     "BloomFilter", "HyperLogLog", "CountMinSketch", "TDigest", "KLL",
-    "ThetaSketch",
+    "ThetaSketch", "MisraGries", "FrequentDirections",
     "BloomStat", "bloom_fpr", "facs_sizing", "standard_sizing",
     "find_close_prime", "is_prime", "kmer_suggestion", "mco_suggestion",
     "prob_suggestion", "sketch_from_bytes", "SKETCH_TYPES",

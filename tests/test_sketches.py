@@ -418,3 +418,141 @@ def test_theta_via_spark_build(tmp_path):
     exact = docs.select("doc_id").distinct().count()
     assert rows == docs.count()
     assert abs(sk.estimate() - exact) <= max(3 * sk.relative_error * exact, 1)
+
+
+# ---------------------------------------------------------------- MG
+def test_mg_undercount_only_and_bound():
+    from facs_spark.sketch import MisraGries
+    r = np.random.default_rng(11)
+    vals = [f"t{v}" for v in r.zipf(1.25, 100_000)]
+    mg = MisraGries(k=128)
+    # feed in uneven batches to exercise the amortized decrement
+    for lo in range(0, len(vals), 7_919):
+        mg.update_batch(vals[lo:lo + 7_919])
+    import collections
+    exact = collections.Counter(vals)
+    assert mg.total == len(vals)
+    assert len(mg.counters) <= 128
+    bound = len(vals) / 129
+    for key, true in exact.most_common(200):
+        est = mg.estimate(key)
+        assert est <= true                      # undercount only
+        assert true - est <= bound              # deterministic MG bound
+        if true > bound:
+            assert est > 0                      # heavy keys always present
+
+
+def test_mg_merge_any_order_keeps_bound():
+    from facs_spark.sketch import MisraGries
+    r = np.random.default_rng(12)
+    vals = [f"t{v}" for v in r.zipf(1.3, 60_000)]
+    import collections
+    exact = collections.Counter(vals)
+    parts = [vals[i::5] for i in range(5)]
+    sks = []
+    for p in parts:
+        s = MisraGries(k=96)
+        s.update_batch(p)
+        sks.append(s)
+    # two different merge trees — the bound must hold for both
+    left = sks[0]
+    for s in sks[1:]:
+        left = left.merge(s)
+    paired = sks
+    while len(paired) > 1:
+        paired = [paired[i].merge(paired[i + 1]) if i + 1 < len(paired)
+                  else paired[i] for i in range(0, len(paired), 2)]
+    bound = len(vals) / 97
+    for m in (left, paired[0]):
+        assert m.total == len(vals)
+        assert len(m.counters) <= 96
+        for key, true in exact.most_common(100):
+            est = m.estimate(key)
+            assert est <= true and true - est <= bound
+
+
+def test_mg_roundtrip_and_int_keys():
+    from facs_spark.sketch import MisraGries
+    mg = MisraGries(k=16)
+    mg.update_batch(np.array([1, 1, 2, 3, 1, 2], dtype=np.int64))
+    mg.update_batch(["a", "a", "b"])
+    back = sketch_from_bytes(mg.to_bytes())
+    assert back.counters == mg.counters
+    assert back.total == mg.total == 9
+    assert back.estimate(1) == 3 and back.estimate("a") == 2
+    hh = mg.heavy_hitters(threshold=1)
+    assert ("a", 2) in hh and (1, 3) in hh
+
+
+# ---------------------------------------------------------------- FD
+def test_fd_spectral_bound_and_merge():
+    from facs_spark.sketch import FrequentDirections
+    r = np.random.default_rng(13)
+    # decaying spectrum (realistic embeddings)
+    a = r.standard_normal((4000, 48)) @ np.diag(np.linspace(2.5, 0.05, 48))
+    gram = a.T @ a
+    frob2 = float((a ** 2).sum())
+    fd = FrequentDirections(l=12, d=48)
+    fd.update_batch(a)
+    assert abs(fd.frob2 - frob2) <= 1e-6 * frob2
+    assert fd.n_rows == 4000
+    err = np.linalg.norm(gram - fd.gram(), 2)
+    assert err <= frob2 / 12
+    # merged across chunks, pairwise tree — same published bound
+    sks = []
+    for c in np.array_split(a, 7):
+        s = FrequentDirections(l=12, d=48)
+        s.update_batch(c)
+        sks.append(s)
+    while len(sks) > 1:
+        sks = [sks[i].merge(sks[i + 1]) if i + 1 < len(sks) else sks[i]
+               for i in range(0, len(sks), 2)]
+    m = sks[0]
+    assert m.n_rows == 4000 and abs(m.frob2 - frob2) <= 1e-6 * frob2
+    assert np.linalg.norm(gram - m.gram(), 2) <= frob2 / 12
+
+
+def test_fd_flat_spectrum_worst_case():
+    # flat spectra are FD's adversarial input; the deterministic
+    # theorem must still hold (merged and single-pass)
+    from facs_spark.sketch import FrequentDirections
+    r = np.random.default_rng(14)
+    a = r.standard_normal((3000, 32))
+    gram = a.T @ a
+    frob2 = float((a ** 2).sum())
+    one = FrequentDirections(l=8, d=32)
+    one.update_batch(a)
+    assert np.linalg.norm(gram - one.gram(), 2) <= frob2 / 8
+    sks = []
+    for c in np.array_split(a, 9):
+        s = FrequentDirections(l=8, d=32)
+        s.update_batch(c)
+        sks.append(s)
+    m = sks[0]
+    for s in sks[1:]:
+        m = m.merge(s)
+    assert np.linalg.norm(gram - m.gram(), 2) <= frob2 / 8
+
+
+def test_fd_psd_underestimate_and_roundtrip():
+    from facs_spark.sketch import FrequentDirections
+    r = np.random.default_rng(15)
+    a = r.standard_normal((500, 16))
+    fd = FrequentDirections(l=6, d=16)
+    fd.update_batch(a)
+    gram = a.T @ a
+    # A^T A - B^T B is PSD: the sketch never overestimates mass along
+    # any direction (Ghashami et al. 2016, property (i))
+    evs = np.linalg.eigvalsh(gram - fd.gram())
+    assert evs.min() >= -1e-8 * max(1.0, evs.max())
+    back = sketch_from_bytes(fd.to_bytes())
+    assert back.n_rows == fd.n_rows
+    assert abs(back.frob2 - fd.frob2) < 1e-12
+    # wire blob carries at most l rows
+    assert back.fill <= 6
+    assert np.allclose(back.gram(), fd.gram())
+    # exact when rank <= l: low-rank input reproduces its Gram exactly
+    low = a[:, :3] @ r.standard_normal((3, 16))
+    fd2 = FrequentDirections(l=6, d=16)
+    fd2.update_batch(low)
+    assert np.allclose(fd2.gram(), low.T @ low, atol=1e-6)

@@ -305,3 +305,72 @@ def test_cli_overlap(spark, capsys):
     assert lines and all(
         {"group_a", "group_b", "est_intersection",
          "est_jaccard"} <= set(l) for l in lines)
+
+
+def test_mg_distributed_bound_partitioning_invariant(spark):
+    """Distributed MG build: the deterministic guarantee
+    est <= true <= est + N/(k+1) must hold under ANY partitioning
+    (mergeable-summaries merge), checked at two partition counts."""
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    toks = (docs.select(F.explode(F.split("text", " ")).alias("t"))
+            .filter(F.col("t") != ""))
+    exact = {r["t"]: r["c"] for r in
+             toks.groupBy("t").agg(F.count(F.lit(1)).alias("c"))
+             .orderBy(F.desc("c"), "t").limit(40).collect()}
+    n_total = toks.count()
+    for parts in (2, 11):
+        mg, seen = build_sketch(
+            docs.repartition(parts),
+            SketchSpec.make("mg", "text", prep="tokens", k=512))
+        assert mg.total == n_total
+        bound = n_total / 513
+        for key, true in exact.items():
+            est = mg.estimate(key)
+            assert est <= true and true - est <= bound
+
+
+def test_fd_distributed_bound_and_rowcount(spark):
+    """Distributed FD build over the embeddings table: spectral bound
+    vs the exact Gram, row accounting, partitioning invariance."""
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    rows = np.stack([np.asarray(r["embedding"], dtype=np.float64)
+                     for r in emb.select("embedding").collect()])
+    gram = rows.T @ rows
+    frob2 = float((rows ** 2).sum())
+    for parts in (3, 9):
+        fd, _ = build_sketch(
+            emb.repartition(parts),
+            SketchSpec.make("fd", "embedding", l=16, d=64))
+        assert fd.n_rows == rows.shape[0]
+        assert abs(fd.frob2 - frob2) <= 1e-9 * frob2
+        err = float(np.linalg.norm(gram - fd.gram(), 2))
+        assert err <= frob2 / 16
+
+
+def test_token_containment_grid_exact_and_bloom_guarantees(spark):
+    """Known-overlap corpora: exact containment is right, the Bloom
+    estimate never loses a member (est >= exact), and the grid is
+    symmetric in the intersection but directional in the ratio."""
+    from facs_spark.ops.contamination import token_containment_grid
+    rows = [
+        # en vocabulary: a b c d   — de: c d e   — fr: d f
+        (1, "en", "a b c d"),
+        (2, "en", "a b"),
+        (3, "de", "c d e"),
+        (4, "fr", "d f"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, lang string, text string")
+    out = {(r["lang_a"], r["lang_b"]): r for r in
+           token_containment_grid(docs).collect()}
+    assert out[("en", "de")]["exact_overlap"] == 2          # {c, d}
+    assert out[("de", "en")]["exact_overlap"] == 2
+    assert out[("en", "fr")]["exact_overlap"] == 1          # {d}
+    assert out[("fr", "de")]["exact_overlap"] == 1          # {d}
+    assert out[("en", "de")]["distinct_a"] == 4
+    assert out[("de", "en")]["distinct_a"] == 3
+    assert abs(out[("de", "en")]["containment"] - 2 / 3) < 1e-6  # ROUND 6
+    for r in out.values():
+        assert r["est_overlap"] >= r["exact_overlap"]       # zero FN
+        assert r["within_bound"]
+    # pairs with zero overlap are absent by contract (inner join)
+    assert ("fr", "en") in out and out[("fr", "en")]["exact_overlap"] == 1
