@@ -39,7 +39,7 @@ PARTIAL_SCHEMA = ("partition_id long, rows_seen long, wall_ms double, "
 class SketchSpec:
     """Picklable recipe: which sketch, over which column, how to feed it.
 
-    kind: bloom | hll | cms | tdigest | kll | theta | mg | fd
+    kind: bloom | hll | cms | tdigest | kll | theta | mg | fd | ams | cbf
     prep: how batch values are fed to ``update_batch``:
       * "kgram"  — shingle text into k-gram windows (bloom only)
       * "tokens" — whitespace-split text into tokens
@@ -85,6 +85,15 @@ class SketchSpec:
         if self.kind == "fd":
             from ..sketch.fd import FrequentDirections
             return FrequentDirections(l=p.get("l", 32), d=p.get("d", 64))
+        if self.kind == "ams":
+            from ..sketch.ams import AmsF2
+            return AmsF2(r=p.get("r", 5), c=p.get("c", 256),
+                         seed=p.get("seed", 0))
+        if self.kind == "cbf":
+            from ..sketch.cbf import CountingBloom
+            return CountingBloom.create(
+                capacity=p.get("capacity", 1_000_000),
+                error_rate=p.get("error_rate", 0.0005))
         raise ValueError(f"unknown sketch kind {self.kind!r}")
 
     def blob_bytes(self) -> int:
@@ -111,6 +120,14 @@ class SketchSpec:
         if self.kind == "fd":
             # to_bytes shrinks to l rows of d doubles before shipping
             return p.get("l", 32) * p.get("d", 64) * 8 + 64
+        if self.kind == "ams":
+            return p.get("r", 5) * p.get("c", 256) * 8 + 64
+        if self.kind == "cbf":
+            from ..sketch.cbf import CountingBloom
+            probe = CountingBloom.create(
+                capacity=p.get("capacity", 1_000_000),
+                error_rate=p.get("error_rate", 0.0005))
+            return probe.m * 2 + 64
         return 64 * 1024  # t-digest/KLL: small, bounded
 
     def update(self, sketch, series: pd.Series) -> int:

@@ -3734,6 +3734,107 @@ ORDER BY i.lang_a, i.lang_b
 
 
 # =====================================================================
+# q83 — AMS F2 (self-join size) of the token stream, gated by the
+# published tug-of-war bound (sketch/ams.py).  The sketch builds
+# map-side over the same single-space token multiset as q06 and
+# tree-merges linearly; the checked columns are exact (sum of squared
+# token counts + distinct tokens) plus the AMS verdict
+# |est − F2| ≤ sqrt(16/c)·F2.  F2 is THE quantity that prices a
+# token-key equi-join at 100 TB — estimating it in r·c counters is
+# what lets a planner pick broadcast/salt/shuffle without a first
+# pass over the data.
+# =====================================================================
+def q83_ams_f2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _read(spark, sf_dir, "documents")
+    ams, _ = build_sketch(docs, SketchSpec.make(
+        "ams", "text", prep="tokens", r=5, c=256, seed=42))
+    tokens = (docs.select(F.explode(F.split(F.col("text"), " "))
+                          .alias("token"))
+              .filter(F.col("token") != ""))
+    row = (tokens.groupBy("token").agg(F.count(F.lit(1)).alias("cnt"))
+           .agg(F.sum(F.col("cnt") * F.col("cnt")).alias("exact_f2"),
+                F.count(F.lit(1)).alias("distinct_tokens"))
+           ).collect()[0]
+    est = ams.estimate()
+    ok = abs(est - row["exact_f2"]) <= ams.error_bound() * row["exact_f2"]
+    import pandas as pd
+    return spark.createDataFrame(
+        pd.DataFrame({"exact_f2": [int(row["exact_f2"])],
+                      "distinct_tokens": [int(row["distinct_tokens"])],
+                      "within_bound": [bool(ok)]}),
+        schema="exact_f2 long, distinct_tokens long, within_bound boolean")
+
+
+Q83_SQL = """
+SELECT CAST(SUM(cnt * cnt) AS BIGINT) AS exact_f2,
+       CAST(COUNT(*) AS BIGINT) AS distinct_tokens,
+       TRUE AS within_bound
+FROM (SELECT COUNT(*) AS cnt
+      FROM (SELECT unnest(string_split(text, ' ')) AS token
+            FROM documents)
+      WHERE token <> ''
+      GROUP BY token)
+"""
+
+
+# =====================================================================
+# q84 — counting-Bloom revocation semi-join (sketch/cbf.py): the
+# reference's remove flow (`facs/remove.c:34-96`) needs a full filter
+# REBUILD to revoke a contaminant; a counting Bloom makes revocation
+# a decrement.  Build the CBF over AUTOMOBILE customer keys
+# (distributed partials, tree saturating-add merge), revoke every
+# 7th key with remove_batch (the small revocation list — same shape
+# as the reference's contaminated-id list), broadcast the net filter,
+# and probe orders map-side: no join exchange, only the per-priority
+# counters shuffle.  With EXACT_E sizing the FP mass is ~0 so the
+# output is exact membership-after-revocation.
+# =====================================================================
+def q84_cbf_revoked_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import numpy as np
+    cust = _read(spark, sf_dir, "customer")
+    orders = _read(spark, sf_dir, "orders")
+    allowed = (cust.filter(F.col("c_mktsegment") == "AUTOMOBILE")
+               .select("c_custkey").distinct())
+    n_keys = allowed.count()
+    cbf, _ = build_sketch(allowed, SketchSpec.make(
+        "cbf", "c_custkey", prep="raw",
+        capacity=max(n_keys, 1), error_rate=EXACT_E))
+    revoked = [r[0] for r in
+               allowed.filter(F.col("c_custkey") % 7 == 0).collect()]
+    if revoked:
+        cbf.remove_batch(np.asarray(revoked, dtype=np.int64))
+    bc = spark.sparkContext.broadcast(cbf.to_bytes())
+
+    def probe_kernel(iterator):
+        import pandas as pd
+        from facs_spark.sketch import sketch_from_bytes as sfb
+        filt = sfb(bc.value)
+        for batch in iterator:
+            keys = batch["o_custkey"].to_numpy(dtype=np.int64)
+            yield pd.DataFrame({
+                "o_orderpriority": batch["o_orderpriority"],
+                "is_member": filt.contains_batch(keys)})
+
+    from .session import ensure_shipped
+    ensure_shipped(spark)
+    probed = orders.select("o_custkey", "o_orderpriority").mapInPandas(
+        probe_kernel, schema="o_orderpriority string, is_member boolean")
+    return (probed.filter(F.col("is_member"))
+            .groupBy("o_orderpriority")
+            .agg(F.count(F.lit(1)).alias("n_orders"))
+            .orderBy("o_orderpriority"))
+
+
+Q84_SQL = """
+SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS n_orders
+FROM orders JOIN customer ON o_custkey = c_custkey
+WHERE c_mktsegment = 'AUTOMOBILE' AND c_custkey % 7 <> 0
+GROUP BY o_orderpriority
+ORDER BY o_orderpriority
+"""
+
+
+# =====================================================================
 # registry
 # =====================================================================
 def queries():
@@ -3828,6 +3929,8 @@ def queries():
         "q80_mg_heavy_hitters": q80_mg_heavy_hitters,
         "q81_fd_covariance": q81_fd_covariance,
         "q82_containment_grid": q82_containment_grid,
+        "q83_ams_f2": q83_ams_f2,
+        "q84_cbf_revoked_filter": q84_cbf_revoked_filter,
     }
     return dict(reversed(list(ordered.items())))
 
@@ -3927,6 +4030,8 @@ def oracle_sql():
         "q80_mg_heavy_hitters": Q80_SQL,
         "q81_fd_covariance": Q81_SQL,
         "q82_containment_grid": Q82_SQL,
+        "q83_ams_f2": Q83_SQL,
+        "q84_cbf_revoked_filter": Q84_SQL,
     }
 
 

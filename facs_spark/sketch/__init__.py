@@ -7,7 +7,9 @@ heavy hitters), and Frequent Directions (matrix/covariance sketch)
 / ``from_bytes`` and a published error bound, per SURVEY.md §2.4.
 """
 
+from .ams import AmsF2
 from .bloom import BloomFilter
+from .cbf import CountingBloom
 from .cms import CountMinSketch
 from .fd import FrequentDirections
 from .hll import HyperLogLog
@@ -28,6 +30,8 @@ SKETCH_TYPES = {
     ThetaSketch.MAGIC: ThetaSketch,
     MisraGries.MAGIC: MisraGries,
     FrequentDirections.MAGIC: FrequentDirections,
+    AmsF2.MAGIC: AmsF2,
+    CountingBloom.MAGIC: CountingBloom,
 }
 
 
@@ -42,7 +46,8 @@ def sketch_from_bytes(blob: bytes):
 
 __all__ = [
     "BloomFilter", "HyperLogLog", "CountMinSketch", "TDigest", "KLL",
-    "ThetaSketch", "MisraGries", "FrequentDirections",
+    "ThetaSketch", "MisraGries", "FrequentDirections", "AmsF2",
+    "CountingBloom",
     "BloomStat", "bloom_fpr", "facs_sizing", "standard_sizing",
     "find_close_prime", "is_prime", "kmer_suggestion", "mco_suggestion",
     "prob_suggestion", "sketch_from_bytes", "SKETCH_TYPES",

@@ -556,3 +556,107 @@ def test_fd_psd_underestimate_and_roundtrip():
     fd2 = FrequentDirections(l=6, d=16)
     fd2.update_batch(low)
     assert np.allclose(fd2.gram(), low.T @ low, atol=1e-6)
+
+
+# --------------------------------------------------------------- AMS
+def test_ams_bound_and_linearity():
+    from facs_spark.sketch import AmsF2
+    r = np.random.default_rng(16)
+    freqs = np.minimum(r.zipf(1.4, 8_000), 1_000).astype(np.int64)
+    items = np.repeat(np.arange(freqs.size, dtype=np.int64), freqs)
+    r.shuffle(items)
+    f2 = float((freqs.astype(np.float64) ** 2).sum())
+    a = AmsF2(r=5, c=256, seed=42)
+    for lo in range(0, items.size, 7_919):
+        a.update_batch(items[lo:lo + 7_919])
+    assert a.total == items.size
+    assert abs(a.estimate() - f2) <= a.error_bound() * f2
+    # z is linear: weighted update == repeated update
+    b = AmsF2(r=5, c=256, seed=42)
+    b.update_batch(np.arange(freqs.size, dtype=np.int64), weights=freqs)
+    assert np.array_equal(a.z, b.z) and a.total == b.total
+
+
+def test_ams_merge_equals_single_pass_any_tree():
+    from facs_spark.sketch import AmsF2
+    r = np.random.default_rng(17)
+    items = r.integers(0, 3_000, size=50_000).astype(np.int64)
+    whole = AmsF2(r=4, c=128, seed=7)
+    whole.update_batch(items)
+    parts = np.array_split(items, 9)
+    sks = []
+    for p in parts:
+        s = AmsF2(r=4, c=128, seed=7)
+        s.update_batch(p)
+        sks.append(s)
+    while len(sks) > 1:  # pairwise tree
+        sks = [sks[i].merge(sks[i + 1]) if i + 1 < len(sks) else sks[i]
+               for i in range(0, len(sks), 2)]
+    assert np.array_equal(sks[0].z, whole.z)
+    assert sks[0].total == whole.total
+    back = sketch_from_bytes(whole.to_bytes())
+    assert np.array_equal(back.z, whole.z)
+    assert back.estimate() == whole.estimate()
+    import pytest
+    with pytest.raises(ValueError):
+        whole.merge(AmsF2(r=4, c=128, seed=8))  # different sign hashes
+
+
+def test_ams_string_and_int_keys_consistent():
+    from facs_spark.sketch import AmsF2
+    a = AmsF2(r=3, c=64, seed=1)
+    a.update_batch(["x", "y", "x", "z"])
+    b = AmsF2(r=3, c=64, seed=1)
+    b.update_batch(["x", "x"])
+    b2 = AmsF2(r=3, c=64, seed=1)
+    b2.update_batch(["y", "z"])
+    assert np.array_equal(a.z, b.merge(b2).z)
+
+
+# --------------------------------------------------------------- CBF
+def test_cbf_delete_keeps_bloom_contract():
+    from facs_spark.sketch import CountingBloom
+    keys = np.arange(20_000, dtype=np.int64)
+    cbf = CountingBloom.create(capacity=20_000, error_rate=1e-3)
+    cbf.add_batch(keys)
+    cbf.remove_batch(keys[::2])
+    mem = cbf.contains_batch(keys)
+    assert mem[1::2].all()              # zero false negatives for kept
+    aliens = np.arange(10**6, 10**6 + 20_000, dtype=np.int64)
+    fpr = cbf.contains_batch(aliens).mean()
+    assert fpr <= 5 * cbf.fpr() + 1e-3  # FPR near the load-factor bound
+    assert not cbf.saturated and not cbf.underflowed
+    cbf.remove_batch(np.array([10**7], dtype=np.int64))
+    assert cbf.underflowed              # bad revoke observable, not silent
+
+
+def test_cbf_merge_is_saturating_add_and_roundtrips():
+    from facs_spark.sketch import CountingBloom
+    a = CountingBloom.create(capacity=1_000, error_rate=1e-4)
+    b = CountingBloom(m=a.m, k=a.k)
+    a.add_batch(np.arange(0, 500, dtype=np.int64))
+    b.add_batch(np.arange(500, 1_000, dtype=np.int64))
+    whole = CountingBloom(m=a.m, k=a.k)
+    whole.add_batch(np.arange(0, 1_000, dtype=np.int64))
+    merged = a.merge(b)
+    assert np.array_equal(merged.counters, whole.counters)
+    assert merged.inserts == whole.inserts == 1_000
+    back = sketch_from_bytes(merged.to_bytes())
+    assert np.array_equal(back.counters, merged.counters)
+    assert back.inserts == merged.inserts
+    import pytest
+    with pytest.raises(ValueError):
+        merged.merge(CountingBloom(m=merged.m + 8, k=merged.k))
+
+
+def test_cbf_batch_dedup_multiset_insensitive():
+    from facs_spark.sketch import CountingBloom
+    a = CountingBloom(m=1 << 12, k=4)
+    a.add_batch(np.array([5, 5, 5, 9], dtype=np.int64))
+    b = CountingBloom(m=1 << 12, k=4)
+    b.add_batch(np.array([5, 9], dtype=np.int64))
+    assert np.array_equal(a.counters, b.counters)
+    a.remove_batch(np.array([5, 5], dtype=np.int64))  # dedup on remove too
+    assert not a.contains_batch(np.array([5], dtype=np.int64))[0]
+    assert a.contains_batch(np.array([9], dtype=np.int64))[0]
+    assert not a.underflowed

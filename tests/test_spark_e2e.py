@@ -374,3 +374,42 @@ def test_token_containment_grid_exact_and_bloom_guarantees(spark):
         assert r["within_bound"]
     # pairs with zero overlap are absent by contract (inner join)
     assert ("fr", "en") in out and out[("fr", "en")]["exact_overlap"] == 1
+
+
+def test_ams_distributed_build_partitioning_invariant(spark):
+    """AMS z is linear in the multiset, so the distributed sketch is
+    BIT-IDENTICAL for any partitioning — and its estimate sits inside
+    the published sqrt(16/c) bound vs the exact F2."""
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    toks = (docs.select(F.explode(F.split("text", " ")).alias("t"))
+            .filter(F.col("t") != ""))
+    f2 = (toks.groupBy("t").agg(F.count(F.lit(1)).alias("c"))
+          .agg(F.sum(F.col("c") * F.col("c"))).collect()[0][0])
+    spec = SketchSpec.make("ams", "text", prep="tokens",
+                           r=5, c=256, seed=42)
+    zs = []
+    for parts in (2, 13):
+        ams, _ = build_sketch(docs.repartition(parts), spec)
+        assert abs(ams.estimate() - f2) <= ams.error_bound() * f2
+        zs.append(ams.z.copy())
+    assert np.array_equal(zs[0], zs[1])
+
+
+def test_cbf_distributed_build_then_revoke_exact(spark):
+    """Distributed CBF build over distinct customer keys, driver-side
+    revocation, broadcast probe: kept keys always member (zero FN),
+    revoked keys all non-member at EXACT_E sizing."""
+    cust = spark.read.parquet(f"{SF}/customer.parquet")
+    allowed = (cust.filter(F.col("c_mktsegment") == "AUTOMOBILE")
+               .select("c_custkey").distinct())
+    keys = np.array([r[0] for r in allowed.collect()], dtype=np.int64)
+    cbf, _ = build_sketch(allowed, SketchSpec.make(
+        "cbf", "c_custkey", prep="raw",
+        capacity=max(keys.size, 1), error_rate=1e-9))
+    assert cbf.inserts == keys.size
+    revoked = keys[keys % 7 == 0]
+    cbf.remove_batch(revoked)
+    kept = keys[keys % 7 != 0]
+    assert cbf.contains_batch(kept).all()
+    assert not cbf.contains_batch(revoked).any()
+    assert not cbf.underflowed and not cbf.saturated
