@@ -15,6 +15,7 @@ kernel) since sketch rows are few and wide.
 
 from __future__ import annotations
 
+import numpy as np
 import pandas as pd
 from pyspark.sql import SparkSession
 from pyspark.sql.functions import pandas_udf
@@ -94,6 +95,43 @@ def register_sql_functions(spark: SparkSession) -> None:
             out.append(hit)
         return pd.Series(out)
 
+    @pandas_udf("long")
+    def mg_estimate(blobs: pd.Series, keys: pd.Series) -> pd.Series:
+        cache: dict = {}
+        out = []
+        for b, k in zip(blobs, keys):
+            sk = _sketch_of(b, cache)
+            key = int(k) if isinstance(k, (int, np.integer)) else str(k)
+            out.append(int(sk.estimate(key)))
+        return pd.Series(out)
+
+    @pandas_udf("long")
+    def mg_error_bound(blobs: pd.Series) -> pd.Series:
+        cache: dict = {}
+        # MG's error_bound is a property (N/(k+1)), not a method
+        return pd.Series([int(_sketch_of(b, cache).error_bound)
+                          for b in blobs])
+
+    @pandas_udf("double")
+    def ams_f2(blobs: pd.Series) -> pd.Series:
+        cache: dict = {}
+        return pd.Series([_sketch_of(b, cache).estimate() for b in blobs])
+
+    @pandas_udf("boolean")
+    def cbf_contains(blobs: pd.Series, keys: pd.Series) -> pd.Series:
+        cache: dict = {}
+        out = []
+        for b, k in zip(blobs, keys):
+            sk = _sketch_of(b, cache)
+            key = np.asarray([int(k)], dtype=np.int64) \
+                if isinstance(k, (int, np.integer)) else [str(k)]
+            out.append(bool(sk.contains_batch(key)[0]))
+        return pd.Series(out)
+
+    spark.udf.register("mg_estimate", mg_estimate)
+    spark.udf.register("mg_error_bound", mg_error_bound)
+    spark.udf.register("ams_f2", ams_f2)
+    spark.udf.register("cbf_contains", cbf_contains)
     spark.udf.register("hll_estimate", hll_estimate)
     spark.udf.register("kll_quantile", kll_quantile)
     spark.udf.register("tdigest_quantile", tdigest_quantile)
@@ -139,4 +177,10 @@ def sketch_agg_udfs() -> dict:
             SketchSpec.make("tdigest", "_", delta=200.0)),
         "theta_agg": sketch_agg_udf(
             SketchSpec.make("theta", "_", k=4096)),
+        "mg_agg": sketch_agg_udf(SketchSpec.make("mg", "_", k=1024)),
+        "ams_agg": sketch_agg_udf(
+            SketchSpec.make("ams", "_", r=5, c=256, seed=0)),
+        "cbf_agg": sketch_agg_udf(
+            SketchSpec.make("cbf", "_", capacity=1_000_000,
+                            error_rate=1e-6)),
     }

@@ -3835,6 +3835,42 @@ ORDER BY o_orderpriority
 
 
 # =====================================================================
+# q85 — AMS join-size estimation (sketch/ams.py inner_product):
+# price the click⋈view user_id equi-join WITHOUT executing it — one
+# map-side sketch pass per side, then ⟨z_a, z_b⟩ estimates
+# Σ f_a(u)·f_b(u) within ε·sqrt(F2a·F2b) (AMS §3.3).  This is the
+# statistic a 100-TB planner needs to choose broadcast vs salt vs
+# plain shuffle BEFORE scheduling the exchange; the exact verifier
+# runs the join for the gate.
+# =====================================================================
+def q85_ams_join_size(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = _read(spark, sf_dir, "events")
+    spec = SketchSpec.make("ams", "user_id", prep="raw",
+                           r=5, c=256, seed=9)
+    clicks = events.filter(F.col("event_type") == "click")
+    views = events.filter(F.col("event_type") == "view")
+    a, _ = build_sketch(clicks, spec)
+    b, _ = build_sketch(views, spec)
+    est = a.inner_product(b)
+    bound = a.inner_product_bound(b)
+    exact = (clicks.select("user_id").join(views.select("user_id"),
+                                           "user_id").count())
+    import pandas as pd
+    return spark.createDataFrame(
+        pd.DataFrame({"exact_join_size": [int(exact)],
+                      "within_bound": [bool(abs(est - exact) <= bound)]}),
+        schema="exact_join_size long, within_bound boolean")
+
+
+Q85_SQL = """
+SELECT CAST(COUNT(*) AS BIGINT) AS exact_join_size, TRUE AS within_bound
+FROM (SELECT user_id FROM events WHERE event_type = 'click') a
+JOIN (SELECT user_id FROM events WHERE event_type = 'view') b
+USING (user_id)
+"""
+
+
+# =====================================================================
 # registry
 # =====================================================================
 def queries():
@@ -3843,7 +3879,7 @@ def queries():
     # at 50 entries (round 5 recorded exactly q01-q50 of 74), so the
     # newest, least-proven operators must sit inside the gate.  The
     # queries left past the cap each round are the longest-green ones
-    # (q01-q29 here: driver-green since rounds 1-3), and the full
+    # (q01-q35 here: driver-green since rounds 1-3), and the full
     # registry stays strict-checked at sf0.001/0.01/0.1 via
     # tools/check_correctness.py regardless of driver order.
     ordered = {
@@ -3931,6 +3967,7 @@ def queries():
         "q82_containment_grid": q82_containment_grid,
         "q83_ams_f2": q83_ams_f2,
         "q84_cbf_revoked_filter": q84_cbf_revoked_filter,
+        "q85_ams_join_size": q85_ams_join_size,
     }
     return dict(reversed(list(ordered.items())))
 
@@ -4032,6 +4069,7 @@ def oracle_sql():
         "q82_containment_grid": Q82_SQL,
         "q83_ams_f2": Q83_SQL,
         "q84_cbf_revoked_filter": Q84_SQL,
+        "q85_ams_join_size": Q85_SQL,
     }
 
 

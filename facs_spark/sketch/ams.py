@@ -112,6 +112,27 @@ class AmsF2:
         """Relative ε with failure prob ≤ 2^(−r/2): ε = sqrt(16/c)."""
         return math.sqrt(16.0 / self.c)
 
+    def inner_product(self, other: "AmsF2") -> float:
+        """Join-size estimate ⟨f_self, f_other⟩ = Σ_x f_a(x)·f_b(x)
+        WITHOUT executing the join (AMS §3.3): E[z_a·z_b] is the
+        inner product when both sketches share the sign hashes, with
+        |est − ⟨f_a,f_b⟩| ≤ ε·sqrt(F2(a)·F2(b)), ε = sqrt(16/c) —
+        one streaming pass per side prices an equi-join before any
+        shuffle is scheduled."""
+        if (self.r, self.c, self.seed) != (other.r, other.c, other.seed):
+            raise ValueError("inner_product needs identical AMS params")
+        prod = (self.z.astype(np.float64)
+                * other.z.astype(np.float64)).reshape(self.r, self.c)
+        return float(np.median(prod.mean(axis=1)))
+
+    def inner_product_bound(self, other: "AmsF2") -> float:
+        """ε·sqrt(F2a·F2b), F2s from the sketches themselves (each
+        inflated by its own ε so the gate stays a published bound)."""
+        eps = self.error_bound()
+        f2a = self.estimate() * (1.0 + eps)
+        f2b = other.estimate() * (1.0 + eps)
+        return eps * math.sqrt(max(f2a, 0.0) * max(f2b, 0.0))
+
     # -- merge -------------------------------------------------------
     def merge(self, other: "AmsF2") -> "AmsF2":
         if (self.r, self.c, self.seed) != (other.r, other.c, other.seed):

@@ -26,8 +26,8 @@ OUT_DDL = ("group_key string, rows_seen long, estimate double, "
 def streaming_grouped_sketch(pages: DataFrame, spec,
                              key_col: str = "lang") -> DataFrame:
     """Per-group running sketch over a stream — any ``SketchSpec``
-    (bloom / hll / cms / tdigest / kll / theta; the spec's ``update``
-    is the same code the batch UDAF runs).
+    (bloom / hll / cms / tdigest / kll / theta / mg / ams / cbf; the
+    spec's ``update`` is the same code the batch UDAF runs).
 
     Emits one row per group per micro-batch with the cumulative
     ``rows_seen``, a scalar ``estimate`` (distinct count for HLL,
@@ -40,7 +40,12 @@ def streaming_grouped_sketch(pages: DataFrame, spec,
 
     def scalar_estimate(sk) -> float:
         if hasattr(sk, "estimate"):
-            return float(sk.estimate())
+            try:
+                return float(sk.estimate())
+            except TypeError:
+                # Misra-Gries: estimate(key) is per-key; the scalar
+                # monitor column reports tracked-entry count instead
+                return float(len(sk.counters))
         if hasattr(sk, "quantile"):
             try:
                 return float(sk.quantile(0.5))

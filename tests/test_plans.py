@@ -436,3 +436,32 @@ def test_bigram_lm_pair_stream_joins_once(spark):
                  "ShuffledHashJoin"))
     assert joins == 2, plan
     assert "BroadcastNestedLoopJoin" not in plan, plan
+
+
+def test_ams_build_is_map_side_only(spark):
+    """The AMS sketch builds as per-partition partials + driver-side
+    tree merge — the BUILD stage has zero exchanges; only the exact
+    verifier (a separate branch) shuffles.  Here we pin the partial
+    frame itself: one Arrow map over the scan, no Exchange."""
+    from facs_spark.ops.sketch_agg import SketchSpec, partial_sketches
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    spec = SketchSpec.make("ams", "text", prep="tokens", r=4, c=128)
+    plan = _formatted(partial_sketches(docs, spec))
+    assert _n_nodes(plan, "Exchange") == 0, plan
+    assert "MapInPandas" in plan or "ArrowEvalPython" in plan or \
+        "FlatMapGroupsInPandas" in plan, plan
+
+
+def test_cbf_probe_has_no_join_exchange(spark):
+    """q84: membership-after-revocation runs as a broadcast-blob map
+    over orders — the plan holds NO join; the only exchange is the
+    per-priority counter aggregation (narrow key)."""
+    from facs_spark.queries import q84_cbf_revoked_filter
+    plan = _formatted(q84_cbf_revoked_filter(spark, SF))
+    assert _n_nodes(plan, "BroadcastHashJoin") == 0
+    assert _n_nodes(plan, "SortMergeJoin") == 0
+    assert "NestedLoop" not in plan and "Cartesian" not in plan
+    # counters-only shuffle: keyed by o_orderpriority, never o_custkey
+    import re
+    keys = re.findall(r"hashpartitioning\(([^#)]*)#", plan)
+    assert all(k.strip() == "o_orderpriority" for k in keys), keys

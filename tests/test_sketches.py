@@ -660,3 +660,25 @@ def test_cbf_batch_dedup_multiset_insensitive():
     assert not a.contains_batch(np.array([5], dtype=np.int64))[0]
     assert a.contains_batch(np.array([9], dtype=np.int64))[0]
     assert not a.underflowed
+
+
+def test_ams_inner_product_join_size_bound():
+    from facs_spark.sketch import AmsF2
+    r = np.random.default_rng(19)
+    ka = r.integers(0, 800, 5_000).astype(np.int64)
+    kb = r.integers(0, 800, 4_000).astype(np.int64)
+    fa = np.bincount(ka, minlength=800)
+    fb = np.bincount(kb, minlength=800)
+    true = float((fa * fb).sum())
+    a = AmsF2(r=5, c=256, seed=9)
+    a.update_batch(ka)
+    b = AmsF2(r=5, c=256, seed=9)
+    b.update_batch(kb)
+    assert abs(a.inner_product(b) - true) <= a.inner_product_bound(b)
+    # symmetric, and self inner product == F2 estimate path
+    assert a.inner_product(b) == b.inner_product(a)
+    f2a = float((fa.astype(np.float64) ** 2).sum())
+    assert abs(a.inner_product(a) - f2a) <= a.error_bound() * f2a
+    import pytest
+    with pytest.raises(ValueError):
+        a.inner_product(AmsF2(r=5, c=256, seed=10))

@@ -413,3 +413,31 @@ def test_cbf_distributed_build_then_revoke_exact(spark):
     assert cbf.contains_batch(kept).all()
     assert not cbf.contains_batch(revoked).any()
     assert not cbf.underflowed and not cbf.saturated
+
+
+def test_round6_sketch_sql_surface(spark, docs):
+    """mg_agg/ams_agg/cbf_agg + their readers in pure SQL: MG obeys
+    est <= true <= est + bound on the top token, AMS sits inside its
+    F2 bound, CBF membership is exact at the tiny-FPR sizing."""
+    from facs_spark.functions import register_sql_functions
+    register_sql_functions(spark)
+    toks = (docs.select(F.explode(F.split("text", " ")).alias("t"))
+            .filter(F.col("t") != ""))
+    toks.createOrReplaceTempView("toks_r6")
+    top = (toks.groupBy("t").agg(F.count(F.lit(1)).alias("c"))
+           .orderBy(F.desc("c"), "t").limit(1).collect()[0])
+    row = spark.sql(
+        "SELECT mg_estimate(s, %r) AS est, mg_error_bound(s) AS b, "
+        "ams_f2(a) AS f2 FROM (SELECT mg_agg(t) AS s, ams_agg(t) AS a "
+        "FROM toks_r6)" % top["t"]).collect()[0]
+    assert row["est"] <= top["c"] <= row["est"] + row["b"]
+    f2_exact = (toks.groupBy("t").agg(F.count(F.lit(1)).alias("c"))
+                .agg(F.sum(F.col("c") * F.col("c"))).collect()[0][0])
+    assert abs(row["f2"] - f2_exact) <= 0.25 * f2_exact  # c=256 bound
+    docs.createOrReplaceTempView("docs_r6")
+    mem = spark.sql(
+        "WITH f AS (SELECT cbf_agg(doc_id) AS s FROM docs_r6 "
+        "           WHERE doc_id % 3 = 0) "
+        "SELECT d.doc_id % 3 = 0 AS should, cbf_contains(f.s, d.doc_id) "
+        "       AS got FROM docs_r6 d CROSS JOIN f").collect()
+    assert all(r["should"] == r["got"] for r in mem)

@@ -330,3 +330,44 @@ def test_streaming_dedup_drops_replays_and_evicts(spark, tmp_path):
     last = prog[-1]["stateOperators"][0]
     assert last["numRowsTotal"] <= 5, \
         f"dedup state kept {last['numRowsTotal']} keys; eviction broken"
+
+
+def test_streaming_grouped_sketch_mg(spark, pages_dir, tmp_path):
+    """Streaming Misra-Gries per lang: after the stream drains, the
+    state-store summary obeys est <= true <= est + N/(k+1) against
+    the exact batch token counts — the merge-soundness property
+    (state' = merge(state, sketch(batch))) for an UNDERCOUNT-only
+    sketch, plus the scalar monitor column (tracked-entry count)."""
+    from facs_spark.ops.sketch_agg import SketchSpec
+    from facs_spark.streaming.monitor import stream_pages
+    from facs_spark.streaming.stateful import streaming_grouped_sketch
+
+    stream = stream_pages(spark, f"{pages_dir}/*.parquet")
+    spec = SketchSpec.make("mg", "text", prep="tokens", k=256)
+    running = streaming_grouped_sketch(stream, spec, key_col="lang")
+    q = (running.writeStream.outputMode("update").format("memory")
+         .queryName("mg_state")
+         .option("checkpointLocation", str(tmp_path / "ckpt_mg"))
+         .trigger(availableNow=True).start())
+    q.awaitTermination()
+    final = {}
+    for r in spark.sql("SELECT * FROM mg_state").collect():
+        if (r["group_key"] not in final
+                or r["rows_seen"] > final[r["group_key"]]["rows_seen"]):
+            final[r["group_key"]] = r
+    docs = spark.read.parquet(f"{pages_dir}/*.parquet")
+    toks = (docs.select("lang",
+                        F.explode(F.split("text", " ")).alias("t"))
+            .filter(F.col("t") != ""))
+    from facs_spark.sketch import sketch_from_bytes
+    for lang, r in final.items():
+        sk = sketch_from_bytes(bytes(r["sketch"]))
+        assert r["estimate"] == float(len(sk.counters)) <= 256
+        grp = toks.filter(F.col("lang") == lang)
+        n_tok = grp.count()
+        assert sk.total == n_tok
+        top = (grp.groupBy("t").agg(F.count(F.lit(1)).alias("c"))
+               .orderBy(F.desc("c"), "t").limit(20).collect())
+        for row in top:
+            est = sk.estimate(row["t"])
+            assert est <= row["c"] <= est + sk.error_bound
