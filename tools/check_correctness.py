@@ -9,7 +9,13 @@ SUM(int) as HUGEINT → float64) fails here even when the values
 compare equal — the round-1 failure mode this tool originally missed.
 Integer-width differences (int32 vs int64) hash identically and pass.
 
-Usage: python tools/check_correctness.py [--strict] [sf_dir] [query ...]
+``--json PATH`` additionally writes a driver-CORRECTNESS-style record
+(one entry per checked query: rows/schema/hash matches, row counts,
+err, wall seconds) so full-sweep evidence is a committable artifact,
+not just console scrollback.
+
+Usage: python tools/check_correctness.py [--strict] [--json PATH]
+       [sf_dir] [query ...]
 """
 
 from __future__ import annotations
@@ -68,8 +74,14 @@ def main() -> int:
     import __spark_entry__ as e
     from facs_spark.session import get_spark
 
-    args = [a for a in sys.argv[1:] if a != "--strict"]
-    strict = "--strict" in sys.argv[1:]
+    argv = sys.argv[1:]
+    json_path = None
+    if "--json" in argv:
+        i = argv.index("--json")
+        json_path = argv[i + 1]
+        argv = argv[:i] + argv[i + 2:]
+    args = [a for a in argv if a != "--strict"]
+    strict = "--strict" in argv
     sf_dir = args[0] if args else "/root/testdata/sf0.01"
     only = set(args[1:])
     spark = get_spark(cpus=8)
@@ -81,6 +93,22 @@ def main() -> int:
     qs = e.queries()
     oracles = e.oracle_sql()
     failures = 0
+    record: dict = {}
+
+    def note(name, *, spark_rows=None, oracle_rows=None, err=None,
+             hash_ok=None, wall=None, problems=()):
+        record[name] = {
+            "rows_match": (spark_rows == oracle_rows
+                           if None not in (spark_rows, oracle_rows)
+                           else None),
+            "schema_match": err is None and not any(
+                p.startswith("columns") for p in problems),
+            "hash_match": hash_ok,
+            "spark_rows": spark_rows, "oracle_rows": oracle_rows,
+            "err": err or ("; ".join(problems) or None),
+            "wall_sec": None if wall is None else round(wall, 2),
+        }
+
     for name, fn in qs.items():
         if only and name not in only:
             continue
@@ -90,17 +118,20 @@ def main() -> int:
             got = normalize(raw_got)
         except Exception as ex:  # noqa: BLE001
             print(f"FAIL {name}: spark error: {ex}")
+            note(name, err=f"spark error: {ex}")
             failures += 1
             continue
         dt = time.time() - t0
         if name not in oracles:
             print(f"ok?  {name}: rows={len(got)} (rows-only, no oracle) [{dt:.1f}s]")
+            note(name, spark_rows=len(got), wall=dt)
             continue
         try:
             raw_want = con.execute(oracles[name]).df()
             want = normalize(raw_want)
         except Exception as ex:  # noqa: BLE001
             print(f"FAIL {name}: duckdb error: {ex}")
+            note(name, spark_rows=len(got), err=f"duckdb error: {ex}")
             failures += 1
             continue
         problems = []
@@ -129,12 +160,24 @@ def main() -> int:
                     problems.append(
                         f"col {c}: {len(bad)} mismatches, first at row {i}: "
                         f"{got[c].iloc[i]!r} != {want[c].iloc[i]!r}")
+        hash_ok = (not strict) or not any(
+            "value-hash" in p for p in problems)
+        note(name, spark_rows=len(got), oracle_rows=len(want),
+             hash_ok=hash_ok if strict else None, wall=dt,
+             problems=problems)
         if problems:
             failures += 1
             print(f"FAIL {name}: " + "; ".join(problems))
         else:
             print(f"PASS {name}: rows={len(got)} [{dt:.1f}s]")
     spark.stop()
+    if json_path:
+        import json
+        with open(json_path, "w") as fh:
+            json.dump({"sf_dir": sf_dir, "strict": strict,
+                       "n_checked": len(record), "failures": failures,
+                       "queries": record}, fh, indent=1)
+        print("wrote", json_path)
     print("failures:", failures)
     return 1 if failures else 0
 
