@@ -153,6 +153,74 @@ def weighted_sample(df: DataFrame, prob, id_col: str,
     return df.filter(keep)
 
 
+def priority_sample(df: DataFrame, id_col: str, weight_col: str,
+                    k: int, seed: int = 0,
+                    est_col: str = "est_weight") -> DataFrame:
+    """Priority sampling (Duffield, Lund & Thorup, JACM 2007): a
+    size-``k`` weight-sensitive sample whose Horvitz–Thompson
+    adjusted weights make EVERY subset-sum estimate unbiased — the
+    mergeable-sampling answer to "keep 10⁵ documents out of 10¹²,
+    proportional to size, and still answer SUM(w) GROUP BY anything
+    from the sample alone".
+
+    Each row draws a uniform u = (md5₅₂(seed:id)+1)/2⁵² ∈ (0,1] and
+    gets priority q = w/u; the k largest priorities are the sample,
+    τ = the (k+1)-th largest (0 when n ≤ k), and every sampled row
+    carries ``est_col`` = max(w, τ) — E[Σ est over sample ∩ S] =
+    Σ w over S for any fixed subset S (Duffield et al., Thm 1), and
+    the estimate variance is optimal up to a factor among all k+1-
+    sample schemes.  Rows with null/NaN/non-positive weight are
+    dropped (a sizeless row cannot carry mass).
+
+    Scale shape: Spark plans ORDER BY q DESC LIMIT k+1 as
+    TakeOrderedAndProject — a per-partition top-(k+1) heap followed
+    by a driver merge of k+1-row partials, so NO global sort
+    exchange and the driver holds O(k) rows; the τ window then runs
+    on ≤ k+1 rows.  The top-(k+1) set is itself a mergeable summary:
+    union two sets and re-take the top k+1 (exactly what the
+    per-partition heaps do), so the sample composes across streams
+    and snapshots like every other sketch here.
+
+    Deterministic pure function of (seed, id, w) — any engine
+    replays it:  ORDER BY w / ((CAST('0x' || substr(md5('<seed>:' ||
+    id), 1, 13) AS BIGINT) + 1) / 4503599627370496.0) DESC, id
+    LIMIT k.  Ties are broken by ``id_col`` (distinct ids make
+    priority ties measure-zero anyway).
+    """
+    if k < 1:
+        raise ValueError(f"k must be ≥ 1, got {k}")
+    if est_col in df.columns:
+        raise ValueError(f"column {est_col!r} already exists")
+    qc = "_pq"
+    while qc in df.columns:
+        qc += "_"
+    w = F.col(weight_col).cast("double")
+    # exact in IEEE doubles end-to-end: the 52-bit hash and hash+1
+    # are exactly representable, /2⁵² is a power-of-two scale, and
+    # w/u is one correctly-rounded divide — so DuckDB replays the
+    # selection bit-for-bit, not approximately
+    u = ((F.conv(F.substring(_order_key(id_col, seed), 1, 13), 16, 10)
+          .cast("long").cast("double") + F.lit(1.0))
+         / F.lit(float(1 << 52)))
+    cand = (df.filter(w.isNotNull() & ~F.isnan(w) & (w > 0))
+            .withColumn(qc, w / u)
+            .orderBy(F.col(qc).desc(), F.col(id_col))
+            .limit(k + 1))
+    # ≤ k+1 rows from here on: the whole-frame window is a single
+    # task over driver-bounded data, not a scale hazard
+    whole = Window.partitionBy()
+    order = Window.partitionBy().orderBy(F.col(qc).desc(),
+                                         F.col(id_col))
+    rn = "_prn"
+    while rn in cand.columns:
+        rn += "_"
+    tau = F.when(F.count(F.lit(1)).over(whole) == k + 1,
+                 F.min(qc).over(whole)).otherwise(F.lit(0.0))
+    return (cand.withColumn(rn, F.row_number().over(order))
+            .withColumn(est_col, F.greatest(w, tau))
+            .filter(F.col(rn) <= k).drop(qc, rn))
+
+
 def hash_split(df: DataFrame, id_col: str, weights: dict,
                seed: int = 0, split_col: str = "split") -> DataFrame:
     """Deterministic train/val/test assignment: each row lands in the

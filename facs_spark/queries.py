@@ -3871,6 +3871,49 @@ USING (user_id)
 
 
 # =====================================================================
+# q86 — priority sampling (ops/sampling.priority_sample; Duffield,
+# Lund & Thorup JACM 2007): keep the 64 documents with the largest
+# w/u priorities (w = n_chars, u = the md5₅₂ uniform draw) and carry
+# the Horvitz–Thompson adjusted weight max(w, τ) that makes every
+# subset-sum estimate from the sample unbiased.  The whole selection
+# AND the adjusted weights are a pure function of (seed, id, w), so
+# the oracle replays them value-for-value — no bound gate needed;
+# this is the weighted counterpart of the md5-threshold samplers
+# (q35/q36/q42/q43/q45).  Plan shape: TakeOrderedAndProject (per-
+# partition top-65 heaps, no global sort exchange), then a ≤65-row
+# window for τ.
+# =====================================================================
+def q86_priority_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .ops.sampling import priority_sample
+    docs = _read(spark, sf_dir, "documents")
+    s = priority_sample(docs.select("doc_id", "lang", "n_chars"),
+                        "doc_id", "n_chars", k=64, seed=7)
+    return (s.select("doc_id", "lang", "n_chars",
+                     F.round(F.col("est_weight"), 6).alias("est_weight"))
+            .orderBy("doc_id"))
+
+
+Q86_SQL = """
+WITH pr AS (
+  SELECT doc_id, lang, n_chars,
+         CAST(n_chars AS DOUBLE) /
+         ((CAST('0x' || substr(md5('7:' || CAST(doc_id AS VARCHAR)), 1, 13)
+                AS BIGINT) + 1) / 4503599627370496.0) AS q
+  FROM documents
+  WHERE n_chars IS NOT NULL AND n_chars > 0
+), top AS (
+  SELECT * FROM pr ORDER BY q DESC, doc_id LIMIT 65
+), agg AS (
+  SELECT CASE WHEN COUNT(*) = 65 THEN MIN(q) ELSE 0.0 END AS tau FROM top
+)
+SELECT t.doc_id, t.lang, t.n_chars,
+       ROUND(GREATEST(CAST(t.n_chars AS DOUBLE), a.tau), 6) AS est_weight
+FROM (SELECT * FROM top ORDER BY q DESC, doc_id LIMIT 64) t, agg a
+ORDER BY doc_id
+"""
+
+
+# =====================================================================
 # registry
 # =====================================================================
 def queries():
@@ -3968,6 +4011,7 @@ def queries():
         "q83_ams_f2": q83_ams_f2,
         "q84_cbf_revoked_filter": q84_cbf_revoked_filter,
         "q85_ams_join_size": q85_ams_join_size,
+        "q86_priority_sample": q86_priority_sample,
     }
     return dict(reversed(list(ordered.items())))
 
@@ -4070,6 +4114,7 @@ def oracle_sql():
         "q83_ams_f2": Q83_SQL,
         "q84_cbf_revoked_filter": Q84_SQL,
         "q85_ams_join_size": Q85_SQL,
+        "q86_priority_sample": Q86_SQL,
     }
 
 

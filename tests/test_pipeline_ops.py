@@ -946,6 +946,86 @@ def test_weighted_sample_nan_drops(spark, docs):
     assert weighted_sample(docs, nan_prob, "doc_id").count() == 0
 
 
+def test_priority_sample_matches_python_reference(spark, docs):
+    """Value-level replay: the sampled ids AND the Horvitz–Thompson
+    adjusted weights equal an independent hashlib/python
+    implementation of Duffield-Lund-Thorup priority sampling (same
+    md5₅₂ draw, same τ), and the selection is partitioning-
+    invariant.  n ≤ k degrades to pass-through with est == w."""
+    import hashlib
+
+    from facs_spark.ops.sampling import priority_sample
+
+    k, seed = 48, 11
+    base = docs.select("doc_id", "n_chars")
+    got = {(r["doc_id"], r["est_weight"])
+           for r in priority_sample(base, "doc_id", "n_chars",
+                                    k=k, seed=seed).collect()}
+    got_re = {(r["doc_id"], r["est_weight"])
+              for r in priority_sample(base.repartition(13), "doc_id",
+                                       "n_chars", k=k,
+                                       seed=seed).collect()}
+    assert got == got_re
+
+    rows = [(r["doc_id"], float(r["n_chars"])) for r in base.collect()
+            if r["n_chars"] is not None and r["n_chars"] > 0]
+
+    def pri(i, w):
+        h = hashlib.md5(f"{seed}:{i}".encode()).hexdigest()[:13]
+        return w / ((int(h, 16) + 1) / 2.0 ** 52)
+
+    ranked = sorted(((pri(i, w), i, w) for i, w in rows),
+                    key=lambda t: (-t[0], t[1]))
+    tau = ranked[k][0] if len(ranked) > k else 0.0
+    want = {(i, max(w, tau)) for _, i, w in ranked[:k]}
+    assert got == want
+
+    small = base.limit(7)
+    out = priority_sample(small, "doc_id", "n_chars", k=k).collect()
+    assert len(out) == 7
+    assert all(r["est_weight"] == float(r["n_chars"]) for r in out)
+
+
+def test_priority_sample_unbiased_subset_sums(spark):
+    """E[Σ est over sample ∩ S] = Σ w over S (Duffield et al. Thm 1):
+    across 24 seeds on a skewed synthetic population, the mean
+    subset-sum estimate lands within 4 standard errors of the truth
+    for the whole population and for a fixed 1-in-3 subset."""
+    from facs_spark.ops.sampling import priority_sample
+
+    pop = spark.range(600).select(
+        F.col("id"),
+        (F.col("id") % 7 * F.col("id") % 97 + F.lit(1.0)).alias("w"))
+    pop = pop.cache()
+    truth_all = pop.agg(F.sum("w")).first()[0]
+    truth_sub = pop.filter(F.col("id") % 3 == 0).agg(F.sum("w")).first()[0]
+    est_all, est_sub = [], []
+    for s in range(24):
+        rows = priority_sample(pop, "id", "w", k=80, seed=s).collect()
+        est_all.append(sum(r["est_weight"] for r in rows))
+        est_sub.append(sum(r["est_weight"] for r in rows
+                           if r["id"] % 3 == 0))
+    import statistics
+    for est, truth in ((est_all, truth_all), (est_sub, truth_sub)):
+        m = statistics.mean(est)
+        se = statistics.stdev(est) / len(est) ** 0.5
+        assert abs(m - truth) <= 4 * se + 1e-9, (m, truth, se)
+    pop.unpersist()
+
+
+def test_priority_sample_plan_is_take_ordered(spark, docs):
+    """The top-(k+1) runs as TakeOrderedAndProject (per-partition
+    heaps + driver merge) — no range-partitioned global sort
+    exchange anywhere in the plan."""
+    from facs_spark.ops.sampling import priority_sample
+
+    plan = (priority_sample(docs.select("doc_id", "n_chars"),
+                            "doc_id", "n_chars", k=64)
+            ._jdf.queryExecution().executedPlan().toString())
+    assert "TakeOrderedAndProject" in plan
+    assert "rangepartitioning" not in plan.lower()
+
+
 def test_bm25_topk_semantics(spark):
     """bm25_topk: rarity and frequency both push rank the right way —
     a doc matching the rare term outranks one matching the common
