@@ -3914,6 +3914,79 @@ ORDER BY doc_id
 
 
 # =====================================================================
+# q87 — Bloom fill-ratio cardinality (Swamidass & Baldi 2007,
+# sketch/bloom.estimate_cardinality): n̂ = −(m/k)·ln(1 − X/m) from the
+# bit array alone.  After a distributed tree OR-merge the `inserts`
+# counter is only an upper bound (cross-partition novelty is
+# unknowable — the reference's MPI counter gather has the same
+# blind spot, facs/mpi_bloom.c:206-247); the fill ratio is a pure
+# function of the merged bits, so the SAME filters that answer
+# membership also answer "how many distinct keys do you hold" under
+# any merge tree.  Per-lang filters built over the 15-gram windows
+# of page text — facs's k-mer unit itself — map-side via
+# grouped_sketches (the window stream never shuffles); gate is the
+# delta-method 6·SD band, exact verifier is the per-lang distinct
+# k-gram count (tens of thousands of keys per group at sf0.01).
+# The shingle kernel windows lowercased utf-8 BYTES; the testdata
+# text is pure printable ASCII at every sf (asserted below), so byte
+# windows ≡ character windows and both engines' substring/lower
+# replay the identical key set.
+# =====================================================================
+def q87_bloom_cardinality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .sketch.bloom import BloomFilter
+
+    docs = _read(spark, sf_dir, "documents")
+    assert docs.filter(~F.col("text").rlike("^[ -~]*$")).limit(1) \
+        .count() == 0, "q87 byte≡char window equivalence needs ASCII text"
+    # explode(sequence) + codegen substring, NOT transform(...): the
+    # higher-order function is CodegenFallback and materializes a
+    # 15-char-string array per doc — measured 3-4× slower than
+    # exploding the int positions and substring-ing in codegen
+    kg = (docs.filter(F.length("text") >= 15)
+          .select("lang", F.lower(F.col("text")).alias("lt"))
+          .select("lang",
+                  F.explode(F.sequence(F.lit(1),
+                                       F.length("lt") - 14)).alias("i"),
+                  "lt")
+          .select("lang", F.expr("substring(lt, i, 15)").alias("kg")))
+    sizes = {r["lang"]: r["cnt"] for r in
+             kg.groupBy("lang").agg(
+                 F.countDistinct("kg").alias("cnt")).collect()}
+    spec = SketchSpec.make("bloom", "text", prep="kgram", k=15,
+                           capacity=max(sizes.values()),
+                           error_rate=1e-4, sizing="standard")
+    grouped = grouped_sketches(docs.select("lang", "text"),
+                               ["lang"], spec).collect()
+    import pandas as pd
+    recs = []
+    for r in sorted(grouped, key=lambda r: r["lang"]):
+        bf = BloomFilter.from_bytes(bytes(r["sketch"]))
+        est, sd = bf.estimate_cardinality(), bf.cardinality_sd()
+        exact = sizes[r["lang"]]
+        recs.append({"lang": r["lang"], "exact_distinct": int(exact),
+                     "within_bound": bool(abs(est - exact) <= 6 * sd + 2)})
+    return spark.createDataFrame(
+        pd.DataFrame(recs),
+        schema="lang string, exact_distinct long, within_bound boolean")
+
+
+Q87_SQL = """
+WITH g AS (
+  SELECT lang, unnest(generate_series(1, length(text) - 14)) AS i,
+         lower(text) AS lt
+  FROM documents
+  WHERE length(text) >= 15
+)
+SELECT lang, CAST(COUNT(DISTINCT substr(lt, i, 15)) AS BIGINT)
+         AS exact_distinct,
+       TRUE AS within_bound
+FROM g
+GROUP BY lang
+ORDER BY lang
+"""
+
+
+# =====================================================================
 # registry
 # =====================================================================
 def queries():
@@ -4012,6 +4085,7 @@ def queries():
         "q84_cbf_revoked_filter": q84_cbf_revoked_filter,
         "q85_ams_join_size": q85_ams_join_size,
         "q86_priority_sample": q86_priority_sample,
+        "q87_bloom_cardinality": q87_bloom_cardinality,
     }
     return dict(reversed(list(ordered.items())))
 
@@ -4115,6 +4189,7 @@ def oracle_sql():
         "q84_cbf_revoked_filter": Q84_SQL,
         "q85_ams_join_size": Q85_SQL,
         "q86_priority_sample": Q86_SQL,
+        "q87_bloom_cardinality": Q87_SQL,
     }
 
 

@@ -37,6 +37,11 @@ _MAGIC = b"FSBL"
 _VERSION = 1
 _STAT = struct.Struct("<QIQdIQ")  # m, k, capacity, e, k_mer, inserts
 
+# byte-wise popcount LUT: GiB-scale vectors popcount in one fancy-index
+# + sum, no 8× unpackbits blow-up
+_POPCOUNT = np.array([bin(i).count("1") for i in range(256)],
+                     dtype=np.uint16)
+
 
 @dataclass
 class BloomFilter:
@@ -341,6 +346,44 @@ class BloomFilter:
         """(1 - e^{-kn/m})^k with n = inserts (published bound)."""
         return bloom_fpr(self.stat.elements, self.stat.ideal_hashes, self.inserts)
 
+    @property
+    def bits_set(self) -> int:
+        """Popcount of the bit array (every index is taken mod the
+        prime m ≤ 8·len(vector), so trailing pad bits are never set)."""
+        return int(_POPCOUNT[self.vector].sum())
+
+    def estimate_cardinality(self) -> float:
+        """Swamidass & Baldi (2007) fill-ratio cardinality estimate:
+        n̂ = −(m/k)·ln(1 − X/m) with X = bits set.
+
+        ``inserts`` is exact for a single-pass build but only an
+        UPPER BOUND after ``merge`` (novelty across partials is
+        unknowable from OR-ed bits — the docstring contract above);
+        the fill ratio is a pure function of the bit ARRAY, so this
+        estimate is identical under any merge tree — the
+        distinct-count companion every OR-merged filter needs.
+        A saturated filter (X == m) returns +inf: beyond capacity the
+        array carries no cardinality information.
+        """
+        m = float(self.stat.elements)
+        x = float(self.bits_set)
+        if x >= m:
+            return float("inf")
+        return -(m / self.stat.ideal_hashes) * float(np.log1p(-x / m))
+
+    def cardinality_sd(self) -> float:
+        """Delta-method standard deviation of ``estimate_cardinality``:
+        X ≈ Binomial(m, q) ⇒ SD(n̂) ≈ (m/k)·sqrt(m·q·(1−q))/(m−X),
+        q = X/m (Swamidass & Baldi 2007 §2; the independence
+        approximation slightly OVERstates the variance, so gates built
+        on this SD are conservative).  +inf when saturated."""
+        m = float(self.stat.elements)
+        x = float(self.bits_set)
+        if x >= m:
+            return float("inf")
+        q = x / m
+        return (m / self.stat.ideal_hashes) * np.sqrt(m * q * (1 - q)) / (m - x)
+
     def info(self) -> dict:
         """Filter metadata (the reference's `facs info`, facs/info.c:13-33)."""
         return {
@@ -352,4 +395,6 @@ class BloomFilter:
             "inserts": self.inserts,
             "bytes": int(self.vector.nbytes),
             "expected_fpr": self.expected_fpr,
+            "bits_set": self.bits_set,
+            "estimated_distinct": self.estimate_cardinality(),
         }

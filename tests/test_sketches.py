@@ -92,6 +92,48 @@ def test_bloom_merge_equals_single_build():
     assert (left.vector == right.vector).all()
 
 
+def test_bloom_cardinality_estimate_within_sd_band():
+    """Swamidass-Baldi fill-ratio estimate lands within 5 delta-method
+    SDs of the true distinct count across fill levels, and the SD is
+    itself small (sub-percent at half fill)."""
+    for n, cap, seed in ((2000, 10000, 1), (30000, 40000, 2),
+                         (50000, 50000, 3)):
+        keys = np.unique(_keys(n + 500, seed=seed), axis=0)[:n]
+        bf = BloomFilter.create(capacity=cap, error_rate=0.001, k_mer=15)
+        bf.add_batch(keys)
+        est, sd = bf.estimate_cardinality(), bf.cardinality_sd()
+        assert abs(est - n) <= 5 * sd + 2, (n, est, sd)
+        assert sd <= 0.01 * n + 30, (n, sd)
+
+
+def test_bloom_cardinality_corrects_merged_inserts_overcount():
+    """After an OR-merge of overlapping partials, `inserts` is a
+    documented upper bound; the fill-ratio estimate recovers the TRUE
+    distinct union (within the SD band) from the merged bits alone —
+    and is bit-identical to the single-pass build's estimate."""
+    keys = np.unique(_keys(30000, seed=6), axis=0)
+    a, b = keys[:20000], keys[8000:]          # 12k-key overlap
+    fa = BloomFilter.create(capacity=40000, error_rate=0.001, k_mer=15)
+    fb = BloomFilter.create(capacity=40000, error_rate=0.001, k_mer=15)
+    fa.add_batch(a), fb.add_batch(b)
+    merged = fa.merge(fb)
+    true_union = len(keys)
+    assert merged.inserts == len(a) + len(b) > true_union
+    est, sd = merged.estimate_cardinality(), merged.cardinality_sd()
+    assert abs(est - true_union) <= 5 * sd + 2
+    whole = BloomFilter.create(capacity=40000, error_rate=0.001, k_mer=15)
+    whole.add_batch(keys)
+    assert est == whole.estimate_cardinality()
+
+
+def test_bloom_cardinality_saturation_and_empty():
+    bf = BloomFilter.create(capacity=100, error_rate=0.5, k_mer=15)
+    assert bf.bits_set == 0 and bf.estimate_cardinality() == 0.0
+    bf.vector[:] = 0xFF                      # saturate every byte
+    assert math.isinf(bf.estimate_cardinality())
+    assert math.isinf(bf.cardinality_sd())
+
+
 def test_bloom_serialization_roundtrip():
     keys = _keys(500, seed=5)
     bf = BloomFilter.create(capacity=1000, error_rate=0.01, k_mer=15)
