@@ -8,8 +8,10 @@ Decode support comes in two tiers:
 * **real codecs, pure python** — WAV (RIFF/WAVE, PCM16 mono:
   ``decode_wav``/``encode_wav``), BMP (Windows BITMAPINFOHEADER,
   24-bit uncompressed: ``decode_bmp``/``encode_bmp``), and PNG
-  (ISO/IEC 15948: 8-bit RGB/RGBA, all five filter types, zlib via
-  the stdlib: ``decode_png``/``encode_png``).  These parse actual
+  (ISO/IEC 15948: every 8-bit color type including indexed/PLTE with
+  tRNS alpha and 1/2/4-bit palettes, all five filter types, zlib via
+  the stdlib: ``decode_png``/``encode_png``/``encode_png_indexed``).
+  These parse actual
   container bytes end-to-end; ``decode_audio``/``decode_image``
   dispatch to them on magic.
 * **stubbed codecs** — lossy formats (JPEG/MP3/...) need
@@ -131,8 +133,9 @@ _PNG_SIG = b"\x89PNG\r\n\x1a\n"
 
 def encode_png(px: np.ndarray) -> bytes:
     """PNG bytes for an (H, W, C) uint8 array — C = 1 (greyscale),
-    2 (grey+alpha), 3 (RGB), 4 (RGBA) — i.e. every 8-bit non-palette
-    color type of ISO/IEC 15948, non-interlaced, stdlib zlib.
+    2 (grey+alpha), 3 (RGB), 4 (RGBA) — i.e. every 8-bit direct
+    color type of ISO/IEC 15948, non-interlaced, stdlib zlib
+    (indexed color encodes via :func:`encode_png_indexed`).
 
     Rows cycle through all five filter types (row y uses filter
     y mod 5), so a round-trip exercises every unfilter path — not
@@ -167,15 +170,55 @@ def encode_png(px: np.ndarray) -> bytes:
         raw.extend((filt & 255).astype(np.uint8).tobytes())
         prev = cur
 
-    def chunk(typ: bytes, body: bytes) -> bytes:
-        return (_struct.pack(">I", len(body)) + typ + body
-                + _struct.pack(">I", zlib.crc32(typ + body)))
-
     ihdr = _struct.pack(">IIBBBBB", w, h, 8,
                         {1: 0, 2: 4, 3: 2, 4: 6}[ch], 0, 0, 0)
-    return (_PNG_SIG + chunk(b"IHDR", ihdr)
-            + chunk(b"IDAT", zlib.compress(bytes(raw)))
-            + chunk(b"IEND", b""))
+    return (_PNG_SIG + _png_chunk(b"IHDR", ihdr)
+            + _png_chunk(b"IDAT", zlib.compress(bytes(raw)))
+            + _png_chunk(b"IEND", b""))
+
+
+def _png_chunk(typ: bytes, body: bytes) -> bytes:
+    import zlib
+    return (_struct.pack(">I", len(body)) + typ + body
+            + _struct.pack(">I", zlib.crc32(typ + body)))
+
+
+def encode_png_indexed(idx: np.ndarray, palette: np.ndarray,
+                       trns: np.ndarray | None = None,
+                       depth: int = 8) -> bytes:
+    """Indexed-color PNG (color type 3): ``idx`` (H, W) palette
+    indices, ``palette`` (P, 3) uint8 RGB, optional ``trns`` per-entry
+    alpha (entries past its end are opaque, per spec §11.3.2).
+    ``depth`` ∈ {1, 2, 4, 8}; sub-byte rows bit-pack MSB-first with
+    the spec's byte-boundary row padding.  Filter 0 rows (palette
+    indices rarely benefit from prediction filters; the decode side's
+    filter coverage lives in :func:`encode_png`'s cycling rows)."""
+    import zlib
+    idx = np.asarray(idx)
+    palette = np.asarray(palette, dtype=np.uint8)
+    if idx.ndim != 2 or palette.ndim != 2 or palette.shape[1] != 3:
+        raise ValueError("need idx (H, W) and palette (P, 3)")
+    if depth not in (1, 2, 4, 8):
+        raise ValueError(f"palette depth must be 1/2/4/8, got {depth}")
+    if len(palette) > (1 << depth) or idx.max(initial=0) >= len(palette):
+        raise ValueError("palette indices out of range for depth")
+    h, w = idx.shape
+    if depth == 8:
+        packed = idx.astype(np.uint8)
+    else:
+        bits = ((idx[:, :, None].astype(np.uint8)
+                 >> np.arange(depth - 1, -1, -1)) & 1).reshape(h, -1)
+        packed = np.packbits(bits, axis=1)
+    raw = np.zeros((h, packed.shape[1] + 1), np.uint8)
+    raw[:, 1:] = packed
+    ihdr = _struct.pack(">IIBBBBB", w, h, depth, 3, 0, 0, 0)
+    out = _PNG_SIG + _png_chunk(b"IHDR", ihdr) \
+        + _png_chunk(b"PLTE", palette.tobytes())
+    if trns is not None:
+        out += _png_chunk(b"tRNS",
+                          np.asarray(trns, np.uint8).tobytes())
+    return (out + _png_chunk(b"IDAT", zlib.compress(raw.tobytes()))
+            + _png_chunk(b"IEND", b""))
 
 
 def _png_chunks(blob: bytes):
@@ -193,31 +236,47 @@ def _png_chunks(blob: bytes):
 
 def decode_png(blob: bytes) -> np.ndarray:
     """Parse PNG bytes → (H, W, C) uint8.  Supports every 8-bit
-    non-palette color type — greyscale (0, C=1), truecolor (2, C=3),
-    grey+alpha (4, C=2), truecolor+alpha (6, C=4) — non-interlaced,
-    with all five scanline filter types (None/Sub/Up/Average/Paeth —
-    the spec's complete filter set)."""
+    color type — greyscale (0, C=1), truecolor (2, C=3), indexed (3,
+    expanded through PLTE to C=3, or C=4 when a tRNS chunk carries
+    per-entry alpha), grey+alpha (4, C=2), truecolor+alpha (6, C=4) —
+    plus sub-byte palette depths 1/2/4, non-interlaced, with all five
+    scanline filter types (None/Sub/Up/Average/Paeth — the spec's
+    complete filter set)."""
     import zlib
     if blob[:8] != _PNG_SIG:
         raise ValueError("not a PNG payload")
     ihdr = None
+    plte = trns = None
     idat = bytearray()
     for typ, body in _png_chunks(blob):
         if typ == b"IHDR":
             ihdr = _struct.unpack(">IIBBBBB", body)
+        elif typ == b"PLTE":
+            plte = np.frombuffer(body, np.uint8).reshape(-1, 3)
+        elif typ == b"tRNS":
+            trns = np.frombuffer(body, np.uint8)
         elif typ == b"IDAT":
             idat.extend(body)
     if ihdr is None or not idat:
         raise ValueError("PNG missing IHDR or IDAT")
     w, h, depth, ctype, _comp, _filt, interlace = ihdr
     channels = {0: 1, 2: 3, 4: 2, 6: 4}
-    if depth != 8 or ctype not in channels or interlace != 0:
+    if interlace == 0 and depth == 8 and ctype in channels:
+        ch = bpp = channels[ctype]
+        stride = w * ch
+    elif interlace == 0 and ctype == 3 and depth in (1, 2, 4, 8):
+        if plte is None:
+            raise ValueError("indexed PNG missing PLTE")
+        # filters operate on BYTES with a 1-byte left distance for
+        # sub-8-bit pixels (spec §9.2); rows pad to a byte boundary
+        ch, bpp = 1, 1
+        stride = (w * depth + 7) // 8
+    else:
         raise NotImplementedError(
             f"PNG depth={depth} color_type={ctype} "
-            f"interlace={interlace} needs a codec library; only 8-bit "
-            "non-palette non-interlaced decodes in pure python here")
-    ch = channels[ctype]
-    stride = w * ch
+            f"interlace={interlace} needs a codec library; 8-bit "
+            "color types and 1/2/4/8-bit palettes decode in pure "
+            "python here")
     raw = zlib.decompress(bytes(idat))
     if len(raw) != h * (stride + 1):
         raise ValueError("PNG pixel data truncated")
@@ -233,18 +292,18 @@ def decode_png(blob: bytes) -> np.ndarray:
         if f == 0:                         # None
             cur = row
         elif f == 1:                       # Sub: mod-256 prefix sum
-            cur = np.cumsum(row.reshape(w, ch), axis=0).ravel() & 255
+            cur = np.cumsum(row.reshape(-1, bpp), axis=0).ravel() & 255
         elif f == 2:                       # Up
             cur = (row + prev) & 255
         elif f in (3, 4):                  # Average / Paeth: left-
-            # dependent ⇒ sequential along x, but the ch channel
+            # dependent ⇒ sequential along x, but the bpp byte
             # lanes are independent — walk pixels, vectorize lanes
-            row2 = row.reshape(w, ch)
-            prev2 = prev.reshape(w, ch)
-            cur2 = np.zeros((w, ch), np.int32)
-            a = np.zeros(ch, np.int32)
-            c = np.zeros(ch, np.int32)
-            for x in range(w):
+            row2 = row.reshape(-1, bpp)
+            prev2 = prev.reshape(-1, bpp)
+            cur2 = np.zeros(row2.shape, np.int32)
+            a = np.zeros(bpp, np.int32)
+            c = np.zeros(bpp, np.int32)
+            for x in range(row2.shape[0]):
                 b = prev2[x]
                 if f == 3:
                     pred = (a + b) // 2
@@ -260,7 +319,22 @@ def decode_png(blob: bytes) -> np.ndarray:
         else:
             raise ValueError(f"bad PNG filter byte {f}")
         out[y] = cur.astype(np.uint8)
-    return out.reshape(h, w, ch)
+    if ctype != 3:
+        return out.reshape(h, w, ch)
+    if depth == 8:
+        idx = out[:, :w]
+    else:
+        bits = np.unpackbits(out, axis=1)[:, :w * depth]
+        weights = (1 << np.arange(depth - 1, -1, -1)).astype(np.uint8)
+        idx = (bits.reshape(h, w, depth) * weights).sum(axis=2) \
+            .astype(np.uint8)
+    if idx.max(initial=0) >= len(plte):
+        raise ValueError("PNG palette index out of range")
+    if trns is None:
+        return plte[idx]
+    alpha = np.full(len(plte), 255, np.uint8)
+    alpha[:len(trns)] = trns[:len(plte)]
+    return np.concatenate([plte[idx], alpha[idx][:, :, None]], axis=2)
 
 
 def synth_samples(i: int) -> np.ndarray:

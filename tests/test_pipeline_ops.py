@@ -681,6 +681,36 @@ def test_png_codec_roundtrip():
         decode_png(b"nope")
 
 
+def test_png_indexed_color_roundtrip():
+    """Indexed-color PNG (type 3): PLTE expansion at depth 8 and the
+    sub-byte 1/2/4 depths (MSB-first packing, byte-padded rows at
+    non-aligned widths), tRNS alpha with short-chunk opaque padding,
+    and loud out-of-range guards."""
+    from facs_spark.ops.multimodal import decode_png, encode_png_indexed
+    rng = np.random.default_rng(9)
+    pal = rng.integers(0, 256, (200, 3), dtype=np.uint8)
+    idx = rng.integers(0, 200, (17, 23), dtype=np.uint8)
+    assert np.array_equal(decode_png(encode_png_indexed(idx, pal)),
+                          pal[idx])
+    trns = rng.integers(0, 256, 50, dtype=np.uint8)
+    px = decode_png(encode_png_indexed(idx, pal, trns=trns))
+    alpha = np.full(200, 255, np.uint8)
+    alpha[:50] = trns                      # entries past tRNS: opaque
+    assert px.shape == (17, 23, 4)
+    assert np.array_equal(px[..., :3], pal[idx])
+    assert np.array_equal(px[..., 3], alpha[idx])
+    for depth in (1, 2, 4):                # 13px rows: pad mid-byte
+        p = rng.integers(0, 256, (1 << depth, 3), dtype=np.uint8)
+        ix = rng.integers(0, 1 << depth, (9, 13), dtype=np.uint8)
+        got = decode_png(encode_png_indexed(ix, p, depth=depth))
+        assert np.array_equal(got, p[ix]), depth
+    with pytest.raises(ValueError, match="depth"):
+        encode_png_indexed(ix, p, depth=3)
+    with pytest.raises(ValueError, match="out of range"):
+        encode_png_indexed(np.full((2, 2), 5, np.uint8),
+                           pal[:4], depth=2)
+
+
 def test_real_media_through_spark_pipeline(spark, docs):
     """End-to-end over REAL container bytes: synth real WAV + BMP
     columns, metadata parses the actual headers, and the feature
