@@ -3987,6 +3987,108 @@ ORDER BY lang
 
 
 # =====================================================================
+# q88 — STREAMING priority sampling
+# (streaming/stateful.streaming_priority_sample): the q86 batch
+# sample maintained incrementally per lang in the state store.  The
+# top-(k+1) priority set is an exactly mergeable summary, so after
+# draining three micro-batches the stream's final sample — ids,
+# weights, AND the Horvitz–Thompson est_weight = max(w, τ) — is
+# bit-identical to the one-shot batch selection, which is what lets
+# a STREAMING query carry a full value-level oracle (the other
+# streaming rows q28/q38/q47/q51 settle for equivalence/bound
+# gates on aggregates).
+# =====================================================================
+_Q88_SRC_CACHE: dict = {}
+
+
+def _q88_stage(spark, sf_dir: str) -> tuple:
+    """Documents split into three single-file parquet chunks
+    (doc_id mod 3) → three micro-batches under maxFilesPerTrigger=1."""
+    import glob as _glob
+    import os
+    import shutil
+    import tempfile
+
+    cached = _Q88_SRC_CACHE.get(sf_dir)
+    if cached and os.path.isdir(cached):
+        return cached, tempfile.mkdtemp(prefix="q88_ckpt_")
+    docs = _read(spark, sf_dir, "documents")
+    src = tempfile.mkdtemp(prefix="q88_src_")
+    for i in range(3):
+        tmp = tempfile.mkdtemp(prefix=f"q88_write_{i}_")
+        docs.filter(F.col("doc_id") % 3 == i).coalesce(1) \
+            .write.mode("overwrite").parquet(tmp)
+        part = _glob.glob(os.path.join(tmp, "part-*.parquet"))[0]
+        shutil.move(part, os.path.join(src, f"{i}.parquet"))
+        shutil.rmtree(tmp, ignore_errors=True)
+    _Q88_SRC_CACHE[sf_dir] = src
+    return src, tempfile.mkdtemp(prefix="q88_ckpt_")
+
+
+def q88_stream_priority_sample(spark: SparkSession,
+                               sf_dir: str) -> DataFrame:
+    import shutil
+    import uuid
+
+    from .streaming.monitor import run_monitor_once
+    from .streaming.stateful import streaming_priority_sample
+
+    src, ckpt = _q88_stage(spark, sf_dir)
+    try:
+        pages = (spark.readStream
+                 .schema("doc_id long, text string, lang string, "
+                         "source string, n_chars long")
+                 .option("maxFilesPerTrigger", "1")
+                 .parquet(src))
+        samp = streaming_priority_sample(pages, "lang", "doc_id",
+                                         "n_chars", k=16, seed=0)
+        qname = "q88_sink_" + uuid.uuid4().hex[:8]
+        with _stream_state_partitions(spark):
+            run_monitor_once(samp, ckpt, query_name=qname,
+                             output_mode="update")
+        # final sample per group = the max-rows_seen emission
+        out_df = spark.sql(f"""
+            SELECT lang, doc_id, n_chars, ROUND(est_weight, 6)
+                     AS est_weight
+            FROM (SELECT group_key AS lang, id AS doc_id,
+                         CAST(weight AS BIGINT) AS n_chars, est_weight,
+                         rows_seen,
+                         MAX(rows_seen) OVER (PARTITION BY group_key)
+                           AS max_seen
+                  FROM {qname})
+            WHERE rows_seen = max_seen
+            ORDER BY lang, doc_id""")
+        return _drain_sink_view(spark, out_df, qname)
+    finally:
+        shutil.rmtree(ckpt, ignore_errors=True)
+
+
+Q88_SQL = """
+WITH pr AS (
+  SELECT lang, doc_id, n_chars,
+         CAST(n_chars AS DOUBLE) /
+         ((CAST('0x' || substr(md5('0:' || CAST(doc_id AS VARCHAR)), 1, 13)
+                AS BIGINT) + 1) / 4503599627370496.0) AS q
+  FROM documents
+  WHERE n_chars IS NOT NULL AND n_chars > 0
+), r AS (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY lang
+                               ORDER BY q DESC, doc_id) AS rn
+  FROM pr
+), tau AS (
+  SELECT lang, COALESCE(MAX(CASE WHEN rn = 17 THEN q END), 0.0) AS tau
+  FROM r GROUP BY lang
+)
+SELECT r.lang, r.doc_id, r.n_chars,
+       ROUND(GREATEST(CAST(r.n_chars AS DOUBLE), t.tau), 6)
+         AS est_weight
+FROM r JOIN tau t USING (lang)
+WHERE rn <= 16
+ORDER BY lang, doc_id
+"""
+
+
+# =====================================================================
 # registry
 # =====================================================================
 def queries():
@@ -4086,6 +4188,7 @@ def queries():
         "q85_ams_join_size": q85_ams_join_size,
         "q86_priority_sample": q86_priority_sample,
         "q87_bloom_cardinality": q87_bloom_cardinality,
+        "q88_stream_priority_sample": q88_stream_priority_sample,
     }
     return dict(reversed(list(ordered.items())))
 
@@ -4190,6 +4293,7 @@ def oracle_sql():
         "q85_ams_join_size": Q85_SQL,
         "q86_priority_sample": Q86_SQL,
         "q87_bloom_cardinality": Q87_SQL,
+        "q88_stream_priority_sample": Q88_SQL,
     }
 
 

@@ -83,3 +83,79 @@ def streaming_grouped_hll(pages: DataFrame, key_col: str = "lang",
     from ..ops.sketch_agg import SketchSpec
     return streaming_grouped_sketch(
         pages, SketchSpec.make("hll", value_col, p=p), key_col=key_col)
+
+
+def streaming_priority_sample(rows: DataFrame, key_col: str,
+                              id_col: str, weight_col: str,
+                              k: int = 16, seed: int = 0) -> DataFrame:
+    """Per-group priority sampling (Duffield-Lund-Thorup, the batch
+    op in ``ops/sampling.priority_sample``) on a STREAM.
+
+    The top-(k+1) priority set is an exactly mergeable summary —
+    every member of the union's top-(k+1) is in its own batch's
+    top-(k+1) — so folding each micro-batch into the state-store set
+    reproduces the batch sample BIT-FOR-BIT: same md5₅₂ uniform
+    draw, same IEEE w/u priorities, same τ = the (k+1)-th priority,
+    same est_weight = max(w, τ).  Unlike the sketch monitors (whose
+    streaming estimates are bound-gated), this streaming operator is
+    value-level verifiable against any engine's replay of the batch
+    selection.
+
+    State per group is O(k) (three fixed-width arrays), independent
+    of stream length.  Emits the group's current sample each
+    micro-batch with the cumulative ``rows_seen`` — downstream takes
+    the max-``rows_seen`` emission per group as the final sample.
+    Rows with null/NaN/non-positive weight are dropped, matching the
+    batch op.
+    """
+    import hashlib
+
+    import numpy as np
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    out_ddl = ("group_key string, rows_seen long, id long, "
+               "weight double, est_weight double")
+    state_ddl = "ids binary, ws binary, qs binary, rows_seen long"
+    two52 = float(1 << 52)
+
+    def fold(key, pdf_iter, state):
+        if state.exists:
+            bid, bw, bq, seen = state.get
+            ids = np.frombuffer(bytes(bid), np.int64).copy()
+            ws = np.frombuffer(bytes(bw), np.float64).copy()
+            qs = np.frombuffer(bytes(bq), np.float64).copy()
+        else:
+            ids = np.empty(0, np.int64)
+            ws = qs = np.empty(0, np.float64)
+            seen = 0
+        for pdf in pdf_iter:
+            seen += len(pdf)
+            w = pdf[weight_col].to_numpy(np.float64, na_value=np.nan)
+            pid = pdf[id_col].to_numpy(np.int64)
+            good = ~np.isnan(w) & (w > 0)
+            w, pid = w[good], pid[good]
+            u = np.array([(int(hashlib.md5(f"{seed}:{i}".encode())
+                               .hexdigest()[:13], 16) + 1) / two52
+                          for i in pid], np.float64)
+            ids = np.concatenate([ids, pid])
+            ws = np.concatenate([ws, w])
+            qs = np.concatenate([qs, w / u if len(w) else w])
+            # mergeable-summary step: union, re-take top-(k+1) by
+            # (q desc, id asc) — identical tie order to the batch op
+            order = np.lexsort((ids, -qs))[:k + 1]
+            ids, ws, qs = ids[order], ws[order], qs[order]
+        state.update((ids.tobytes(), ws.tobytes(), qs.tobytes(), seen))
+        tau = qs[k] if len(qs) == k + 1 else 0.0
+        n = min(k, len(ids))
+        yield pd.DataFrame({
+            "group_key": [str(key[0])] * n,
+            "rows_seen": [seen] * n,
+            "id": ids[:n],
+            "weight": ws[:n],
+            "est_weight": np.maximum(ws[:n], tau),
+        })
+
+    return (rows.select(key_col, id_col, weight_col)
+            .groupBy(key_col)
+            .applyInPandasWithState(fold, out_ddl, state_ddl, "update",
+                                    GroupStateTimeout.NoTimeout))

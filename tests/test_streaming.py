@@ -371,3 +371,71 @@ def test_streaming_grouped_sketch_mg(spark, pages_dir, tmp_path):
         for row in top:
             est = sk.estimate(row["t"])
             assert est <= row["c"] <= est + sk.error_bound
+
+
+def test_streaming_priority_sample_equals_batch(spark, tmp_path):
+    """The streaming fold's final sample — ids, weights, AND
+    Horvitz–Thompson est_weight — is bit-identical to an independent
+    python replay of the batch priority sample per group, regardless
+    of micro-batch count (1-file-per-trigger vs drain-all), and state
+    carries O(k) per group."""
+    import hashlib
+    import os
+    import shutil
+
+    import numpy as np
+    import pandas as pd
+    from facs_spark.streaming.stateful import streaming_priority_sample
+
+    rng = np.random.default_rng(4)
+    pdf = pd.DataFrame({
+        "doc_id": np.arange(900, dtype=np.int64),
+        "lang": [("en", "de", "zh")[i % 3] for i in range(900)],
+        "n_chars": rng.integers(1, 5000, 900).astype(np.int64),
+    })
+    src = tmp_path / "src"
+    os.makedirs(src)
+    for i in range(3):
+        spark.createDataFrame(pdf[pdf.doc_id % 3 == i]).coalesce(1) \
+            .write.mode("overwrite").parquet(str(tmp_path / f"w{i}"))
+        for f in os.listdir(tmp_path / f"w{i}"):
+            if f.startswith("part-"):
+                os.rename(tmp_path / f"w{i}" / f, src / f"{i}.parquet")
+        shutil.rmtree(tmp_path / f"w{i}")
+
+    def drain(max_files, name):
+        reader = (spark.readStream
+                  .schema("doc_id long, lang string, n_chars long"))
+        if max_files:
+            reader = reader.option("maxFilesPerTrigger", str(max_files))
+        out = streaming_priority_sample(reader.parquet(str(src)),
+                                        "lang", "doc_id", "n_chars",
+                                        k=20, seed=5)
+        q = (out.writeStream.outputMode("update").format("memory")
+             .queryName(name)
+             .option("checkpointLocation", str(tmp_path / f"ck_{name}"))
+             .trigger(availableNow=True).start())
+        q.awaitTermination()
+        rows = spark.sql(f"SELECT * FROM {name}").collect()
+        spark.catalog.dropTempView(name)
+        seen = {}
+        for r in rows:
+            seen[r["group_key"]] = max(seen.get(r["group_key"], 0),
+                                       r["rows_seen"])
+        return {(r["group_key"], r["id"], r["weight"], r["est_weight"])
+                for r in rows if r["rows_seen"] == seen[r["group_key"]]}
+
+    multi = drain(1, "ps_multi")
+    single = drain(None, "ps_single")
+    assert multi == single
+
+    want = set()
+    for lang, grp in pdf.groupby("lang"):
+        pri = sorted(
+            ((w / ((int(hashlib.md5(f"5:{i}".encode()).hexdigest()[:13],
+                        16) + 1) / 2.0 ** 52), i, float(w))
+             for i, w in zip(grp.doc_id, grp.n_chars)),
+            key=lambda t: (-t[0], t[1]))
+        tau = pri[20][0] if len(pri) > 20 else 0.0
+        want |= {(lang, i, w, max(w, tau)) for _, i, w in pri[:20]}
+    assert multi == want
