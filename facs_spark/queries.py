@@ -3935,28 +3935,36 @@ ORDER BY doc_id
 def q87_bloom_cardinality(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .sketch.bloom import BloomFilter
 
-    docs = _read(spark, sf_dir, "documents")
-    assert docs.filter(~F.col("text").rlike("^[ -~]*$")).limit(1) \
-        .count() == 0, "q87 byte≡char window equivalence needs ASCII text"
-    # explode(sequence) + codegen substring, NOT transform(...): the
-    # higher-order function is CodegenFallback and materializes a
-    # 15-char-string array per doc — measured 3-4× slower than
-    # exploding the int positions and substring-ing in codegen
-    kg = (docs.filter(F.length("text") >= 15)
-          .select("lang", F.lower(F.col("text")).alias("lt"))
-          .select("lang",
-                  F.explode(F.sequence(F.lit(1),
-                                       F.length("lt") - 14)).alias("i"),
-                  "lt")
-          .select("lang", F.expr("substring(lt, i, 15)").alias("kg")))
-    sizes = {r["lang"]: r["cnt"] for r in
-             kg.groupBy("lang").agg(
-                 F.countDistinct("kg").alias("cnt")).collect()}
-    spec = SketchSpec.make("bloom", "text", prep="kgram", k=15,
-                           capacity=max(sizes.values()),
-                           error_rate=1e-4, sizing="standard")
-    grouped = grouped_sketches(docs.select("lang", "text"),
-                               ["lang"], spec).collect()
+    # one cached projection feeds all three jobs (ascii assert, exact
+    # verifier, bloom build) — the parquet text decodes once
+    base = _read(spark, sf_dir, "documents").select("lang", "text") \
+        .persist()
+    try:
+        assert base.filter(~F.col("text").rlike("^[ -~]*$")).limit(1) \
+            .count() == 0, \
+            "q87 byte≡char window equivalence needs ASCII text"
+        # explode(sequence) + codegen substring, NOT transform(...):
+        # the higher-order function is CodegenFallback and
+        # materializes a 15-char-string array per doc — measured 3-4×
+        # slower than exploding the int positions and substring-ing
+        # in codegen
+        kg = (base.filter(F.length("text") >= 15)
+              .select("lang", F.lower(F.col("text")).alias("lt"))
+              .select("lang",
+                      F.explode(F.sequence(F.lit(1),
+                                           F.length("lt") - 14))
+                      .alias("i"),
+                      "lt")
+              .select("lang", F.expr("substring(lt, i, 15)").alias("kg")))
+        sizes = {r["lang"]: r["cnt"] for r in
+                 kg.groupBy("lang").agg(
+                     F.countDistinct("kg").alias("cnt")).collect()}
+        spec = SketchSpec.make("bloom", "text", prep="kgram", k=15,
+                               capacity=max(sizes.values()),
+                               error_rate=1e-4, sizing="standard")
+        grouped = grouped_sketches(base, ["lang"], spec).collect()
+    finally:
+        base.unpersist()
     import pandas as pd
     recs = []
     for r in sorted(grouped, key=lambda r: r["lang"]):
@@ -4089,6 +4097,48 @@ ORDER BY lang, doc_id
 
 
 # =====================================================================
+# q89 — theta a-not-b set difference (sketch/theta.difference_estimate,
+# completing the q37 union/intersection algebra): how many distinct
+# users clicked but NEVER purchased — the audience-subtraction
+# question ("new content since the last crawl", "tokens in corpus A
+# absent from B") answered from two mergeable sketches without the
+# distinct anti-join.  A's retained hashes below min(θa, θb) minus
+# B's retained set, scaled; exact verifier runs the anti-join for the
+# gate (diff + intersection partition A's shared-threshold sample
+# exactly — the count identity asserted in tests).
+# =====================================================================
+def q89_theta_difference(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import pandas as pd
+
+    events = _read(spark, sf_dir, "events")
+    clicks = events.filter(F.col("event_type") == "click") \
+        .select("user_id")
+    buys = events.filter(F.col("event_type") == "purchase") \
+        .select("user_id")
+    a, _ = build_sketch(clicks, SketchSpec.make("theta", "user_id",
+                                                k=4096))
+    b, _ = build_sketch(buys, SketchSpec.make("theta", "user_id",
+                                              k=4096))
+    est = a.difference_estimate(b)
+    bound = a.difference_bound(b)
+    exact = (clicks.distinct()
+             .join(buys.distinct(), "user_id", "left_anti").count())
+    return spark.createDataFrame(pd.DataFrame([{
+        "exact_difference": int(exact),
+        "within_bound": bool(abs(est - exact) <= bound),
+    }]), schema="exact_difference long, within_bound boolean")
+
+
+Q89_SQL = """
+SELECT CAST(COUNT(*) AS BIGINT) AS exact_difference,
+       TRUE AS within_bound
+FROM (SELECT DISTINCT user_id FROM events WHERE event_type = 'click') a
+WHERE a.user_id NOT IN
+      (SELECT user_id FROM events WHERE event_type = 'purchase')
+"""
+
+
+# =====================================================================
 # registry
 # =====================================================================
 def queries():
@@ -4189,6 +4239,7 @@ def queries():
         "q86_priority_sample": q86_priority_sample,
         "q87_bloom_cardinality": q87_bloom_cardinality,
         "q88_stream_priority_sample": q88_stream_priority_sample,
+        "q89_theta_difference": q89_theta_difference,
     }
     return dict(reversed(list(ordered.items())))
 
@@ -4294,6 +4345,7 @@ def oracle_sql():
         "q86_priority_sample": Q86_SQL,
         "q87_bloom_cardinality": Q87_SQL,
         "q88_stream_priority_sample": Q88_SQL,
+        "q89_theta_difference": Q89_SQL,
     }
 
 

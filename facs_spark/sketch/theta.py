@@ -129,6 +129,35 @@ class ThetaSketch:
         common, th = self._common_below_min_theta(other)
         return common.size / th
 
+    def difference_estimate(self, other: "ThetaSketch") -> float:
+        """|A\\B| estimate (the Datasketches a-not-b, completing the
+        union/intersect/difference algebra): A's retained hashes
+        below min(θa, θb) that B does NOT retain, scaled by that
+        threshold.  Sound because any h < min θ is retained by BOTH
+        sketches iff the underlying key is in both sets — B keeps
+        every hash below its own (≥ min) θ.  Exact identity with the
+        other estimators: difference + intersection = A's estimate at
+        the shared threshold (asserted in tests)."""
+        th_bits = self._min_theta_bits(other)
+        mine = self.hashes
+        if th_bits != _EXACT:
+            mine = mine[mine < np.uint64(th_bits)]
+        diff = np.setdiff1d(mine, other.hashes, assume_unique=True)
+        th = 1.0 if th_bits == _EXACT else th_bits / _FULL64
+        return diff.size / th
+
+    def difference_bound(self, other: "ThetaSketch",
+                         sigmas: float = 3.0) -> float:
+        """Additive ±bound on ``difference_estimate`` at ``sigmas``
+        standard deviations (same binomial-at-rate-θ argument as
+        ``d2_bound``); 0 when both sides are exact."""
+        th_bits = self._min_theta_bits(other)
+        th = 1.0 if th_bits == _EXACT else th_bits / _FULL64
+        if th == 1.0:
+            return 0.0
+        d = self.difference_estimate(other) * th
+        return sigmas * max(math.sqrt(d), 1.0) / th
+
     def d2_bound(self, other: "ThetaSketch", sigmas: float = 3.0) -> float:
         """Additive ±bound on ``intersect_estimate`` at ``sigmas``
         standard deviations: the common count is ~binomial at rate θ,

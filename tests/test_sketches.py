@@ -724,3 +724,36 @@ def test_ams_inner_product_join_size_bound():
     import pytest
     with pytest.raises(ValueError):
         a.inner_product(AmsF2(r=5, c=256, seed=10))
+
+
+def test_theta_difference_exact_estimation_and_identity():
+    """a-not-b: exact in exact mode (zero bound), inside the bound in
+    estimation mode, and the shared-threshold sample partitions
+    EXACTLY into difference + intersection counts (the algebra's
+    internal consistency)."""
+    from facs_spark.sketch.theta import ThetaSketch
+
+    a = ThetaSketch(k=4096)
+    b = ThetaSketch(k=4096)
+    a.update_batch([f"x{i}" for i in range(1000)])
+    b.update_batch([f"x{i}" for i in range(600, 1600)])
+    assert a.difference_estimate(b) == 600.0
+    assert a.difference_bound(b) == 0.0
+    assert b.difference_estimate(a) == 600.0
+
+    a = ThetaSketch(k=1024)
+    b = ThetaSketch(k=1024)
+    a.update_batch([f"x{i}" for i in range(100000)])
+    b.update_batch([f"x{i}" for i in range(60000, 160000)])
+    est, bound = a.difference_estimate(b), a.difference_bound(b)
+    assert abs(est - 60000) <= bound, (est, bound)
+    th_bits = a._min_theta_bits(b)
+    mine = a.hashes[a.hashes < np.uint64(th_bits)]
+    d = np.setdiff1d(mine, b.hashes, assume_unique=True).size
+    c = np.intersect1d(a.hashes, b.hashes, assume_unique=True)
+    c = c[c < np.uint64(th_bits)].size
+    assert d + c == mine.size
+
+    # difference against an empty sketch is the full estimate
+    empty = ThetaSketch(k=1024)
+    assert a.difference_estimate(empty) == a.estimate()
