@@ -117,6 +117,22 @@ def register_sql_functions(spark: SparkSession) -> None:
         cache: dict = {}
         return pd.Series([_sketch_of(b, cache).estimate() for b in blobs])
 
+    @pandas_udf("double")
+    def cs_estimate(blobs: pd.Series, keys: pd.Series) -> pd.Series:
+        cache: dict = {}
+        out = []
+        for b, k in zip(blobs, keys):
+            sk = _sketch_of(b, cache)
+            key = int(k) if isinstance(k, (int, np.integer)) else str(k)
+            out.append(float(sk.estimate(key)))
+        return pd.Series(out)
+
+    @pandas_udf("double")
+    def cs_error_bound(blobs: pd.Series) -> pd.Series:
+        cache: dict = {}
+        return pd.Series([float(_sketch_of(b, cache).error_bound())
+                          for b in blobs])
+
     @pandas_udf("boolean")
     def cbf_contains(blobs: pd.Series, keys: pd.Series) -> pd.Series:
         cache: dict = {}
@@ -131,6 +147,8 @@ def register_sql_functions(spark: SparkSession) -> None:
     spark.udf.register("mg_estimate", mg_estimate)
     spark.udf.register("mg_error_bound", mg_error_bound)
     spark.udf.register("ams_f2", ams_f2)
+    spark.udf.register("cs_estimate", cs_estimate)
+    spark.udf.register("cs_error_bound", cs_error_bound)
     spark.udf.register("cbf_contains", cbf_contains)
     spark.udf.register("hll_estimate", hll_estimate)
     spark.udf.register("kll_quantile", kll_quantile)
@@ -180,6 +198,8 @@ def sketch_agg_udfs() -> dict:
         "mg_agg": sketch_agg_udf(SketchSpec.make("mg", "_", k=1024)),
         "ams_agg": sketch_agg_udf(
             SketchSpec.make("ams", "_", r=5, c=256, seed=0)),
+        "cs_agg": sketch_agg_udf(
+            SketchSpec.make("cs", "_", r=5, c=2048, seed=0)),
         "cbf_agg": sketch_agg_udf(
             SketchSpec.make("cbf", "_", capacity=1_000_000,
                             error_rate=1e-6)),

@@ -39,7 +39,7 @@ PARTIAL_SCHEMA = ("partition_id long, rows_seen long, wall_ms double, "
 class SketchSpec:
     """Picklable recipe: which sketch, over which column, how to feed it.
 
-    kind: bloom | hll | cms | tdigest | kll | theta | mg | fd | ams | cbf
+    kind: bloom | hll | cms | tdigest | kll | theta | mg | fd | ams | cs | cbf
     prep: how batch values are fed to ``update_batch``:
       * "kgram"  — shingle text into k-gram windows (bloom only)
       * "tokens" — whitespace-split text into tokens
@@ -89,6 +89,10 @@ class SketchSpec:
             from ..sketch.ams import AmsF2
             return AmsF2(r=p.get("r", 5), c=p.get("c", 256),
                          seed=p.get("seed", 0))
+        if self.kind == "cs":
+            from ..sketch.countsketch import CountSketch
+            return CountSketch(r=p.get("r", 5), c=p.get("c", 2048),
+                               seed=p.get("seed", 0))
         if self.kind == "cbf":
             from ..sketch.cbf import CountingBloom
             return CountingBloom.create(
@@ -122,6 +126,8 @@ class SketchSpec:
             return p.get("l", 32) * p.get("d", 64) * 8 + 64
         if self.kind == "ams":
             return p.get("r", 5) * p.get("c", 256) * 8 + 64
+        if self.kind == "cs":
+            return p.get("r", 5) * p.get("c", 2048) * 8 + 64
         if self.kind == "cbf":
             from ..sketch.cbf import CountingBloom
             probe = CountingBloom.create(

@@ -4139,6 +4139,52 @@ WHERE a.user_id NOT IN
 
 
 # =====================================================================
+# q90 — Count-Sketch unbiased token frequencies
+# (sketch/countsketch.py, Charikar-Chen-Farach-Colton 2002): the
+# TWO-SIDED complement of the q06 count-min — CMS only over-counts
+# (right gate for "frequent enough to keep"); Count-Sketch estimates
+# are unbiased with symmetric ±sqrt(3·F2/c) error, what
+# subtraction-shaped questions (crawl-over-crawl frequency deltas)
+# need.  Distributed build via the same map-side-partial /
+# tree-merge path as every sketch (ops/sketch_agg.build_sketch);
+# the top-20 exact token counts are the verifier, each estimate
+# gated against the published bound (F2 priced by the sketch's own
+# counters — each row is a c-bucket AMS tug-of-war).
+# =====================================================================
+def q90_countsketch_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import pandas as pd
+
+    docs = _read(spark, sf_dir, "documents")
+    cs, _ = build_sketch(docs, SketchSpec.make(
+        "cs", "text", prep="tokens", r=7, c=4096, seed=42))
+    tokens = (docs.select(F.explode(F.split(F.col("text"), " "))
+                          .alias("token"))
+              .filter(F.col("token") != ""))
+    top = (tokens.groupBy("token").agg(F.count(F.lit(1)).alias("exact_cnt"))
+           .orderBy(F.col("exact_cnt").desc(), F.col("token"))
+           .limit(20).collect())
+    bound = cs.error_bound()
+    est = cs.estimate_batch([r["token"] for r in top])
+    recs = [{"token": r["token"], "exact_cnt": int(r["exact_cnt"]),
+             "within_bound": bool(abs(e - r["exact_cnt"]) <= bound)}
+            for r, e in zip(top, est)]
+    return spark.createDataFrame(
+        pd.DataFrame(recs),
+        schema="token string, exact_cnt long, within_bound boolean")
+
+
+Q90_SQL = """
+SELECT token, CAST(COUNT(*) AS BIGINT) AS exact_cnt,
+       TRUE AS within_bound
+FROM (SELECT unnest(string_split(text, ' ')) AS token FROM documents)
+WHERE token <> ''
+GROUP BY token
+ORDER BY exact_cnt DESC, token
+LIMIT 20
+"""
+
+
+# =====================================================================
 # registry
 # =====================================================================
 def queries():
@@ -4240,6 +4286,7 @@ def queries():
         "q87_bloom_cardinality": q87_bloom_cardinality,
         "q88_stream_priority_sample": q88_stream_priority_sample,
         "q89_theta_difference": q89_theta_difference,
+        "q90_countsketch_tokens": q90_countsketch_tokens,
     }
     return dict(reversed(list(ordered.items())))
 
@@ -4346,6 +4393,7 @@ def oracle_sql():
         "q87_bloom_cardinality": Q87_SQL,
         "q88_stream_priority_sample": Q88_SQL,
         "q89_theta_difference": Q89_SQL,
+        "q90_countsketch_tokens": Q90_SQL,
     }
 
 

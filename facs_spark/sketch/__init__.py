@@ -11,6 +11,7 @@ from .ams import AmsF2
 from .bloom import BloomFilter
 from .cbf import CountingBloom
 from .cms import CountMinSketch
+from .countsketch import CountSketch
 from .fd import FrequentDirections
 from .hll import HyperLogLog
 from .kll import KLL
@@ -31,6 +32,7 @@ SKETCH_TYPES = {
     MisraGries.MAGIC: MisraGries,
     FrequentDirections.MAGIC: FrequentDirections,
     AmsF2.MAGIC: AmsF2,
+    CountSketch.MAGIC: CountSketch,
     CountingBloom.MAGIC: CountingBloom,
 }
 
@@ -47,7 +49,7 @@ def sketch_from_bytes(blob: bytes):
 __all__ = [
     "BloomFilter", "HyperLogLog", "CountMinSketch", "TDigest", "KLL",
     "ThetaSketch", "MisraGries", "FrequentDirections", "AmsF2",
-    "CountingBloom",
+    "CountSketch", "CountingBloom",
     "BloomStat", "bloom_fpr", "facs_sizing", "standard_sizing",
     "find_close_prime", "is_prime", "kmer_suggestion", "mco_suggestion",
     "prob_suggestion", "sketch_from_bytes", "SKETCH_TYPES",

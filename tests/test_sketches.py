@@ -757,3 +757,66 @@ def test_theta_difference_exact_estimation_and_identity():
     # difference against an empty sketch is the full estimate
     empty = ThetaSketch(k=1024)
     assert a.difference_estimate(empty) == a.estimate()
+
+
+def test_countsketch_unbiased_two_sided_and_bound():
+    """Count-Sketch errors run BOTH directions (the property CMS
+    cannot have — cms only over-counts) with near-zero mean, and
+    every heavy-hitter estimate sits inside the published
+    ±sqrt(3·F2/c) bound."""
+    from facs_spark.sketch.countsketch import CountSketch
+
+    counts = {f"tok{i}": max(1, 20000 // i) for i in range(1, 2001)}
+    items = [k for k, f in counts.items() for _ in range(f)]
+    cs = CountSketch(r=7, c=4096, seed=42)
+    cs.update_batch(items)
+
+    keys = list(counts)
+    est = cs.estimate_batch(keys)
+    exact = np.array([counts[k] for k in keys], dtype=np.float64)
+    errs = est - exact
+    assert (errs < 0).any() and (errs > 0).any()
+    assert abs(errs.mean()) < 5.0
+    bound = cs.error_bound()
+    heavy = [f"tok{i}" for i in (1, 2, 5, 10, 100, 1000)]
+    he = cs.estimate_batch(heavy)
+    hx = np.array([counts[k] for k in heavy], dtype=np.float64)
+    assert (np.abs(he - hx) <= bound).all(), (he, hx, bound)
+    # F2 self-estimate within the AMS relative bound at c buckets
+    f2 = float((exact ** 2).sum())
+    assert abs(cs.f2_estimate() - f2) <= math.sqrt(16.0 / cs.c) * f2
+
+
+def test_countsketch_merge_equals_single_pass_and_roundtrip():
+    """z is linear in the multiset: any partition of the input
+    merged in any order equals the single-pass sketch bit-exactly;
+    the wire format round-trips the full state."""
+    from facs_spark.sketch.countsketch import CountSketch
+
+    items = [f"k{i % 509}" for i in range(30000)]
+    single = CountSketch(r=5, c=1024, seed=9)
+    single.update_batch(items)
+
+    parts = [items[i::7] for i in range(7)]
+    sks = []
+    for p in parts:
+        s = CountSketch(r=5, c=1024, seed=9)
+        s.update_batch(p)
+        sks.append(s)
+    # right-fold in reversed order — different tree than left-fold
+    acc = sks[-1]
+    for s in reversed(sks[:-1]):
+        acc = s.merge(acc)
+    assert np.array_equal(acc.z, single.z)
+    assert acc.total == single.total
+
+    rt = CountSketch.from_bytes(single.to_bytes())
+    assert np.array_equal(rt.z, single.z)
+    assert (rt.r, rt.c, rt.seed, rt.total) == \
+        (single.r, single.c, single.seed, single.total)
+
+    import pytest
+    with pytest.raises(ValueError):
+        single.merge(CountSketch(r=5, c=2048, seed=9))
+    with pytest.raises(ValueError):
+        CountSketch(r=3, c=1000)  # not a power of two

@@ -441,3 +441,21 @@ def test_round6_sketch_sql_surface(spark, docs):
         "SELECT d.doc_id % 3 = 0 AS should, cbf_contains(f.s, d.doc_id) "
         "       AS got FROM docs_r6 d CROSS JOIN f").collect()
     assert all(r["should"] == r["got"] for r in mem)
+
+
+def test_countsketch_sql_surface(spark, docs):
+    """cs_agg/cs_estimate/cs_error_bound in pure SQL: the unbiased
+    point estimate of the top token sits inside the published
+    ±sqrt(3·F2/c) bound priced by the sketch's own counters."""
+    from facs_spark.functions import register_sql_functions
+    register_sql_functions(spark)
+    toks = (docs.select(F.explode(F.split("text", " ")).alias("t"))
+            .filter(F.col("t") != ""))
+    toks.createOrReplaceTempView("toks_cs")
+    top = (toks.groupBy("t").agg(F.count(F.lit(1)).alias("c"))
+           .orderBy(F.desc("c"), "t").limit(1).collect()[0])
+    row = spark.sql(
+        "SELECT cs_estimate(s, %r) AS est, cs_error_bound(s) AS b "
+        "FROM (SELECT cs_agg(t) AS s FROM toks_cs)" % top["t"]
+    ).collect()[0]
+    assert abs(row["est"] - top["c"]) <= row["b"], (row, top["c"])

@@ -64,6 +64,12 @@ AUDIT = [
      "join priced from two map-side sketch passes; verifier join only"),
     ("q86_priority_sample",
      "TakeOrdered top-(k+1) heaps — no global sort exchange"),
+    ("q87_bloom_cardinality",
+     "one cached text projection feeds 3 jobs; blobs-only lang shuffle"),
+    ("q89_theta_difference",
+     "two map-side theta builds; verifier distinct anti-join only"),
+    ("q90_countsketch_tokens",
+     "CS partials map-side; exact top-20 via TakeOrdered heap"),
 ]
 
 
