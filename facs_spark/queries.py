@@ -4185,6 +4185,83 @@ LIMIT 20
 
 
 # =====================================================================
+# q91 — DGIM sliding-window count on a stream
+# (sketch/dgim.py, Datar-Gionis-Indyk-Motwani SICOMP 2002): per
+# event_type, the number of high-value events among the LAST 1024
+# events — answered from O(r·log n) state-store bytes per group
+# where the exact answer needs a 1024-slot ring buffer per group.
+# The stream replays the events table in time order (the q38 staging:
+# time-disjoint files, mtime-ordered micro-batches, per-batch sort in
+# the fold); the gate is DGIM's deterministic per-query bound —
+# |estimate − exact| ≤ half the straddling bucket (0 == exact), no
+# probability involved.  Exact verifier = the same rows replayed as a
+# batch window query, which is what the oracle replays too.
+# =====================================================================
+def q91_dgim_window_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
+    import uuid
+
+    from pyspark.sql.window import Window
+
+    from .streaming.monitor import run_monitor_once
+    from .streaming.stateful import streaming_window_ones
+
+    src, ckpt = _q38_stage(spark, sf_dir)
+    try:
+        ev = (spark.readStream
+              .schema("event_id long, ts timestamp, user_id long, "
+                      "event_type string, value double, props string")
+              .option("maxFilesPerTrigger", "1")
+              .parquet(src))
+        bits = ev.select("event_type", "ts", "event_id",
+                         (F.col("value") > 50.0).cast("long").alias("bit"))
+        est = streaming_window_ones(bits, "event_type", "ts", "event_id",
+                                    "bit", n=1024, r=8)
+        qname = "q91_sink_" + uuid.uuid4().hex[:8]
+        with _stream_state_partitions(spark):
+            run_monitor_once(est, ckpt, query_name=qname,
+                             output_mode="update")
+        final = spark.sql(f"""
+            SELECT group_key AS event_type,
+                   MAX_BY(estimate, rows_seen) AS estimate,
+                   MAX_BY(abs_bound, rows_seen) AS abs_bound
+            FROM {qname} GROUP BY group_key""")
+        evb = (_read(spark, sf_dir, "events")
+               .withColumn("ts", F.col("ts").cast("timestamp")))
+        w = Window.partitionBy("event_type").orderBy(
+            F.col("ts").desc(), F.col("event_id").desc())
+        exact = (evb.withColumn("rn", F.row_number().over(w))
+                 .filter(F.col("rn") <= 1024)
+                 .groupBy("event_type")
+                 .agg(F.sum((F.col("value") > 50.0).cast("long"))
+                      .alias("window_ones")))
+        out_df = (final.join(exact, "event_type")
+                  .select("event_type", "window_ones",
+                          (F.abs(F.col("estimate") - F.col("window_ones"))
+                           <= F.col("abs_bound")).alias("within_bound"))
+                  .orderBy("event_type"))
+        return _drain_sink_view(spark, out_df, qname)
+    finally:
+        shutil.rmtree(ckpt, ignore_errors=True)
+
+
+Q91_SQL = """
+WITH r AS (
+  SELECT event_type,
+         CASE WHEN value > 50.0 THEN 1 ELSE 0 END AS bit,
+         ROW_NUMBER() OVER (PARTITION BY event_type
+                            ORDER BY ts DESC, event_id DESC) AS rn
+  FROM events
+)
+SELECT event_type, CAST(SUM(bit) AS BIGINT) AS window_ones,
+       TRUE AS within_bound
+FROM r WHERE rn <= 1024
+GROUP BY event_type
+ORDER BY event_type
+"""
+
+
+# =====================================================================
 # registry
 # =====================================================================
 def queries():
@@ -4287,6 +4364,7 @@ def queries():
         "q88_stream_priority_sample": q88_stream_priority_sample,
         "q89_theta_difference": q89_theta_difference,
         "q90_countsketch_tokens": q90_countsketch_tokens,
+        "q91_dgim_window_count": q91_dgim_window_count,
     }
     return dict(reversed(list(ordered.items())))
 
@@ -4394,6 +4472,7 @@ def oracle_sql():
         "q88_stream_priority_sample": Q88_SQL,
         "q89_theta_difference": Q89_SQL,
         "q90_countsketch_tokens": Q90_SQL,
+        "q91_dgim_window_count": Q91_SQL,
     }
 
 

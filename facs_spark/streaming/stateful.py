@@ -85,6 +85,56 @@ def streaming_grouped_hll(pages: DataFrame, key_col: str = "lang",
         pages, SketchSpec.make("hll", value_col, p=p), key_col=key_col)
 
 
+def streaming_window_ones(rows: DataFrame, key_col: str,
+                          ts_col: str, id_col: str, bit_col: str,
+                          n: int = 1024, r: int = 8) -> DataFrame:
+    """Per-group DGIM count of 1s among the last ``n`` events of a
+    stream (`sketch/dgim.py`) — state per group is O(r·log n) bucket
+    triples, independent of stream length, where the exact answer
+    needs an ``n``-bit ring buffer per group.
+
+    Exponential histograms fold sequentially (they do not merge), so
+    the order contract is explicit: micro-batches must arrive in
+    time order (the file source's mtime ordering with time-disjoint
+    files), and each batch is sorted by ``(ts_col, id_col)`` inside
+    the fold before feeding the histogram — together that replays
+    the global per-group event order exactly.
+
+    Emits per group per micro-batch: cumulative ``rows_seen``, the
+    window estimate, and its DETERMINISTIC absolute error bound
+    (half the straddling bucket; 0 == exact) — the downstream gate
+    is ``|estimate − exact| ≤ abs_bound``, no probability involved.
+    """
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    out_ddl = ("group_key string, rows_seen long, estimate double, "
+               "abs_bound double")
+    state_ddl = "blob binary, rows_seen long"
+
+    def fold(key, pdf_iter, state):
+        from facs_spark.sketch.dgim import Dgim
+        if state.exists:
+            blob, seen = state.get
+            dg = Dgim.from_bytes(bytes(blob))
+        else:
+            dg, seen = Dgim(n=n, r=r), 0
+        chunks = [pdf for pdf in pdf_iter]
+        if chunks:
+            pdf = pd.concat(chunks, ignore_index=True)
+            pdf = pdf.sort_values([ts_col, id_col], kind="mergesort")
+            seen += len(pdf)
+            dg.update(pdf[bit_col].to_numpy())
+        state.update((dg.to_bytes(), seen))
+        est, bound = dg.query()
+        yield pd.DataFrame([{"group_key": str(key[0]), "rows_seen": seen,
+                             "estimate": est, "abs_bound": bound}])
+
+    return (rows.select(key_col, ts_col, id_col, bit_col)
+            .groupBy(key_col)
+            .applyInPandasWithState(fold, out_ddl, state_ddl, "update",
+                                    GroupStateTimeout.NoTimeout))
+
+
 def streaming_priority_sample(rows: DataFrame, key_col: str,
                               id_col: str, weight_col: str,
                               k: int = 16, seed: int = 0) -> DataFrame:

@@ -820,3 +820,85 @@ def test_countsketch_merge_equals_single_pass_and_roundtrip():
         single.merge(CountSketch(r=5, c=2048, seed=9))
     with pytest.raises(ValueError):
         CountSketch(r=3, c=1000)  # not a power of two
+
+
+def test_dgim_bound_holds_and_exact_when_unstraddled():
+    """DGIM's per-query bound is DETERMINISTIC: against a brute-force
+    ring buffer on a random bit stream, every estimate is within its
+    own reported abs_bound, exact whenever the bound is 0, within
+    1/(r-1) relative once the window is saturated, and the bucket
+    invariant (≤ r per size) holds throughout."""
+    from collections import Counter, deque
+
+    from facs_spark.sketch.dgim import Dgim
+
+    rng = np.random.default_rng(7)
+    n, r = 512, 4
+    dg = Dgim(n=n, r=r)
+    ring = deque(maxlen=n)
+    saturated_checked = 0
+    for step in range(60):
+        bits = (rng.random(rng.integers(1, 200)) < 0.4).astype(np.int64)
+        dg.update(bits)
+        ring.extend(bits.tolist())
+        exact = sum(ring)
+        est, bound = dg.query()
+        assert abs(est - exact) <= bound, (step, est, exact, bound)
+        if bound == 0:
+            assert est == exact
+        if dg.pos >= n and exact > 0:
+            assert abs(est - exact) <= exact / (r - 1) + 1e-9
+            saturated_checked += 1
+        sizes = Counter(dg.counts)
+        assert all(v <= r for v in sizes.values()), sizes
+        assert all(c & (c - 1) == 0 for c in dg.counts)
+    assert saturated_checked > 20  # the sliding regime was exercised
+
+
+def test_dgim_state_is_logarithmic_and_roundtrips():
+    """Bucket count stays O(r·log n) on a long all-ones stream (the
+    worst case) and the wire format round-trips the full state."""
+    from facs_spark.sketch.dgim import Dgim
+
+    n, r = 1 << 14, 8
+    dg = Dgim(n=n, r=r)
+    for _ in range(10):
+        dg.update(np.ones(n // 2, dtype=np.int64))
+    assert dg.num_buckets <= r * (math.log2(n) + 2)
+    est, bound = dg.query()
+    assert abs(est - n) <= bound  # window is saturated with ones
+
+    rt = Dgim.from_bytes(dg.to_bytes())
+    assert (rt.n, rt.r, rt.pos) == (dg.n, dg.r, dg.pos)
+    assert rt.counts == dg.counts
+    assert rt.firsts == dg.firsts
+    assert rt.lasts == dg.lasts
+    assert rt.query() == dg.query()
+
+    import pytest
+    with pytest.raises(ValueError):
+        Dgim(n=0)
+    with pytest.raises(ValueError):
+        Dgim(n=8, r=1)
+
+
+def test_dgim_batch_split_invariance():
+    """Folding the same bit stream in different batch splits yields
+    the identical structure — the property the streaming state-store
+    fold relies on (micro-batch boundaries must not matter)."""
+    from facs_spark.sketch.dgim import Dgim
+
+    rng = np.random.default_rng(11)
+    bits = (rng.random(5000) < 0.3).astype(np.int64)
+    one = Dgim(n=256, r=2)
+    one.update(bits)
+    split = Dgim(n=256, r=2)
+    i = 0
+    while i < len(bits):
+        j = min(len(bits), i + int(rng.integers(1, 97)))
+        split.update(bits[i:j])
+        i = j
+    assert one.counts == split.counts
+    assert one.firsts == split.firsts
+    assert one.lasts == split.lasts
+    assert one.pos == split.pos
