@@ -39,7 +39,7 @@ PARTIAL_SCHEMA = ("partition_id long, rows_seen long, wall_ms double, "
 class SketchSpec:
     """Picklable recipe: which sketch, over which column, how to feed it.
 
-    kind: bloom | hll | cms | tdigest | kll | theta | mg | fd | ams | cs | cbf
+    kind: bloom | hll | cms | tdigest | kll | theta | mg | fd | ams | cs | cbf | cuckoo
     prep: how batch values are fed to ``update_batch``:
       * "kgram"  — shingle text into k-gram windows (bloom only)
       * "tokens" — whitespace-split text into tokens
@@ -98,6 +98,12 @@ class SketchSpec:
             return CountingBloom.create(
                 capacity=p.get("capacity", 1_000_000),
                 error_rate=p.get("error_rate", 0.0005))
+        if self.kind == "cuckoo":
+            from ..sketch.cuckoo import CuckooFilter
+            return CuckooFilter.create(
+                capacity=p.get("capacity", 1_000_000),
+                fbits=p.get("fbits", 16), b=p.get("b", 4),
+                load=p.get("load", 0.84), seed=p.get("seed", 0))
         raise ValueError(f"unknown sketch kind {self.kind!r}")
 
     def blob_bytes(self) -> int:
@@ -134,6 +140,11 @@ class SketchSpec:
                 capacity=p.get("capacity", 1_000_000),
                 error_rate=p.get("error_rate", 0.0005))
             return probe.m * 2 + 64
+        if self.kind == "cuckoo":
+            b, load = p.get("b", 4), p.get("load", 0.84)
+            need = max(1, int(p.get("capacity", 1_000_000) / (b * load)))
+            m = 1 << max(1, (need - 1).bit_length())
+            return m * b * 4 + 64
         return 64 * 1024  # t-digest/KLL: small, bounded
 
     def update(self, sketch, series: pd.Series) -> int:

@@ -4262,6 +4262,67 @@ ORDER BY event_type
 
 
 # =====================================================================
+# q92 — cuckoo-filter revoked-member screen (sketch/cuckoo.py, Fan
+# et al. CoNEXT 2014): the q84 revocation flow at sub-Bloom space —
+# one f-bit fingerprint per key in a 2-choice cuckoo table instead of
+# 16-bit-per-bit counters; delete = drop the fingerprint from one of
+# its two buckets (the partial-key identity i2 = i1 XOR h'(fp) makes
+# either bucket recover the other, which is also what lets partition
+# partials MERGE by re-inserting fingerprints).  Build is the
+# standard map-side-partial / tree-merge path sized for the union;
+# fbits=32 puts the 2b/2^f false-positive bound in the ~1e-9 regime,
+# so the probe is oracle-exact at test scales (the q02/q84 EXACT_E
+# trick) with zero false negatives by construction.
+# =====================================================================
+def q92_cuckoo_revoked_filter(spark: SparkSession,
+                              sf_dir: str) -> DataFrame:
+    import numpy as np
+    cust = _read(spark, sf_dir, "customer")
+    orders = _read(spark, sf_dir, "orders")
+    allowed = (cust.filter(F.col("c_mktsegment") == "BUILDING")
+               .select("c_custkey").distinct())
+    n_keys = allowed.count()
+    ck, _ = build_sketch(allowed, SketchSpec.make(
+        "cuckoo", "c_custkey", prep="raw",
+        capacity=max(n_keys, 8), fbits=32, seed=5))
+    revoked = [r[0] for r in
+               allowed.filter(F.col("c_custkey") % 5 == 0).collect()]
+    if revoked:
+        found = ck.remove_batch(np.asarray(revoked, dtype=np.int64))
+        if not bool(found.all()):
+            raise AssertionError("revoked key missing from filter")
+    bc = spark.sparkContext.broadcast(ck.to_bytes())
+
+    def probe_kernel(iterator):
+        import pandas as pd
+        from facs_spark.sketch import sketch_from_bytes as sfb
+        filt = sfb(bc.value)
+        for batch in iterator:
+            keys = batch["o_custkey"].to_numpy(dtype=np.int64)
+            yield pd.DataFrame({
+                "o_orderstatus": batch["o_orderstatus"],
+                "is_member": filt.contains_batch(keys)})
+
+    from .session import ensure_shipped
+    ensure_shipped(spark)
+    probed = orders.select("o_custkey", "o_orderstatus").mapInPandas(
+        probe_kernel, schema="o_orderstatus string, is_member boolean")
+    return (probed.filter(F.col("is_member"))
+            .groupBy("o_orderstatus")
+            .agg(F.count(F.lit(1)).alias("n_orders"))
+            .orderBy("o_orderstatus"))
+
+
+Q92_SQL = """
+SELECT o_orderstatus, CAST(COUNT(*) AS BIGINT) AS n_orders
+FROM orders JOIN customer ON o_custkey = c_custkey
+WHERE c_mktsegment = 'BUILDING' AND c_custkey % 5 <> 0
+GROUP BY o_orderstatus
+ORDER BY o_orderstatus
+"""
+
+
+# =====================================================================
 # registry
 # =====================================================================
 def queries():
@@ -4365,6 +4426,7 @@ def queries():
         "q89_theta_difference": q89_theta_difference,
         "q90_countsketch_tokens": q90_countsketch_tokens,
         "q91_dgim_window_count": q91_dgim_window_count,
+        "q92_cuckoo_revoked_filter": q92_cuckoo_revoked_filter,
     }
     return dict(reversed(list(ordered.items())))
 
@@ -4473,6 +4535,7 @@ def oracle_sql():
         "q89_theta_difference": Q89_SQL,
         "q90_countsketch_tokens": Q90_SQL,
         "q91_dgim_window_count": Q91_SQL,
+        "q92_cuckoo_revoked_filter": Q92_SQL,
     }
 
 

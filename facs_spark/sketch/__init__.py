@@ -12,6 +12,7 @@ from .bloom import BloomFilter
 from .cbf import CountingBloom
 from .cms import CountMinSketch
 from .countsketch import CountSketch
+from .cuckoo import CuckooFilter
 from .fd import FrequentDirections
 from .hll import HyperLogLog
 from .kll import KLL
@@ -34,6 +35,7 @@ SKETCH_TYPES = {
     AmsF2.MAGIC: AmsF2,
     CountSketch.MAGIC: CountSketch,
     CountingBloom.MAGIC: CountingBloom,
+    CuckooFilter.MAGIC: CuckooFilter,
 }
 
 
@@ -49,7 +51,7 @@ def sketch_from_bytes(blob: bytes):
 __all__ = [
     "BloomFilter", "HyperLogLog", "CountMinSketch", "TDigest", "KLL",
     "ThetaSketch", "MisraGries", "FrequentDirections", "AmsF2",
-    "CountSketch", "CountingBloom",
+    "CountSketch", "CountingBloom", "CuckooFilter",
     "BloomStat", "bloom_fpr", "facs_sizing", "standard_sizing",
     "find_close_prime", "is_prime", "kmer_suggestion", "mco_suggestion",
     "prob_suggestion", "sketch_from_bytes", "SKETCH_TYPES",

@@ -902,3 +902,87 @@ def test_dgim_batch_split_invariance():
     assert one.firsts == split.firsts
     assert one.lasts == split.lasts
     assert one.pos == split.pos
+
+
+def test_cuckoo_membership_delete_and_fpp():
+    """Cuckoo contract: zero false negatives for kept keys, deletion
+    actually revokes (no Bloom-style rebuild), observed FPP within
+    the published 2b/2^f bound, and a high-load build still inserts
+    everything via the kick walk."""
+    from facs_spark.sketch.cuckoo import CuckooFilter
+
+    keys = [f"key{i}" for i in range(20000)]
+    cf = CuckooFilter.create(len(keys), fbits=16, seed=3)
+    cf.add_batch(keys)
+    assert cf.contains_batch(keys).all()          # no false negatives
+    assert not cf.full
+    assert 0.5 < cf.load_factor <= 0.95           # kicks were exercised
+
+    revoked = keys[::5]
+    assert cf.remove_batch(revoked).all()         # every removal found
+    assert cf.contains_batch(keys[1::5]).all()    # kept keys still in
+    # revoked keys are OUT modulo fingerprint collisions with kept
+    # keys, bounded by the published FPP
+    still = cf.contains_batch(revoked).mean()
+    assert still <= 3 * cf.fpp() + 3e-3, still
+
+    other = [f"other{i}" for i in range(20000)]
+    fpr = cf.contains_batch(other).mean()
+    assert fpr <= 3 * cf.fpp(), (fpr, cf.fpp())
+    # f=32 reaches the oracle-exact regime
+    cf32 = CuckooFilter.create(2000, fbits=32, seed=3)
+    cf32.add_batch(keys[:2000])
+    assert cf32.contains_batch(other).sum() == 0
+
+
+def test_cuckoo_merge_and_roundtrip():
+    """Partial-key identity: a merge of per-partition partials
+    contains exactly the union (every fingerprint's bucket pair is
+    reconstructible from where it sits); the wire format round-trips;
+    an undersized merge fails LOUDLY instead of dropping keys."""
+    import pytest
+
+    from facs_spark.sketch.cuckoo import CuckooFilter
+
+    keys = [f"doc{i}" for i in range(9000)]
+    parts = [keys[i::3] for i in range(3)]
+    sks = []
+    for p in parts:
+        s = CuckooFilter.create(len(keys), fbits=16, seed=7)
+        s.add_batch(p)
+        sks.append(s)
+    acc = sks[0].merge(sks[1]).merge(sks[2])
+    assert acc.inserts == len(keys)
+    assert acc.contains_batch(keys).all()
+    single = CuckooFilter.create(len(keys), fbits=16, seed=7)
+    single.add_batch(keys)
+    # membership answers are IDENTICAL to the one-shot build: slots
+    # may differ but lookups check both candidate buckets, and both
+    # tables hold the same (fingerprint, bucket-pair) multiset
+    probe = keys + [f"x{i}" for i in range(5000)]
+    assert np.array_equal(acc.contains_batch(probe),
+                          single.contains_batch(probe))
+
+    rt = CuckooFilter.from_bytes(acc.to_bytes())
+    assert np.array_equal(rt.table, acc.table)
+    assert (rt.m, rt.b, rt.fbits, rt.seed, rt.inserts, rt.full) == \
+        (acc.m, acc.b, acc.fbits, acc.seed, acc.inserts, acc.full)
+
+    tiny = CuckooFilter.create(100, fbits=16, seed=7)
+    with pytest.raises(ValueError):
+        tiny.add_batch(keys)  # capacity overflow is loud
+    with pytest.raises(ValueError):
+        sks[0].merge(CuckooFilter.create(100, fbits=8, seed=7))
+
+
+def test_cuckoo_build_is_deterministic():
+    """Seeded kick walk: identical inputs rebuild the identical
+    table bit-for-bit (reproducible distributed builds)."""
+    from facs_spark.sketch.cuckoo import CuckooFilter
+
+    keys = [f"k{i}" for i in range(15000)]
+    a = CuckooFilter.create(len(keys), seed=11)
+    b = CuckooFilter.create(len(keys), seed=11)
+    a.add_batch(keys)
+    b.add_batch(keys)
+    assert np.array_equal(a.table, b.table)

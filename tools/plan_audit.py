@@ -70,6 +70,8 @@ AUDIT = [
      "two map-side theta builds; verifier distinct anti-join only"),
     ("q90_countsketch_tokens",
      "CS partials map-side; exact top-20 via TakeOrdered heap"),
+    ("q92_cuckoo_revoked_filter",
+     "broadcast cuckoo probe — no join exchange, fingerprints only"),
 ]
 
 
