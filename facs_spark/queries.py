@@ -3936,9 +3936,15 @@ def q87_bloom_cardinality(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .sketch.bloom import BloomFilter
 
     # one cached projection feeds all three jobs (ascii assert, exact
-    # verifier, bloom build) — the parquet text decodes once
-    base = _read(spark, sf_dir, "documents").select("lang", "text") \
-        .persist()
+    # verifier, bloom build) — the parquet text decodes once.  The
+    # explode below multiplies every row ~length(text)× , so a
+    # one-footer local scan (1 partition) would serialize all three
+    # jobs behind a single task — fan the CACHE out to the core count
+    # (at cluster scale the scan already has enough splits: no-op)
+    from .session import ensure_parallelism
+    base = ensure_parallelism(
+        _read(spark, sf_dir, "documents").select("lang", "text"),
+        min_partitions=spark.sparkContext.defaultParallelism).persist()
     try:
         assert base.filter(~F.col("text").rlike("^[ -~]*$")).limit(1) \
             .count() == 0, \

@@ -65,7 +65,8 @@ AUDIT = [
     ("q86_priority_sample",
      "TakeOrdered top-(k+1) heaps — no global sort exchange"),
     ("q87_bloom_cardinality",
-     "one cached text projection feeds 3 jobs; blobs-only lang shuffle"),
+     "one fanned-out cached projection feeds 3 jobs; blobs-only "
+     "lang shuffle"),
     ("q89_theta_difference",
      "two map-side theta builds; verifier distinct anti-join only"),
     ("q90_countsketch_tokens",
