@@ -4329,6 +4329,63 @@ ORDER BY o_orderstatus
 
 
 # =====================================================================
+# q93 — Count-Sketch crawl-delta estimation (sketch/countsketch.py
+# subtract): the subtraction-shaped question q90's docstring
+# motivates, answered BY sketch algebra.  Split the corpus into two
+# "crawls" (doc_id parity), build one CS per side map-side, and
+# SUBTRACT: by linearity z_a − z_b IS the Count-Sketch of the signed
+# difference stream, so per-token estimates are unbiased deltas and
+# the bound self-prices from F2(a−b) — for similar corpora far
+# smaller than either side's F2, i.e. the difference is estimated
+# TIGHTER than the inputs (structurally impossible with CMS, whose
+# one-sided overcounts compound under subtraction).  Verifier: exact
+# top-20 deltas by |Δ|, each estimate gated by the published bound.
+# =====================================================================
+def q93_countsketch_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import pandas as pd
+
+    docs = _read(spark, sf_dir, "documents")
+    spec = dict(prep="tokens", r=7, c=4096, seed=42)
+    cs_a, _ = build_sketch(docs.filter(F.col("doc_id") % 2 == 0),
+                           SketchSpec.make("cs", "text", **spec))
+    cs_b, _ = build_sketch(docs.filter(F.col("doc_id") % 2 == 1),
+                           SketchSpec.make("cs", "text", **spec))
+    delta = cs_a.subtract(cs_b)
+    bound = delta.error_bound()
+    toks = (docs.select("doc_id",
+                        F.explode(F.split(F.col("text"), " "))
+                        .alias("token"))
+            .filter(F.col("token") != ""))
+    top = (toks.groupBy("token")
+           .agg(F.sum(F.when(F.col("doc_id") % 2 == 0, 1).otherwise(-1))
+                .alias("exact_delta"))
+           .orderBy(F.abs(F.col("exact_delta")).desc(), F.col("token"))
+           .limit(20).collect())
+    est = delta.estimate_batch([r["token"] for r in top])
+    recs = [{"token": r["token"], "exact_delta": int(r["exact_delta"]),
+             "within_bound": bool(abs(e - r["exact_delta"]) <= bound)}
+            for r, e in zip(top, est)]
+    return spark.createDataFrame(
+        pd.DataFrame(recs),
+        schema="token string, exact_delta long, within_bound boolean")
+
+
+Q93_SQL = """
+WITH t AS (
+  SELECT CASE WHEN doc_id % 2 = 0 THEN 1 ELSE -1 END AS s,
+         unnest(string_split(text, ' ')) AS token
+  FROM documents
+)
+SELECT token, CAST(SUM(s) AS BIGINT) AS exact_delta,
+       TRUE AS within_bound
+FROM t WHERE token <> ''
+GROUP BY token
+ORDER BY ABS(SUM(s)) DESC, token
+LIMIT 20
+"""
+
+
+# =====================================================================
 # registry
 # =====================================================================
 def queries():
@@ -4433,6 +4490,7 @@ def queries():
         "q90_countsketch_tokens": q90_countsketch_tokens,
         "q91_dgim_window_count": q91_dgim_window_count,
         "q92_cuckoo_revoked_filter": q92_cuckoo_revoked_filter,
+        "q93_countsketch_delta": q93_countsketch_delta,
     }
     return dict(reversed(list(ordered.items())))
 
@@ -4542,6 +4600,7 @@ def oracle_sql():
         "q90_countsketch_tokens": Q90_SQL,
         "q91_dgim_window_count": Q91_SQL,
         "q92_cuckoo_revoked_filter": Q92_SQL,
+        "q93_countsketch_delta": Q93_SQL,
     }
 
 

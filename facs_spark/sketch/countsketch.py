@@ -156,6 +156,22 @@ class CountSketch:
         self.total += other.total
         return self
 
+    def subtract(self, other: "CountSketch") -> "CountSketch":
+        """Sketch of the SIGNED difference stream a − b — the payoff
+        of linearity that one-sided CMS cannot offer: ``z_a − z_b``
+        IS the Count-Sketch of the multiset with weights
+        ``f_a(x) − f_b(x)``, so ``estimate`` returns unbiased
+        per-item deltas and ``error_bound()`` self-prices from
+        F2(a−b) — which for two similar corpora is far SMALLER than
+        either side's F2, i.e. the difference is estimated tighter
+        than the inputs."""
+        if (self.r, self.c, self.seed) != (other.r, other.c, other.seed):
+            raise ValueError(
+                "cannot subtract count sketches with different params")
+        self.z -= other.z
+        self.total -= other.total
+        return self
+
     # -- wire --------------------------------------------------------
     def to_bytes(self) -> bytes:
         return frame(_MAGIC, _VERSION,

@@ -73,6 +73,8 @@ AUDIT = [
      "CS partials map-side; exact top-20 via TakeOrdered heap"),
     ("q92_cuckoo_revoked_filter",
      "broadcast cuckoo probe — no join exchange, fingerprints only"),
+    ("q93_countsketch_delta",
+     "two map-side CS builds subtracted driver-side; exact top-20 heap"),
 ]
 
 
