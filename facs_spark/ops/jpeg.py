@@ -1,0 +1,475 @@
+"""Baseline JPEG codec (ITU-T T.81, sequential DCT) in pure
+numpy/stdlib — the third real compressed-image codec behind the
+multimodal dispatch (`multimodal.decode_image`), closing the
+"JPEG is a loud stub" gap the same way PNG/BMP/WAV were closed:
+actual container bytes end-to-end, no PIL/libjpeg.
+
+Scope (documented subset, everything else raises loudly):
+* encode: 8-bit RGB or grayscale, baseline sequential, 4:4:4 (no
+  chroma subsampling), Annex K quantization tables scaled by the
+  libjpeg quality formula, Annex K.3 default Huffman tables.
+* decode: baseline SOF0, 8-bit, 1 or 3 components at 1×1 sampling,
+  Huffman tables read from the stream's DHT segments (NOT assumed),
+  restart markers honored, 0xFF00 byte-stuffing unstuffed.
+  Progressive (SOF2), subsampled, arithmetic-coded, or 12-bit
+  streams raise ``NotImplementedError`` naming the missing piece.
+
+JPEG is lossy, so unlike PNG there is no bit-roundtrip oracle; the
+codec contract is tested as decode(encode(img)) ≈ img (mean
+absolute error bounded by the quantization step) plus bit-exact
+encoder determinism, and q94 gates the Spark-side decode against
+the synth ground truth with a PSNR floor.
+
+Reference counterpart: none (facs never touches media); this is
+engine-breadth for the multimodal column story (SURVEY §2 LLM-data
+tier).  All constants are from the public spec (T.81 Annex K).
+"""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+
+# ---------------------------------------------------------------- tables
+# T.81 Annex K.1/K.2 quantization tables, natural (row-major) order
+QUANT_LUMA = np.array([
+    16, 11, 10, 16, 24, 40, 51, 61,
+    12, 12, 14, 19, 26, 58, 60, 55,
+    14, 13, 16, 24, 40, 57, 69, 56,
+    14, 17, 22, 29, 51, 87, 80, 62,
+    18, 22, 37, 56, 68, 109, 103, 77,
+    24, 35, 55, 64, 81, 104, 113, 92,
+    49, 64, 78, 87, 103, 121, 120, 101,
+    72, 92, 95, 98, 112, 100, 103, 99], dtype=np.int32)
+QUANT_CHROMA = np.array([
+    17, 18, 24, 47, 99, 99, 99, 99,
+    18, 21, 26, 66, 99, 99, 99, 99,
+    24, 26, 56, 99, 99, 99, 99, 99,
+    47, 66, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99], dtype=np.int32)
+
+# zigzag scan order: ZIGZAG[k] = natural index of the k-th coefficient
+ZIGZAG = np.array([
+    0, 1, 8, 16, 9, 2, 3, 10,
+    17, 24, 32, 25, 18, 11, 4, 5,
+    12, 19, 26, 33, 40, 48, 41, 34,
+    27, 20, 13, 6, 7, 14, 21, 28,
+    35, 42, 49, 56, 57, 50, 43, 36,
+    29, 22, 15, 23, 30, 37, 44, 51,
+    58, 59, 52, 45, 38, 31, 39, 46,
+    53, 60, 61, 54, 47, 55, 62, 63], dtype=np.int64)
+
+# T.81 Annex K.3 default Huffman tables: (BITS[1..16], HUFFVAL)
+DC_LUMA_BITS = [0, 1, 5, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0, 0, 0]
+DC_LUMA_VALS = list(range(12))
+DC_CHROMA_BITS = [0, 3, 1, 1, 1, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0]
+DC_CHROMA_VALS = list(range(12))
+AC_LUMA_BITS = [0, 2, 1, 3, 3, 2, 4, 3, 5, 5, 4, 4, 0, 0, 1, 0x7D]
+AC_LUMA_VALS = [
+    0x01, 0x02, 0x03, 0x00, 0x04, 0x11, 0x05, 0x12,
+    0x21, 0x31, 0x41, 0x06, 0x13, 0x51, 0x61, 0x07,
+    0x22, 0x71, 0x14, 0x32, 0x81, 0x91, 0xA1, 0x08,
+    0x23, 0x42, 0xB1, 0xC1, 0x15, 0x52, 0xD1, 0xF0,
+    0x24, 0x33, 0x62, 0x72, 0x82, 0x09, 0x0A, 0x16,
+    0x17, 0x18, 0x19, 0x1A, 0x25, 0x26, 0x27, 0x28,
+    0x29, 0x2A, 0x34, 0x35, 0x36, 0x37, 0x38, 0x39,
+    0x3A, 0x43, 0x44, 0x45, 0x46, 0x47, 0x48, 0x49,
+    0x4A, 0x53, 0x54, 0x55, 0x56, 0x57, 0x58, 0x59,
+    0x5A, 0x63, 0x64, 0x65, 0x66, 0x67, 0x68, 0x69,
+    0x6A, 0x73, 0x74, 0x75, 0x76, 0x77, 0x78, 0x79,
+    0x7A, 0x83, 0x84, 0x85, 0x86, 0x87, 0x88, 0x89,
+    0x8A, 0x92, 0x93, 0x94, 0x95, 0x96, 0x97, 0x98,
+    0x99, 0x9A, 0xA2, 0xA3, 0xA4, 0xA5, 0xA6, 0xA7,
+    0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4, 0xB5, 0xB6,
+    0xB7, 0xB8, 0xB9, 0xBA, 0xC2, 0xC3, 0xC4, 0xC5,
+    0xC6, 0xC7, 0xC8, 0xC9, 0xCA, 0xD2, 0xD3, 0xD4,
+    0xD5, 0xD6, 0xD7, 0xD8, 0xD9, 0xDA, 0xE1, 0xE2,
+    0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9, 0xEA,
+    0xF1, 0xF2, 0xF3, 0xF4, 0xF5, 0xF6, 0xF7, 0xF8,
+    0xF9, 0xFA]
+AC_CHROMA_BITS = [0, 2, 1, 2, 4, 4, 3, 4, 7, 5, 4, 4, 0, 1, 2, 0x77]
+AC_CHROMA_VALS = [
+    0x00, 0x01, 0x02, 0x03, 0x11, 0x04, 0x05, 0x21,
+    0x31, 0x06, 0x12, 0x41, 0x51, 0x07, 0x61, 0x71,
+    0x13, 0x22, 0x32, 0x81, 0x08, 0x14, 0x42, 0x91,
+    0xA1, 0xB1, 0xC1, 0x09, 0x23, 0x33, 0x52, 0xF0,
+    0x15, 0x62, 0x72, 0xD1, 0x0A, 0x16, 0x24, 0x34,
+    0xE1, 0x25, 0xF1, 0x17, 0x18, 0x19, 0x1A, 0x26,
+    0x27, 0x28, 0x29, 0x2A, 0x35, 0x36, 0x37, 0x38,
+    0x39, 0x3A, 0x43, 0x44, 0x45, 0x46, 0x47, 0x48,
+    0x49, 0x4A, 0x53, 0x54, 0x55, 0x56, 0x57, 0x58,
+    0x59, 0x5A, 0x63, 0x64, 0x65, 0x66, 0x67, 0x68,
+    0x69, 0x6A, 0x73, 0x74, 0x75, 0x76, 0x77, 0x78,
+    0x79, 0x7A, 0x82, 0x83, 0x84, 0x85, 0x86, 0x87,
+    0x88, 0x89, 0x8A, 0x92, 0x93, 0x94, 0x95, 0x96,
+    0x97, 0x98, 0x99, 0x9A, 0xA2, 0xA3, 0xA4, 0xA5,
+    0xA6, 0xA7, 0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4,
+    0xB5, 0xB6, 0xB7, 0xB8, 0xB9, 0xBA, 0xC2, 0xC3,
+    0xC4, 0xC5, 0xC6, 0xC7, 0xC8, 0xC9, 0xCA, 0xD2,
+    0xD3, 0xD4, 0xD5, 0xD6, 0xD7, 0xD8, 0xD9, 0xDA,
+    0xE2, 0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9,
+    0xEA, 0xF2, 0xF3, 0xF4, 0xF5, 0xF6, 0xF7, 0xF8,
+    0xF9, 0xFA]
+
+# orthonormal 8-point DCT-II matrix: fwd = D @ B @ D.T, inv = D.T @ C @ D
+_D = np.zeros((8, 8))
+for _u in range(8):
+    _c = np.sqrt(0.125) if _u == 0 else 0.5
+    for _x in range(8):
+        _D[_u, _x] = _c * np.cos((2 * _x + 1) * _u * np.pi / 16.0)
+
+
+def _quality_tables(quality: int) -> tuple:
+    """libjpeg quality scaling: 1..100 → scaled Annex K tables."""
+    q = min(100, max(1, int(quality)))
+    scale = 5000 // q if q < 50 else 200 - 2 * q
+    out = []
+    for base in (QUANT_LUMA, QUANT_CHROMA):
+        t = (base * scale + 50) // 100
+        out.append(np.clip(t, 1, 255).astype(np.int32))
+    return out[0], out[1]
+
+
+def _build_codes(bits, vals) -> dict:
+    """Canonical Huffman per T.81 C.2: value -> (code, length)."""
+    codes, code, k = {}, 0, 0
+    for length in range(1, 17):
+        for _ in range(bits[length - 1]):
+            codes[vals[k]] = (code, length)
+            code += 1
+            k += 1
+        code <<= 1
+    return codes
+
+
+def _magnitude(v: int) -> int:
+    return int(v).bit_length() if v >= 0 else int(-v).bit_length()
+
+
+class _BitWriter:
+    def __init__(self):
+        self.out = bytearray()
+        self.acc = 0
+        self.nbits = 0
+
+    def write(self, code: int, length: int) -> None:
+        self.acc = (self.acc << length) | (code & ((1 << length) - 1))
+        self.nbits += length
+        while self.nbits >= 8:
+            b = (self.acc >> (self.nbits - 8)) & 0xFF
+            self.nbits -= 8
+            self.out.append(b)
+            if b == 0xFF:            # byte stuffing (T.81 F.1.2.3)
+                self.out.append(0x00)
+
+    def flush(self) -> bytes:
+        if self.nbits:
+            pad = 8 - self.nbits
+            self.write((1 << pad) - 1, pad)  # pad with 1s
+        return bytes(self.out)
+
+
+# ---------------------------------------------------------------- encode
+def encode_jpeg(px: np.ndarray, quality: int = 90) -> bytes:
+    """Encode (H, W, 3) RGB or (H, W) grayscale uint8 to baseline
+    JPEG (4:4:4, Annex K tables at ``quality``).  Deterministic:
+    identical input → identical bytes."""
+    px = np.asarray(px)
+    gray = px.ndim == 2
+    if not gray and (px.ndim != 3 or px.shape[2] != 3):
+        raise ValueError("encode_jpeg wants (H,W,3) RGB or (H,W) gray")
+    h, w = px.shape[:2]
+    if h == 0 or w == 0:
+        raise ValueError("empty image")
+    ql, qc = _quality_tables(quality)
+
+    if gray:
+        planes = [px.astype(np.float64)]
+    else:
+        rgb = px.astype(np.float64)
+        r, g, b = rgb[..., 0], rgb[..., 1], rgb[..., 2]
+        planes = [0.299 * r + 0.587 * g + 0.114 * b,
+                  -0.168736 * r - 0.331264 * g + 0.5 * b + 128.0,
+                  0.5 * r - 0.418688 * g - 0.081312 * b + 128.0]
+
+    hb, wb = -(-h // 8), -(-w // 8)
+    qtabs = [ql] + ([] if gray else [qc, qc])
+    coeffs = []                     # per component: (hb*wb, 64) int32
+    for p, qt in zip(planes, qtabs):
+        pad = np.pad(p, ((0, hb * 8 - h), (0, wb * 8 - w)), mode="edge")
+        blocks = (pad.reshape(hb, 8, wb, 8).transpose(0, 2, 1, 3)
+                  .reshape(-1, 8, 8) - 128.0)
+        f = _D @ blocks @ _D.T      # batched 2-D DCT
+        qz = np.round(f.reshape(-1, 64) / qt).astype(np.int32)
+        coeffs.append(qz[:, ZIGZAG])   # zigzag order
+
+    dc_l = _build_codes(DC_LUMA_BITS, DC_LUMA_VALS)
+    ac_l = _build_codes(AC_LUMA_BITS, AC_LUMA_VALS)
+    dc_c = _build_codes(DC_CHROMA_BITS, DC_CHROMA_VALS)
+    ac_c = _build_codes(AC_CHROMA_BITS, AC_CHROMA_VALS)
+    tabs = [(dc_l, ac_l)] + ([] if gray else [(dc_c, ac_c)] * 2)
+
+    bw = _BitWriter()
+    preds = [0] * len(coeffs)
+    for bi in range(hb * wb):       # MCU order == block order at 4:4:4
+        for ci, (dct, act) in enumerate(tabs):
+            blk = coeffs[ci][bi]
+            diff = int(blk[0]) - preds[ci]
+            preds[ci] = int(blk[0])
+            s = _magnitude(diff)
+            code, ln = dct[s]
+            bw.write(code, ln)
+            if s:
+                v = diff if diff >= 0 else diff + (1 << s) - 1
+                bw.write(v, s)
+            run = 0
+            nz = np.flatnonzero(blk[1:])
+            last = nz[-1] + 1 if nz.size else 0
+            for k in range(1, last + 1):
+                v = int(blk[k])
+                if v == 0:
+                    run += 1
+                    continue
+                while run > 15:
+                    code, ln = act[0xF0]      # ZRL
+                    bw.write(code, ln)
+                    run -= 16
+                s = _magnitude(v)
+                code, ln = act[(run << 4) | s]
+                bw.write(code, ln)
+                ev = v if v >= 0 else v + (1 << s) - 1
+                bw.write(ev, s)
+                run = 0
+            if last < 63:
+                code, ln = act[0x00]          # EOB
+                bw.write(code, ln)
+
+    # -- container ---------------------------------------------------
+    def seg(marker: int, body: bytes) -> bytes:
+        return struct.pack(">HH", marker, len(body) + 2) + body
+
+    out = bytearray(b"\xFF\xD8")                       # SOI
+    out += seg(0xFFE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")
+    out += seg(0xFFDB, b"\x00" + bytes(ql[ZIGZAG].astype(np.uint8)))
+    if not gray:
+        out += seg(0xFFDB, b"\x01" + bytes(qc[ZIGZAG].astype(np.uint8)))
+    ncomp = 1 if gray else 3
+    sof = struct.pack(">BHHB", 8, h, w, ncomp)
+    for cid in range(1, ncomp + 1):
+        sof += struct.pack(">BBB", cid, 0x11, 0 if cid == 1 else 1)
+    out += seg(0xFFC0, sof)                            # baseline SOF0
+    for tc_th, bits, vals in (
+            ((0 << 4) | 0, DC_LUMA_BITS, DC_LUMA_VALS),
+            ((1 << 4) | 0, AC_LUMA_BITS, AC_LUMA_VALS),
+            *((() if gray else (
+                ((0 << 4) | 1, DC_CHROMA_BITS, DC_CHROMA_VALS),
+                ((1 << 4) | 1, AC_CHROMA_BITS, AC_CHROMA_VALS))))):
+        out += seg(0xFFC4, bytes([tc_th] + bits + vals))
+    sos = bytes([ncomp])
+    for cid in range(1, ncomp + 1):
+        td_ta = 0x00 if cid == 1 else 0x11
+        sos += bytes([cid, td_ta])
+    sos += b"\x00\x3F\x00"
+    out += seg(0xFFDA, sos)
+    out += bw.flush()
+    out += b"\xFF\xD9"                                 # EOI
+    return bytes(out)
+
+
+# ---------------------------------------------------------------- decode
+class _BitReader:
+    """Entropy-segment bit reader: unstuffs 0xFF00, stops at markers;
+    restart markers (RST0-7) reset the stream byte-aligned."""
+
+    def __init__(self, data: bytes, pos: int):
+        self.data = data
+        self.pos = pos
+        self.acc = 0
+        self.nbits = 0
+
+    def _fill(self) -> None:
+        d = self.data
+        b = d[self.pos]
+        if b == 0xFF:
+            nxt = d[self.pos + 1]
+            if nxt == 0x00:
+                self.pos += 2
+            elif 0xD0 <= nxt <= 0xD7:
+                raise _Restart(self.pos)
+            else:
+                raise ValueError(
+                    f"marker 0x{b:02X}{nxt:02X} inside entropy data")
+        else:
+            self.pos += 1
+        self.acc = (self.acc << 8) | b
+        self.nbits += 8
+
+    def bits(self, n: int) -> int:
+        while self.nbits < n:
+            self._fill()
+        v = (self.acc >> (self.nbits - n)) & ((1 << n) - 1)
+        self.nbits -= n
+        return v
+
+    def realign(self, pos: int) -> None:
+        self.pos = pos + 2          # skip the RSTn marker
+        self.acc = 0
+        self.nbits = 0
+
+
+class _Restart(Exception):
+    def __init__(self, pos):
+        self.pos = pos
+
+
+def _huff_decode(br: _BitReader, lut: dict) -> int:
+    code, length = 0, 0
+    while length < 16:
+        code = (code << 1) | br.bits(1)
+        length += 1
+        v = lut.get((code, length))
+        if v is not None:
+            return v
+    raise ValueError("invalid Huffman code in entropy data")
+
+
+def _extend(v: int, s: int) -> int:
+    return v if v >= (1 << (s - 1)) else v - (1 << s) + 1
+
+
+def decode_jpeg(blob: bytes) -> np.ndarray:
+    """Decode baseline JPEG to (H, W, 3) uint8 RGB (grayscale is
+    replicated).  Subset limits raise ``NotImplementedError``
+    naming the unsupported feature."""
+    if blob[:2] != b"\xFF\xD8":
+        raise ValueError("not a JPEG (missing SOI)")
+    pos = 2
+    qt: dict[int, np.ndarray] = {}
+    huff: dict[tuple, dict] = {}    # (tclass, tid) -> {(code,len): val}
+    comps: list = []                # (cid, tq)
+    scan: list = []                 # (cid, td, ta)
+    h = w = 0
+    restart = 0
+    while pos < len(blob):
+        if blob[pos] != 0xFF:
+            raise ValueError(f"expected marker at {pos}")
+        marker = struct.unpack_from(">H", blob, pos)[0]
+        if marker == 0xFFD9:
+            raise ValueError("EOI before SOS")
+        ln = struct.unpack_from(">H", blob, pos + 2)[0]
+        body = blob[pos + 4:pos + 2 + ln]
+        if marker == 0xFFDB:
+            off = 0
+            while off < len(body):
+                pq, tq = body[off] >> 4, body[off] & 0xF
+                if pq != 0:
+                    raise NotImplementedError("16-bit quant tables")
+                tab = np.frombuffer(body, np.uint8, 64, off + 1)
+                nat = np.zeros(64, np.int32)
+                nat[ZIGZAG] = tab    # stream order is zigzag
+                qt[tq] = nat
+                off += 65
+        elif marker == 0xFFC4:
+            off = 0
+            while off < len(body):
+                tc, th = body[off] >> 4, body[off] & 0xF
+                bits = list(body[off + 1:off + 17])
+                n = sum(bits)
+                vals = list(body[off + 17:off + 17 + n])
+                codes = _build_codes(bits, vals)
+                huff[(tc, th)] = {(c, l): v for v, (c, l) in codes.items()}
+                off += 17 + n
+        elif marker == 0xFFC0:
+            if body[0] != 8:
+                raise NotImplementedError("only 8-bit precision")
+            h, w = struct.unpack_from(">HH", body, 1)
+            nc = body[5]
+            for i in range(nc):
+                cid, hv, tq = body[6 + 3 * i:9 + 3 * i]
+                if hv != 0x11:
+                    raise NotImplementedError(
+                        "chroma subsampling (only 4:4:4 supported)")
+                comps.append((cid, tq))
+        elif marker in (0xFFC1, 0xFFC2, 0xFFC3, 0xFFC5, 0xFFC6, 0xFFC7,
+                        0xFFC9, 0xFFCA, 0xFFCB, 0xFFCD, 0xFFCE, 0xFFCF):
+            raise NotImplementedError(
+                f"non-baseline SOF 0x{marker:04X} (progressive/"
+                "arithmetic) not supported")
+        elif marker == 0xFFDD:
+            restart = struct.unpack_from(">H", body, 0)[0]
+        elif marker == 0xFFDA:
+            ns = body[0]
+            for i in range(ns):
+                cid, tt = body[1 + 2 * i], body[2 + 2 * i]
+                scan.append((cid, tt >> 4, tt & 0xF))
+            pos = pos + 2 + ln
+            break
+        pos = pos + 2 + ln
+    if not comps or not scan or h == 0:
+        raise ValueError("missing SOF/SOS")
+    if len(scan) != len(comps):
+        raise NotImplementedError("multi-scan streams not supported")
+
+    hb, wb = -(-h // 8), -(-w // 8)
+    planes = [np.zeros((hb * 8, wb * 8)) for _ in comps]
+    tq_of = dict(comps)
+    br = _BitReader(blob, pos)
+    preds = [0] * len(comps)
+    mcu = 0
+    for by in range(hb):
+        for bx in range(wb):
+            if restart and mcu and mcu % restart == 0:
+                # encoder-aligned restart: skip to the RSTn marker
+                try:
+                    while True:
+                        br.bits(1)
+                except _Restart as r:
+                    br.realign(r.pos)
+                preds = [0] * len(comps)
+            for ci, (cid, td, ta) in enumerate(scan):
+                try:
+                    blk = np.zeros(64, np.int32)
+                    s = _huff_decode(br, huff[(0, td)])
+                    diff = _extend(br.bits(s), s) if s else 0
+                    preds[ci] += diff
+                    blk[0] = preds[ci]
+                    k = 1
+                    while k < 64:
+                        rs = _huff_decode(br, huff[(1, ta)])
+                        r_, s_ = rs >> 4, rs & 0xF
+                        if s_ == 0:
+                            if r_ == 15:
+                                k += 16
+                                continue
+                            break                     # EOB
+                        k += r_
+                        if k > 63:
+                            raise ValueError("AC run past block end")
+                        blk[k] = _extend(br.bits(s_), s_)
+                        k += 1
+                except _Restart as r:
+                    br.realign(r.pos)
+                    preds = [0] * len(comps)
+                    raise ValueError(
+                        "restart marker mid-MCU (corrupt stream)")
+                nat = np.zeros(64, np.int32)
+                nat[ZIGZAG] = blk
+                deq = (nat * qt[tq_of[cid]]).reshape(8, 8).astype(float)
+                sp = _D.T @ deq @ _D + 128.0
+                planes[ci][by * 8:by * 8 + 8, bx * 8:bx * 8 + 8] = sp
+            mcu += 1
+
+    planes = [p[:h, :w] for p in planes]
+    if len(planes) == 1:
+        y = np.clip(np.round(planes[0]), 0, 255).astype(np.uint8)
+        return np.repeat(y[:, :, None], 3, axis=2)
+    y, cb, cr = planes
+    r = y + 1.402 * (cr - 128.0)
+    g = y - 0.344136 * (cb - 128.0) - 0.714136 * (cr - 128.0)
+    b = y + 1.772 * (cb - 128.0)
+    rgb = np.stack([r, g, b], axis=-1)
+    return np.clip(np.round(rgb), 0, 255).astype(np.uint8)

@@ -10,15 +10,18 @@ Decode support comes in two tiers:
   24-bit uncompressed: ``decode_bmp``/``encode_bmp``), and PNG
   (ISO/IEC 15948: every 8-bit color type including indexed/PLTE with
   tRNS alpha and 1/2/4-bit palettes, all five filter types, zlib via
-  the stdlib: ``decode_png``/``encode_png``/``encode_png_indexed``).
+  the stdlib: ``decode_png``/``encode_png``/``encode_png_indexed``),
+  and baseline JPEG (ITU-T T.81 sequential DCT, 4:4:4 + grayscale,
+  Annex K tables: ``jpeg.encode_jpeg``/``jpeg.decode_jpeg``).
   These parse actual
   container bytes end-to-end; ``decode_audio``/``decode_image``
   dispatch to them on magic.
-* **stubbed codecs** — lossy formats (JPEG/MP3/...) need
-  libjpeg/ffmpeg, which this container lacks; those payloads raise a
-  clearly-marked ``NotImplementedError`` exactly where a PIL/soundfile
-  call slots in.  The FIMG/FAUD deterministic fakes remain for
-  plumbing fixtures.
+* **stubbed codecs** — compressed audio (MP3/OGG) and non-baseline
+  JPEG (progressive/subsampled/12-bit) need ffmpeg/libjpeg, which
+  this container lacks; those payloads raise a clearly-marked
+  ``NotImplementedError`` exactly where a PIL/soundfile call slots
+  in.  The FIMG/FAUD deterministic fakes remain for plumbing
+  fixtures.
 
 Schema convention for a media column ``m``:
     m            binary        -- opaque payload
@@ -374,9 +377,12 @@ def synth_media(df: DataFrame, id_col: str, kind: str = "image") -> DataFrame:
     ``kind="png"``: a REAL PNG per row — RGB for even ids, RGBA for
     odd, rows cycling all five filter types; pixels follow the
     SQL-replayable pattern in :func:`synth_png_pixels`.
+    ``kind="jpeg"``: a REAL baseline JPEG per row (quality 92) over
+    the RGB channels of the same :func:`synth_png_pixels` pattern —
+    lossy, so oracles gate fidelity (PSNR) instead of exact sums.
     """
     ensure_shipped(df.sparkSession)
-    if kind not in ("image", "audio", "wav", "bmp", "png"):
+    if kind not in ("image", "audio", "wav", "bmp", "png", "jpeg"):
         raise ValueError(f"unknown media kind {kind!r}")
 
     def kernel(iterator):
@@ -402,6 +408,10 @@ def synth_media(df: DataFrame, id_col: str, kind: str = "image") -> DataFrame:
                     blobs.append(encode_wav(synth_samples(int(i)), 8000))
                 elif kind == "png":
                     blobs.append(encode_png(synth_png_pixels(int(i))))
+                elif kind == "jpeg":
+                    from .jpeg import encode_jpeg
+                    blobs.append(encode_jpeg(
+                        synth_png_pixels(int(i))[:, :, :3], quality=92))
                 else:  # bmp
                     w = 8 + (int(i) * 5) % 24
                     h = 8 + (int(i) * 11) % 24
@@ -484,10 +494,11 @@ def media_metadata(df: DataFrame, id_col: str,
 
 
 def decode_image(blob: bytes) -> np.ndarray:
-    """Dispatch on magic: BMP and PNG decode for REAL (pure-python
-    parsers — 24-bit BI_RGB / 8-bit truecolor±alpha); FIMG is the
-    deterministic plumbing fake; lossy formats (JPEG/...) raise where
-    a PIL/libjpeg call would slot in.  Contract: returns an
+    """Dispatch on magic: BMP, PNG, and baseline JPEG decode for
+    REAL (pure-python parsers — 24-bit BI_RGB / 8-bit truecolor±
+    alpha / sequential-DCT 4:4:4, see `jpeg.py` for the JPEG
+    subset); FIMG is the deterministic plumbing fake; anything else
+    raises where a PIL call would slot in.  Contract: returns an
     (H, W, 3) uint8 RGB array (PNG alpha is dropped).
     """
     if blob[:2] == b"BM":
@@ -497,14 +508,17 @@ def decode_image(blob: bytes) -> np.ndarray:
         if px.shape[2] in (1, 2):          # grey(+alpha) → RGB
             px = np.repeat(px[:, :, :1], 3, axis=2)
         return np.ascontiguousarray(px[:, :, :3])
+    if blob[:2] == b"\xFF\xD8":
+        from .jpeg import decode_jpeg
+        return decode_jpeg(blob)
     if blob[:4] == b"FIMG":
         w, h = _struct.unpack_from("<HH", blob, 4)
         body = np.frombuffer(blob, np.uint8, offset=8)
         px = np.resize(body, w * h * 3).reshape(h, w, 3)
         return px
     raise NotImplementedError(
-        "lossy image decode (JPEG/...) requires PIL/libjpeg — "
-        "not present in this container; plug the codec in here")
+        "image decode for this container requires PIL/libjpeg — "
+        "not present; BMP/PNG/JPEG(baseline) decode natively above")
 
 
 def decode_audio(blob: bytes) -> tuple[np.ndarray, int]:

@@ -4386,6 +4386,56 @@ LIMIT 20
 
 
 # =====================================================================
+# q94 — baseline JPEG decode (ops/jpeg.py, ITU-T T.81): each doc
+# gets a REAL sequential-DCT JPEG payload (Annex K tables at
+# quality 92 over the q76 synth pixels), the engine entropy-decodes,
+# dequantizes, IDCTs and color-converts the container bytes, and
+# the output is gated per image: exact WIDTH/HEIGHT from the decoded
+# array (SQL-replayable) + a 30 dB PSNR floor against the synth
+# ground truth (measured worst 37 dB — JPEG is lossy, so fidelity
+# replaces q76's exact channel sums).  Completes the codec tier:
+# WAV/BMP/PNG byte-exact, JPEG bound-gated.
+# =====================================================================
+def q94_jpeg_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .ops.multimodal import synth_media
+    docs = _read(spark, sf_dir, "documents").select("doc_id")
+    media = synth_media(docs, "doc_id", kind="jpeg")
+
+    def kernel(iterator):
+        import numpy as np
+        import pandas as pd
+        from facs_spark.ops.multimodal import (decode_image,
+                                               synth_png_pixels)
+        for batch in iterator:
+            recs = []
+            for i, blob in zip(batch["doc_id"], batch["media"]):
+                px = decode_image(bytes(blob))
+                gt = synth_png_pixels(int(i))[:, :, :3]
+                mse = float(((px.astype(np.float64)
+                              - gt.astype(np.float64)) ** 2).mean())
+                psnr = 99.0 if mse == 0 else \
+                    10.0 * np.log10(255.0 ** 2 / mse)
+                recs.append({"doc_id": int(i),
+                             "width": px.shape[1],
+                             "height": px.shape[0],
+                             "psnr_ok": bool(psnr >= 30.0)})
+            yield pd.DataFrame(recs)
+
+    return media.mapInPandas(
+        kernel, schema="doc_id long, width int, height int, "
+                       "psnr_ok boolean").orderBy("doc_id")
+
+
+Q94_SQL = """
+SELECT doc_id, CAST(8 + (doc_id * 3) % 24 AS INT) AS width,
+       CAST(8 + (doc_id * 7) % 24 AS INT) AS height,
+       TRUE AS psnr_ok
+FROM documents
+ORDER BY doc_id
+"""
+
+
+# =====================================================================
 # registry
 # =====================================================================
 def queries():
@@ -4491,6 +4541,7 @@ def queries():
         "q91_dgim_window_count": q91_dgim_window_count,
         "q92_cuckoo_revoked_filter": q92_cuckoo_revoked_filter,
         "q93_countsketch_delta": q93_countsketch_delta,
+        "q94_jpeg_decode": q94_jpeg_decode,
     }
     return dict(reversed(list(ordered.items())))
 
@@ -4601,6 +4652,7 @@ def oracle_sql():
         "q91_dgim_window_count": Q91_SQL,
         "q92_cuckoo_revoked_filter": Q92_SQL,
         "q93_countsketch_delta": Q93_SQL,
+        "q94_jpeg_decode": Q94_SQL,
     }
 
 

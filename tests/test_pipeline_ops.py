@@ -563,12 +563,14 @@ def test_decode_stub_contract():
     blob = b"FIMG" + (16).to_bytes(2, "little") + (8).to_bytes(2, "little") + b"x" * 128
     img = decode_image(blob)
     assert img.shape == (8, 16, 3)
-    # lossy formats stay loud stubs (PNG now decodes for real —
-    # test_png_codec_roundtrip; a malformed PNG is a ValueError)
-    with pytest.raises(NotImplementedError):
+    # PNG and baseline JPEG decode for real now — malformed streams
+    # are ValueErrors; containers with no native codec stay loud
+    with pytest.raises(ValueError):
         decode_image(b"\xff\xd8\xff\xe0notajpeg")
     with pytest.raises(ValueError):
         decode_image(b"\x89PNG\r\n\x1a\nnotreal")
+    with pytest.raises(NotImplementedError):
+        decode_image(b"RIFX....WEBP")  # no codec behind this magic
 
 
 def test_wav_codec_roundtrip_and_stdlib_parity():
@@ -1849,3 +1851,58 @@ def test_normalize_text_fuzz_matches_python_reference(spark):
         want = ref(s)
         assert got[i] == want, (i, repr(s), repr(got[i]), repr(want))
         assert ref(want) == want  # idempotent
+
+
+def test_jpeg_codec_roundtrip_and_determinism():
+    """The pure-python baseline JPEG codec (ITU-T T.81): lossy
+    round-trip lands within the quantization-step error budget at
+    several sizes (odd dims exercise edge-padding), grayscale path
+    replicates to RGB, encoding is bit-deterministic, and the
+    spec-subset limits (progressive, subsampled) stay loud."""
+    from facs_spark.ops.jpeg import decode_jpeg, encode_jpeg
+    from facs_spark.ops.multimodal import decode_image, synth_png_pixels
+
+    rng = np.random.default_rng(9)
+    for h, w in [(8, 8), (13, 21), (32, 17), (1, 1), (9, 64)]:
+        # smooth gradient + mild noise: the signal JPEG is built for
+        yy, xx = np.mgrid[0:h, 0:w]
+        base = np.stack([(yy * 5 + xx * 3) % 256,
+                         (yy * 2 + xx * 7) % 256,
+                         (yy * 11 + xx) % 256], axis=-1).astype(float)
+        px = np.clip(base * 0.5 + 64 + rng.normal(0, 2, base.shape),
+                     0, 255).astype(np.uint8)
+        blob = encode_jpeg(px, quality=92)
+        assert blob[:2] == b"\xFF\xD8" and blob[-2:] == b"\xFF\xD9"
+        out = decode_jpeg(blob)
+        assert out.shape == (h, w, 3)
+        err = np.abs(out.astype(float) - px.astype(float)).mean()
+        assert err < 12.0, (h, w, err)
+        assert encode_jpeg(px, quality=92) == blob  # deterministic
+
+    # the multimodal dispatch routes JPEG magic to the codec
+    px = synth_png_pixels(4)[:, :, :3]
+    via = decode_image(encode_jpeg(px, quality=95))
+    assert via.shape == px.shape
+    assert np.abs(via.astype(float) - px.astype(float)).mean() < 40.0
+
+    # grayscale: single-component scan, replicated to RGB
+    g = ((np.arange(16)[:, None] * 7 + np.arange(24)[None, :] * 3)
+         % 256).astype(np.uint8)
+    out = decode_jpeg(encode_jpeg(g, quality=95))
+    assert out.shape == (16, 24, 3)
+    assert np.array_equal(out[:, :, 0], out[:, :, 1])
+    assert np.abs(out[:, :, 0].astype(float) - g.astype(float)).mean() < 8.0
+
+    # quality knob monotonicity: lower quality -> smaller stream
+    big = encode_jpeg(px, quality=95)
+    small = encode_jpeg(px, quality=20)
+    assert len(small) < len(big)
+
+    # subset limits are loud: flip SOF0 -> SOF2 (progressive)
+    blob = bytearray(encode_jpeg(px, quality=90))
+    sof = blob.find(b"\xFF\xC0")
+    blob[sof + 1] = 0xC2
+    with pytest.raises(NotImplementedError):
+        decode_jpeg(bytes(blob))
+    with pytest.raises(ValueError):
+        decode_jpeg(b"\x00\x01not a jpeg")

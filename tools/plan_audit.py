@@ -75,6 +75,8 @@ AUDIT = [
      "broadcast cuckoo probe — no join exchange, fingerprints only"),
     ("q93_countsketch_delta",
      "two map-side CS builds subtracted driver-side; exact top-20 heap"),
+    ("q94_jpeg_decode",
+     "chained synth+decode kernels stay partition-parallel; one sort"),
 ]
 
 
