@@ -144,12 +144,18 @@ def register_sql_functions(spark: SparkSession) -> None:
             out.append(bool(sk.contains_batch(key)[0]))
         return pd.Series(out)
 
+    # cuckoo blobs answer through the same shape (dispatch is by
+    # magic inside sketch_from_bytes, so one probe UDF would do —
+    # a distinct name keeps SQL self-documenting)
+    cuckoo_contains = cbf_contains
+
     spark.udf.register("mg_estimate", mg_estimate)
     spark.udf.register("mg_error_bound", mg_error_bound)
     spark.udf.register("ams_f2", ams_f2)
     spark.udf.register("cs_estimate", cs_estimate)
     spark.udf.register("cs_error_bound", cs_error_bound)
     spark.udf.register("cbf_contains", cbf_contains)
+    spark.udf.register("cuckoo_contains", cuckoo_contains)
     spark.udf.register("hll_estimate", hll_estimate)
     spark.udf.register("kll_quantile", kll_quantile)
     spark.udf.register("tdigest_quantile", tdigest_quantile)
@@ -203,4 +209,7 @@ def sketch_agg_udfs() -> dict:
         "cbf_agg": sketch_agg_udf(
             SketchSpec.make("cbf", "_", capacity=1_000_000,
                             error_rate=1e-6)),
+        "cuckoo_agg": sketch_agg_udf(
+            SketchSpec.make("cuckoo", "_", capacity=1_000_000,
+                            fbits=32)),
     }

@@ -459,3 +459,21 @@ def test_countsketch_sql_surface(spark, docs):
         "FROM (SELECT cs_agg(t) AS s FROM toks_cs)" % top["t"]
     ).collect()[0]
     assert abs(row["est"] - top["c"]) <= row["b"], (row, top["c"])
+
+
+def test_cuckoo_sql_surface(spark, docs):
+    """cuckoo_agg/cuckoo_contains in pure SQL: distributed partials
+    merge by fingerprint re-insertion, membership exact at the
+    fbits=32 sizing (no FN for kept keys, no FP observed on the
+    disjoint probe set)."""
+    from facs_spark.functions import register_sql_functions
+    register_sql_functions(spark)
+    docs.createOrReplaceTempView("docs_ck")
+    mem = spark.sql(
+        "SELECT d.doc_id < 1000000 AS should, "
+        "       cuckoo_contains(f.s, d.doc_id) AS got "
+        "FROM (SELECT doc_id FROM docs_ck UNION ALL "
+        "      SELECT doc_id + 1000000 FROM docs_ck) d "
+        "CROSS JOIN (SELECT cuckoo_agg(doc_id) AS s FROM docs_ck) f"
+    ).collect()
+    assert all(r["should"] == r["got"] for r in mem)
