@@ -77,6 +77,13 @@ def register_sql_functions(spark: SparkSession) -> None:
             _sketch_of(x, cache).intersect_estimate(_sketch_of(y, cache))
             for x, y in zip(a, b)])
 
+    @pandas_udf("double")
+    def theta_difference(a: pd.Series, b: pd.Series) -> pd.Series:
+        cache: dict = {}
+        return pd.Series([
+            _sketch_of(x, cache).difference_estimate(_sketch_of(y, cache))
+            for x, y in zip(a, b)])
+
     @pandas_udf("boolean")
     def bloom_contains(blobs: pd.Series, keys: pd.Series) -> pd.Series:
         from facs_spark.sketch.hashing import (ascii_lower,
@@ -163,6 +170,7 @@ def register_sql_functions(spark: SparkSession) -> None:
     spark.udf.register("bloom_contains", bloom_contains)
     spark.udf.register("theta_estimate", theta_estimate)
     spark.udf.register("theta_intersect", theta_intersect)
+    spark.udf.register("theta_difference", theta_difference)
     for name, udf in sketch_agg_udfs().items():
         spark.udf.register(name, udf)
 

@@ -238,6 +238,13 @@ def test_theta_sql_surface(spark, docs):
                       "FROM theta_pair").collect()[0]["i"]
     n_en = docs.filter(F.col("lang") == "en").count()
     assert inter == float(n_en)
+    # a-not-b: all minus the en subset, and the exact-mode partition
+    # identity diff(b,a) + intersect(b,a) == estimate(b)
+    diff = spark.sql("SELECT theta_difference(y, x) AS d "
+                     "FROM theta_pair").collect()[0]["d"]
+    assert diff == float(exact - n_en)
+    assert spark.sql("SELECT theta_difference(x, y) AS d "
+                     "FROM theta_pair").collect()[0]["d"] == 0.0
 
 
 def test_grouped_overlap_matrix(spark, docs):
