@@ -39,7 +39,8 @@ PARTIAL_SCHEMA = ("partition_id long, rows_seen long, wall_ms double, "
 class SketchSpec:
     """Picklable recipe: which sketch, over which column, how to feed it.
 
-    kind: bloom | hll | cms | tdigest | kll | theta | mg | fd | ams | cs | cbf | cuckoo
+    kind: bloom | hll | cms | tdigest | kll | theta | mg | fd | ams | cs
+          | cbf | cuckoo | ddsketch
     prep: how batch values are fed to ``update_batch``:
       * "kgram"  — shingle text into k-gram windows (bloom only)
       * "tokens" — whitespace-split text into tokens
@@ -104,6 +105,9 @@ class SketchSpec:
                 capacity=p.get("capacity", 1_000_000),
                 fbits=p.get("fbits", 16), b=p.get("b", 4),
                 load=p.get("load", 0.84), seed=p.get("seed", 0))
+        if self.kind == "ddsketch":
+            from ..sketch.ddsketch import DDSketch
+            return DDSketch(alpha=p.get("alpha", 0.01))
         raise ValueError(f"unknown sketch kind {self.kind!r}")
 
     def blob_bytes(self) -> int:
@@ -188,7 +192,7 @@ class SketchSpec:
                     for v in series if v is not None]
             if vecs:
                 sketch.update_batch(np.stack(vecs))
-        elif self.kind in ("tdigest", "kll"):
+        elif self.kind in ("tdigest", "kll", "ddsketch"):
             sketch.update_batch(series.to_numpy(dtype=np.float64, na_value=np.nan))
         else:
             vals = series.to_numpy()

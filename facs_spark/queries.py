@@ -4436,6 +4436,76 @@ ORDER BY doc_id
 
 
 # =====================================================================
+# q95 — DDSketch relative-error page-length quantiles
+# (sketch/ddsketch.py; Masson-Rim-Lee VLDB 2019).  Unlike the
+# randomized t-digest/KLL quantile queries (q07/q08, bound-gated),
+# the unbounded DDSketch is DETERMINISTIC and merge-order-invariant:
+# the sketch is exactly the logarithmic-bucket histogram of the
+# input, so the oracle replays ceil(ln(x)/ln(gamma)) per row in SQL,
+# walks the same cumulative histogram at rank q*(n-1), and the
+# estimates compare VALUE-level.  The alpha=0.02 relative-error
+# guarantee itself is asserted against exact quantiles in pytest
+# (tests/test_ddsketch.py) along with merge associativity.
+# =====================================================================
+_DD_ALPHA = 0.02
+_DD_QS = (0.25, 0.5, 0.75, 0.9, 0.99)
+
+
+def q95_ddsketch_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .sketch.ddsketch import DDSketch
+    docs = (_read(spark, sf_dir, "documents")
+            .select("lang", F.length("text").alias("tlen"))
+            .filter(F.col("tlen") > 0))
+    spec = SketchSpec.make("ddsketch", "tlen", alpha=_DD_ALPHA)
+    rows = grouped_sketches(docs, ["lang"], spec).collect()
+    import pandas as pd
+    recs = []
+    for r in sorted(rows, key=lambda r: r["lang"]):
+        dd = DDSketch.from_bytes(bytes(r["sketch"]))
+        vals = dd.quantiles(_DD_QS)
+        rec = {"lang": r["lang"], "n_pages": dd.count}
+        for q, v in zip(_DD_QS, vals):
+            rec[f"p{int(q * 100):02d}"] = v
+        recs.append(rec)
+    out = spark.createDataFrame(
+        pd.DataFrame(recs),
+        schema="lang string, n_pages long, p25 double, p50 double, "
+               "p75 double, p90 double, p99 double")
+    return out.select("lang", "n_pages",
+                      *[F.round(c, 6).alias(c)
+                        for c in ("p25", "p50", "p75", "p90", "p99")])
+
+
+_DD_G = f"((1.0 + {_DD_ALPHA}) / (1.0 - {_DD_ALPHA}))"
+_DD_PICK = ("ROUND(2 * POWER({g}, MIN(CASE WHEN CAST(cum AS DOUBLE) > "
+            "{q} * (CAST(n AS DOUBLE) - 1) THEN key END)) / ({g} + 1), 6) "
+            "AS p{pct:02d}")
+
+Q95_SQL = f"""
+WITH b AS (
+  SELECT lang,
+         CAST(CEIL(LN(CAST(LENGTH(text) AS DOUBLE)) / LN({_DD_G}))
+              AS BIGINT) AS key,
+         COUNT(*) AS c
+  FROM documents
+  WHERE LENGTH(text) > 0
+  GROUP BY lang, key
+), cum AS (
+  SELECT lang, key, c,
+         SUM(c) OVER (PARTITION BY lang ORDER BY key) AS cum,
+         SUM(c) OVER (PARTITION BY lang) AS n
+  FROM b
+)
+SELECT lang, CAST(MAX(n) AS BIGINT) AS n_pages,
+       {", ".join(_DD_PICK.format(g=_DD_G, q=q, pct=int(q * 100))
+                  for q in _DD_QS)}
+FROM cum
+GROUP BY lang
+ORDER BY lang
+"""
+
+
+# =====================================================================
 # registry
 # =====================================================================
 def queries():
@@ -4542,6 +4612,7 @@ def queries():
         "q92_cuckoo_revoked_filter": q92_cuckoo_revoked_filter,
         "q93_countsketch_delta": q93_countsketch_delta,
         "q94_jpeg_decode": q94_jpeg_decode,
+        "q95_ddsketch_quantiles": q95_ddsketch_quantiles,
     }
     return dict(reversed(list(ordered.items())))
 
@@ -4653,6 +4724,7 @@ def oracle_sql():
         "q92_cuckoo_revoked_filter": Q92_SQL,
         "q93_countsketch_delta": Q93_SQL,
         "q94_jpeg_decode": Q94_SQL,
+        "q95_ddsketch_quantiles": Q95_SQL,
     }
 
 

@@ -13,6 +13,7 @@ from .cbf import CountingBloom
 from .cms import CountMinSketch
 from .countsketch import CountSketch
 from .cuckoo import CuckooFilter
+from .ddsketch import DDSketch
 from .fd import FrequentDirections
 from .hll import HyperLogLog
 from .kll import KLL
@@ -36,6 +37,7 @@ SKETCH_TYPES = {
     CountSketch.MAGIC: CountSketch,
     CountingBloom.MAGIC: CountingBloom,
     CuckooFilter.MAGIC: CuckooFilter,
+    DDSketch.MAGIC: DDSketch,
 }
 
 
@@ -51,7 +53,7 @@ def sketch_from_bytes(blob: bytes):
 __all__ = [
     "BloomFilter", "HyperLogLog", "CountMinSketch", "TDigest", "KLL",
     "ThetaSketch", "MisraGries", "FrequentDirections", "AmsF2",
-    "CountSketch", "CountingBloom", "CuckooFilter",
+    "CountSketch", "CountingBloom", "CuckooFilter", "DDSketch",
     "BloomStat", "bloom_fpr", "facs_sizing", "standard_sizing",
     "find_close_prime", "is_prime", "kmer_suggestion", "mco_suggestion",
     "prob_suggestion", "sketch_from_bytes", "SKETCH_TYPES",
