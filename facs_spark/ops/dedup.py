@@ -981,3 +981,104 @@ def remove_duplicate_spans(df: DataFrame, id_col: str = "doc_id",
     return (df.join(per_doc, id_col, "left")
               .withColumn(out_col, F.array_join(kept, " "))
               .drop("_spans"))
+
+
+# ------------------------------------------------------------------ b-bit
+def bbit_minhash_corpus(df: DataFrame, group_col: str, text_col: str,
+                        k: int = 64, b: int = 8) -> DataFrame:
+    """Corpus-level Jaccard similarity between groups via b-bit
+    minwise hashing (Li & Koenig, WWW 2010): per group keep only the
+    lowest ``b`` bits of each of ``k`` minwise hashes, estimate
+
+        J = (Pb - C1) / (1 - C2)
+
+    with the paper's C1/C2 correction (their Theorem 1, functions of
+    r1 = |S1|/D, r2 = |S2|/D, D = |S1 u S2|).  Shingles are word
+    3-grams; the hash is the shared 13-hex-digit md5 fraction, so
+    min-over-hex-string equals min-over-value and the DuckDB oracle
+    (queries.py q96) replays signatures, matches, and the correction
+    EXACTLY — the full estimator is value-level checkable, storage is
+    b/64th of the full signature.
+
+    Scale shape: the exploded (shingle x seed) rows never shuffle raw
+    — min() partial-aggregates map-side, so the exchange carries only
+    |groups| x k x partitions hex strings; the exact-verifier
+    self-join on distinct shingles is the only text shuffle (at 10^12
+    pages you'd sample it; the estimator path itself stays cheap).
+    The production near-dup path hashes with splitmix64
+    (minhash_dedup above); this op pays md5 for replayability.
+
+    Returns (group_a, group_b, n_a, n_b, n_intersect, j_exact,
+    est_full, est_bbit) for every unordered group pair.
+    """
+    if b != 8:
+        raise ValueError("only b=8 is wired to the 13-hex replay "
+                         "(low byte = last 2 hex chars)")
+    g = group_col
+    t = df.select(g, F.split(F.col(text_col), " ").alias("t"))
+    sh = (t.filter(F.size("t") >= 3)
+          .select(g, F.explode(
+              F.sequence(F.lit(1), F.size("t") - 2)).alias("i"), "t")
+          .select(g, F.concat_ws(
+              " ", F.element_at("t", F.col("i")),
+              F.element_at("t", F.col("i") + 1),
+              F.element_at("t", F.col("i") + 2)).alias("sh"))
+          .distinct())
+    sh = ensure_parallelism(
+        sh, df.sparkSession.sparkContext.defaultParallelism).persist()
+    try:
+        sig = (sh.select(g, "sh", F.explode(F.sequence(
+                    F.lit(0), F.lit(k - 1))).alias("seed"))
+               .select(g, "seed", F.substring(F.md5(F.concat(
+                   F.col("seed").cast("string"), F.lit(":"),
+                   F.col("sh"))), 1, 13).alias("h"))
+               .groupBy(g, "seed").agg(F.min("h").alias("minh")))
+        a, bb = sig.alias("a"), sig.alias("b")
+        matches = (a.join(bb, F.col("a.seed") == F.col("b.seed"))
+                   .where(F.col(f"a.{g}") < F.col(f"b.{g}"))
+                   .groupBy(F.col(f"a.{g}").alias("group_a"),
+                            F.col(f"b.{g}").alias("group_b"))
+                   .agg(F.sum((F.col("a.minh") == F.col("b.minh"))
+                              .cast("long")).alias("mfull"),
+                        F.sum((F.substring("a.minh", 12, 2) ==
+                               F.substring("b.minh", 12, 2))
+                              .cast("long")).alias("mb")))
+        sz = sh.groupBy(g).agg(F.count(F.lit(1)).alias("n"))
+        sa, sb = sh.alias("sa"), sh.alias("sb")
+        inter = (sa.join(sb, F.col("sa.sh") == F.col("sb.sh"))
+                 .where(F.col(f"sa.{g}") < F.col(f"sb.{g}"))
+                 .groupBy(F.col(f"sa.{g}").alias("group_a"),
+                          F.col(f"sb.{g}").alias("group_b"))
+                 .agg(F.count(F.lit(1)).alias("ni")))
+        est = (matches
+               .join(sz.select(F.col(g).alias("group_a"),
+                               F.col("n").alias("na_l")), "group_a")
+               .join(sz.select(F.col(g).alias("group_b"),
+                               F.col("n").alias("nb_l")), "group_b")
+               .join(inter, ["group_a", "group_b"], "left")
+               .na.fill({"ni": 0}))
+        na = F.col("na_l").cast("double")
+        nb = F.col("nb_l").cast("double")
+        ni = F.col("ni").cast("double")
+        d = na + nb - ni
+        r1, r2 = na / d, nb / d
+        two_b = float(1 << b)
+        a1 = r1 * F.pow(1 - r1, two_b - 1) / (1 - F.pow(1 - r1, two_b))
+        a2 = r2 * F.pow(1 - r2, two_b - 1) / (1 - F.pow(1 - r2, two_b))
+        c1 = a1 * r2 / (r1 + r2) + a2 * r1 / (r1 + r2)
+        c2 = a1 * r1 / (r1 + r2) + a2 * r2 / (r1 + r2)
+        pb = F.col("mb").cast("double") / float(k)
+        out = (est.select(
+                   "group_a", "group_b",
+                   F.col("na_l").alias("n_a"),
+                   F.col("nb_l").alias("n_b"),
+                   F.col("ni").alias("n_intersect"),
+                   F.round(ni / d, 6).alias("j_exact"),
+                   F.round(F.col("mfull").cast("double") / float(k), 6)
+                    .alias("est_full"),
+                   F.round((pb - c1) / (1 - c2), 6).alias("est_bbit"))
+               .orderBy("group_a", "group_b"))
+        out = out.localCheckpoint(eager=True)
+    finally:
+        sh.unpersist()
+    return out

@@ -4506,6 +4506,84 @@ ORDER BY lang
 
 
 # =====================================================================
+# q96 — b-bit minwise hashing (Li-Koenig WWW 2010) corpus similarity
+# (ops/dedup.bbit_minhash_corpus): per-lang word-3-gram sets, k=64
+# minwise hashes, keep only the low byte (b=8) of each, estimate
+# Jaccard with the paper's C1/C2 correction.  The hash is the shared
+# 13-hex md5 fraction (min-over-hex == min-over-value), so the oracle
+# replays signatures, b-bit matches, AND the correction algebra —
+# the whole estimator is value-level checked, unlike the
+# splitmix64-hashed production near-dup path (q10).
+# =====================================================================
+def q96_bbit_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .ops.dedup import bbit_minhash_corpus
+    docs = _read(spark, sf_dir, "documents")
+    return bbit_minhash_corpus(docs, "lang", "text", k=64, b=8)
+
+
+Q96_SQL = """
+WITH t AS (
+  SELECT lang, string_split(text, ' ') AS t FROM documents
+), sh AS (
+  SELECT DISTINCT lang,
+         t[i] || ' ' || t[i + 1] || ' ' || t[i + 2] AS sh
+  FROM t, UNNEST(generate_series(1, len(t) - 2)) AS u(i)
+  WHERE len(t) >= 3
+), sig AS (
+  SELECT lang, seed,
+         MIN(substr(md5(CAST(seed AS VARCHAR) || ':' || sh), 1, 13))
+           AS minh
+  FROM sh, UNNEST(generate_series(0, 63)) AS s(seed)
+  GROUP BY lang, seed
+), matches AS (
+  SELECT a.lang AS group_a, b.lang AS group_b,
+         SUM(CASE WHEN a.minh = b.minh THEN 1 ELSE 0 END) AS mfull,
+         SUM(CASE WHEN substr(a.minh, 12, 2) = substr(b.minh, 12, 2)
+                  THEN 1 ELSE 0 END) AS mb
+  FROM sig a JOIN sig b ON a.seed = b.seed AND a.lang < b.lang
+  GROUP BY 1, 2
+), sz AS (
+  SELECT lang, COUNT(*) AS n FROM sh GROUP BY lang
+), inter AS (
+  SELECT a.lang AS group_a, b.lang AS group_b, COUNT(*) AS ni
+  FROM sh a JOIN sh b ON a.sh = b.sh AND a.lang < b.lang
+  GROUP BY 1, 2
+), est AS (
+  SELECT m.group_a, m.group_b,
+         sa.n AS na_l, sb.n AS nb_l, COALESCE(i.ni, 0) AS ni_l,
+         CAST(sa.n AS DOUBLE) AS na, CAST(sb.n AS DOUBLE) AS nb,
+         CAST(COALESCE(i.ni, 0) AS DOUBLE) AS ni,
+         CAST(m.mfull AS DOUBLE) AS mfull, CAST(m.mb AS DOUBLE) AS mb
+  FROM matches m
+  JOIN sz sa ON sa.lang = m.group_a
+  JOIN sz sb ON sb.lang = m.group_b
+  LEFT JOIN inter i ON i.group_a = m.group_a AND i.group_b = m.group_b
+), c AS (
+  SELECT group_a, group_b, na_l, nb_l, ni_l, mfull, mb, ni,
+         na + nb - ni AS d,
+         na / (na + nb - ni) AS r1, nb / (na + nb - ni) AS r2
+  FROM est
+), cc AS (
+  SELECT *,
+         r1 * POWER(1 - r1, 255) / (1 - POWER(1 - r1, 256)) AS a1,
+         r2 * POWER(1 - r2, 255) / (1 - POWER(1 - r2, 256)) AS a2
+  FROM c
+)
+SELECT group_a, group_b,
+       CAST(na_l AS BIGINT) AS n_a, CAST(nb_l AS BIGINT) AS n_b,
+       CAST(ni_l AS BIGINT) AS n_intersect,
+       ROUND(ni / d, 6) AS j_exact,
+       ROUND(mfull / 64.0, 6) AS est_full,
+       ROUND((mb / 64.0
+              - (a1 * r2 / (r1 + r2) + a2 * r1 / (r1 + r2)))
+             / (1 - (a1 * r1 / (r1 + r2) + a2 * r2 / (r1 + r2))), 6)
+         AS est_bbit
+FROM cc
+ORDER BY group_a, group_b
+"""
+
+
+# =====================================================================
 # registry
 # =====================================================================
 def queries():
@@ -4613,6 +4691,7 @@ def queries():
         "q93_countsketch_delta": q93_countsketch_delta,
         "q94_jpeg_decode": q94_jpeg_decode,
         "q95_ddsketch_quantiles": q95_ddsketch_quantiles,
+        "q96_bbit_minhash": q96_bbit_minhash,
     }
     return dict(reversed(list(ordered.items())))
 
@@ -4725,6 +4804,7 @@ def oracle_sql():
         "q93_countsketch_delta": Q93_SQL,
         "q94_jpeg_decode": Q94_SQL,
         "q95_ddsketch_quantiles": Q95_SQL,
+        "q96_bbit_minhash": Q96_SQL,
     }
 
 
