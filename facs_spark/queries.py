@@ -4584,6 +4584,99 @@ ORDER BY group_a, group_b
 
 
 # =====================================================================
+# q97 — sliding-window HLL (ops/sliding_hll.py; Fusy-Giroire LPFM).
+# One pass over events builds, per register, the Pareto frontier of
+# (ts, rank); EVERY trailing window [T, now] is then answered from
+# the ~m*ln(n)-row sketch with no second data pass.  Rank is exact
+# string-level leading-zero count of the md5 fraction and the
+# register sum is an exact integer in units of 2^-53, so the DuckDB
+# oracle replays the three window estimates bit-for-bit (the only
+# libm call, LN in the linear-counting branch, is 1-ulp-safe under
+# ROUND 6).  Windows: trailing 25% / 50% / 100% of the event span.
+# =====================================================================
+def q97_sliding_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .ops.sliding_hll import sliding_hll_frontier, windows_from_frontier
+    ev = _read(spark, sf_dir, "events")
+    ts_us = F.unix_micros(F.col("ts").cast("timestamp"))
+    mm = ev.select(F.max(ts_us).alias("mx"),
+                   F.min(ts_us).alias("mn")).collect()[0]
+    span = mm["mx"] - mm["mn"]
+    wins = [("w025", 4), ("w050", 2), ("w100", 1)]
+    thrs = [mm["mx"] - span // d for _, d in wins]
+    frontier = sliding_hll_frontier(ev, "user_id", "ts").collect()
+    ests = windows_from_frontier(frontier, thrs)
+    ex = ev.select(*[
+        F.countDistinct(
+            F.when(ts_us >= F.lit(t), F.col("user_id")))
+         .alias(f"e{i}") for i, t in enumerate(thrs)]).collect()[0]
+    import pandas as pd
+    pdf = pd.DataFrame({
+        "window": [w for w, _ in wins],
+        "thr_us": thrs,
+        "exact_distinct": [int(ex[i]) for i in range(len(wins))],
+        "est": ests,
+    })
+    return (spark.createDataFrame(
+                pdf, schema="window string, thr_us long, "
+                            "exact_distinct long, est double")
+            .select("window", "thr_us", "exact_distinct",
+                    F.round("est", 6).alias("est"))
+            .orderBy("window"))
+
+
+Q97_SQL = """
+WITH b AS (
+  SELECT epoch_us(ts) AS ts_us,
+         md5(CAST(user_id AS VARCHAR)) AS h
+  FROM events
+), mm AS (
+  SELECT MAX(ts_us) AS mx, MIN(ts_us) AS mn FROM b
+), thr AS (
+  SELECT v.win, mm.mx - (mm.mx - mm.mn) // v.d AS thr_us
+  FROM (VALUES ('w025', 4), ('w050', 2), ('w100', 1)) AS v(win, d), mm
+), rk AS (
+  SELECT ts_us,
+         CAST(('0x' || substr(h, 1, 2)) AS INTEGER) AS register,
+         CASE WHEN length(ltrim(substr(h, 3, 13), '0')) = 0 THEN 53
+              ELSE (13 - length(ltrim(substr(h, 3, 13), '0'))) * 4
+                   + CASE substr(ltrim(substr(h, 3, 13), '0'), 1, 1)
+                       WHEN '1' THEN 3
+                       WHEN '2' THEN 2 WHEN '3' THEN 2
+                       WHEN '4' THEN 1 WHEN '5' THEN 1
+                       WHEN '6' THEN 1 WHEN '7' THEN 1
+                       ELSE 0 END + 1 END AS rank
+  FROM b
+), agg AS (
+  SELECT t.win, register, MAX(rank) AS mr
+  FROM rk JOIN thr t ON rk.ts_us >= t.thr_us
+  GROUP BY 1, 2
+), s AS (
+  SELECT win, COUNT(*) AS nreg,
+         SUM(CAST(POWER(2, 53 - mr) AS BIGINT)) AS ssp
+  FROM agg GROUP BY win
+), fin AS (
+  SELECT win, 256 - nreg AS zeros,
+         ((0.7213 / (1.0 + 1.079 / 256.0)) * 65536.0)
+         / (CAST(ssp + (256 - nreg) * 9007199254740992 AS DOUBLE)
+            / 9007199254740992.0) AS raw
+  FROM s
+), ex AS (
+  SELECT t.win, t.thr_us,
+         COUNT(DISTINCT CASE WHEN epoch_us(e.ts) >= t.thr_us
+                             THEN e.user_id END) AS exact_distinct
+  FROM thr t LEFT JOIN events e ON TRUE
+  GROUP BY 1, 2
+)
+SELECT x.win AS window, x.thr_us, x.exact_distinct,
+       COALESCE(ROUND(CASE WHEN f.raw <= 2.5 * 256.0 AND f.zeros > 0
+                           THEN 256.0 * LN(256.0 / f.zeros)
+                           ELSE f.raw END, 6), 0.0) AS est
+FROM ex x LEFT JOIN fin f ON f.win = x.win
+ORDER BY x.win
+"""
+
+
+# =====================================================================
 # registry
 # =====================================================================
 def queries():
@@ -4692,6 +4785,7 @@ def queries():
         "q94_jpeg_decode": q94_jpeg_decode,
         "q95_ddsketch_quantiles": q95_ddsketch_quantiles,
         "q96_bbit_minhash": q96_bbit_minhash,
+        "q97_sliding_hll": q97_sliding_hll,
     }
     return dict(reversed(list(ordered.items())))
 
@@ -4805,6 +4899,7 @@ def oracle_sql():
         "q94_jpeg_decode": Q94_SQL,
         "q95_ddsketch_quantiles": Q95_SQL,
         "q96_bbit_minhash": Q96_SQL,
+        "q97_sliding_hll": Q97_SQL,
     }
 
 
