@@ -40,7 +40,7 @@ class SketchSpec:
     """Picklable recipe: which sketch, over which column, how to feed it.
 
     kind: bloom | hll | cms | tdigest | kll | theta | mg | fd | ams | cs
-          | cbf | cuckoo | ddsketch
+          | cbf | cuckoo | ddsketch | moments
     prep: how batch values are fed to ``update_batch``:
       * "kgram"  — shingle text into k-gram windows (bloom only)
       * "tokens" — whitespace-split text into tokens
@@ -108,6 +108,9 @@ class SketchSpec:
         if self.kind == "ddsketch":
             from ..sketch.ddsketch import DDSketch
             return DDSketch(alpha=p.get("alpha", 0.01))
+        if self.kind == "moments":
+            from ..sketch.moments import MomentsSketch
+            return MomentsSketch()
         raise ValueError(f"unknown sketch kind {self.kind!r}")
 
     def blob_bytes(self) -> int:
@@ -194,6 +197,14 @@ class SketchSpec:
                 sketch.update_batch(np.stack(vecs))
         elif self.kind in ("tdigest", "kll", "ddsketch"):
             sketch.update_batch(series.to_numpy(dtype=np.float64, na_value=np.nan))
+        elif self.kind == "moments":
+            # keep integral dtypes integral: the exact-int power sums
+            # are what makes the q98 oracle value-level
+            vals = series.dropna().to_numpy()
+            if vals.dtype.kind in "iu":
+                sketch.update_batch(vals.astype(np.int64))
+            else:
+                sketch.update_batch(vals.astype(np.float64))
         else:
             vals = series.to_numpy()
             if vals.dtype.kind in "iuf":

@@ -4677,6 +4677,62 @@ ORDER BY x.win
 
 
 # =====================================================================
+# q98 — moments sketch (sketch/moments.py; Gan et al. VLDB 2018):
+# per-lang page-length quantiles from power sums alone.  The summary
+# (n, min, max, s1..s4) merges by pointwise addition and — for
+# integer inputs — is kept in arbitrary-precision ints, so the
+# oracle checks the SKETCH STATE itself value-level (SQL SUMs of
+# n_chars powers are the same exact integers under any partitioning).
+# The maxent median estimate is the paper's heuristic: gated by
+# measured exact rank error (<= 0.08), the q07/q08 discipline.
+# =====================================================================
+def q98_moments_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .sketch.moments import MomentsSketch
+    docs = _read(spark, sf_dir, "documents").select("lang", "n_chars")
+    rows = grouped_sketches(docs, ["lang"],
+                            SketchSpec.make("moments", "n_chars")).collect()
+    import pandas as pd
+    recs = []
+    for r in sorted(rows, key=lambda r: r["lang"]):
+        ms = MomentsSketch.from_bytes(bytes(r["sketch"]))
+        recs.append({"lang": r["lang"], "n_pages": ms.n,
+                     "s1": int(ms.sums[0]), "s2": int(ms.sums[1]),
+                     "s3": int(ms.sums[2]), "s4": int(ms.sums[3]),
+                     "est_p50": ms.quantile(0.5)})
+    est_df = spark.createDataFrame(
+        pd.DataFrame(recs),
+        schema="lang string, n_pages long, s1 long, s2 long, s3 long, "
+               "s4 long, est_p50 double")
+    ranks = (docs.join(F.broadcast(est_df.select("lang", "est_p50")),
+                       "lang")
+             .groupBy("lang")
+             .agg((F.sum((F.col("n_chars") <= F.col("est_p50"))
+                         .cast("long")) / F.count(F.lit(1)))
+                  .alias("rank")))
+    return (est_df.join(ranks, "lang")
+            .select("lang", "n_pages", "s1", "s2", "s3", "s4",
+                    F.round(F.col("s1").cast("double")
+                            / F.col("n_pages"), 6).alias("mean"),
+                    (F.abs(F.col("rank") - 0.5) <= 0.08)
+                    .alias("within_bound"))
+            .orderBy("lang"))
+
+
+Q98_SQL = """
+SELECT lang, COUNT(*) AS n_pages,
+       CAST(SUM(n_chars) AS BIGINT) AS s1,
+       CAST(SUM(n_chars * n_chars) AS BIGINT) AS s2,
+       CAST(SUM(n_chars * n_chars * n_chars) AS BIGINT) AS s3,
+       CAST(SUM(n_chars * n_chars * n_chars * n_chars) AS BIGINT) AS s4,
+       ROUND(CAST(SUM(n_chars) AS DOUBLE) / COUNT(*), 6) AS mean,
+       TRUE AS within_bound
+FROM documents
+GROUP BY lang
+ORDER BY lang
+"""
+
+
+# =====================================================================
 # registry
 # =====================================================================
 def queries():
@@ -4786,6 +4842,7 @@ def queries():
         "q95_ddsketch_quantiles": q95_ddsketch_quantiles,
         "q96_bbit_minhash": q96_bbit_minhash,
         "q97_sliding_hll": q97_sliding_hll,
+        "q98_moments_sketch": q98_moments_sketch,
     }
     return dict(reversed(list(ordered.items())))
 
@@ -4900,6 +4957,7 @@ def oracle_sql():
         "q95_ddsketch_quantiles": Q95_SQL,
         "q96_bbit_minhash": Q96_SQL,
         "q97_sliding_hll": Q97_SQL,
+        "q98_moments_sketch": Q98_SQL,
     }
 
 

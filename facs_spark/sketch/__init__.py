@@ -18,6 +18,7 @@ from .fd import FrequentDirections
 from .hll import HyperLogLog
 from .kll import KLL
 from .mg import MisraGries
+from .moments import MomentsSketch
 from .sizing import (BloomStat, bloom_fpr, facs_sizing, find_close_prime,
                      is_prime, kmer_suggestion, mco_suggestion,
                      prob_suggestion, standard_sizing)
@@ -38,6 +39,7 @@ SKETCH_TYPES = {
     CountingBloom.MAGIC: CountingBloom,
     CuckooFilter.MAGIC: CuckooFilter,
     DDSketch.MAGIC: DDSketch,
+    MomentsSketch.MAGIC: MomentsSketch,
 }
 
 
@@ -54,6 +56,7 @@ __all__ = [
     "BloomFilter", "HyperLogLog", "CountMinSketch", "TDigest", "KLL",
     "ThetaSketch", "MisraGries", "FrequentDirections", "AmsF2",
     "CountSketch", "CountingBloom", "CuckooFilter", "DDSketch",
+    "MomentsSketch",
     "BloomStat", "bloom_fpr", "facs_sizing", "standard_sizing",
     "find_close_prime", "is_prime", "kmer_suggestion", "mco_suggestion",
     "prob_suggestion", "sketch_from_bytes", "SKETCH_TYPES",
