@@ -57,12 +57,14 @@ def rank_expr(frac_col: str):
             .otherwise((13 - F.length(z)) * 4 + contrib + 1)
 
 
-def sliding_hll_points(df: DataFrame, value_col: str,
-                       ts_col: str) -> DataFrame:
-    """(register, ts_us, rank) with per-(register, ts) max — the
-    deduplicated point set the frontier is a pure function of.
+def sliding_hll_raw_points(df: DataFrame, value_col: str,
+                           ts_col: str) -> DataFrame:
+    """Per-row (register, ts_us, rank), UNgrouped — shared by the
+    batch path (which groupBy-dedups next) and the streaming path
+    (whose stateful fold dedups inside the state update; a stream
+    can't stack a groupBy-agg before ``applyInPandasWithState``).
     Register = first 2 hex chars of md5 (p=8, m=256); rank = leading
-    zeros of the next 13 hex chars + 1."""
+    zeros of the next 13 hex chars + 1 — all JVM-side expressions."""
     h = F.md5(F.col(value_col).cast("string"))
     return (df.select(F.unix_micros(F.col(ts_col).cast("timestamp"))
                       .alias("ts_us"),
@@ -72,6 +74,14 @@ def sliding_hll_points(df: DataFrame, value_col: str,
                      .cast("int").alias("register"),
                     F.substring("h", 3, 13).alias("frac"))
             .withColumn("rank", rank_expr("frac"))
+            .drop("frac"))
+
+
+def sliding_hll_points(df: DataFrame, value_col: str,
+                       ts_col: str) -> DataFrame:
+    """(register, ts_us, rank) with per-(register, ts) max — the
+    deduplicated point set the frontier is a pure function of."""
+    return (sliding_hll_raw_points(df, value_col, ts_col)
             .groupBy("register", "ts_us")
             .agg(F.max("rank").alias("rank")))
 

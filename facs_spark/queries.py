@@ -4733,6 +4733,108 @@ ORDER BY lang
 
 
 # =====================================================================
+# q99 — STREAMING sliding-window HLL
+# (streaming/stateful.streaming_sliding_hll): q97's LPFM frontier
+# maintained incrementally, one state entry per register, across
+# three micro-batches.  frontier(frontier(A) u B) == frontier(A u B)
+# and the frontier is order-free, so the drained stream's final
+# frontier is BIT-IDENTICAL to the batch sketch — q99 reuses q97's
+# value-level oracle unchanged (stream ≡ batch, the q88/q51
+# discipline).
+# =====================================================================
+_Q99_SRC_CACHE: dict = {}
+
+
+def _q99_stage(spark, sf_dir: str) -> tuple:
+    """Events split into three single-file parquet chunks
+    (event_id mod 3) → three micro-batches under
+    maxFilesPerTrigger=1."""
+    import glob as _glob
+    import os
+    import shutil
+    import tempfile
+
+    cached = _Q99_SRC_CACHE.get(sf_dir)
+    if cached and os.path.isdir(cached):
+        return cached, tempfile.mkdtemp(prefix="q99_ckpt_")
+    ev = _read(spark, sf_dir, "events")
+    src = tempfile.mkdtemp(prefix="q99_src_")
+    for i in range(3):
+        tmp = tempfile.mkdtemp(prefix=f"q99_write_{i}_")
+        ev.filter(F.col("event_id") % 3 == i).coalesce(1) \
+            .write.mode("overwrite").parquet(tmp)
+        part = _glob.glob(os.path.join(tmp, "part-*.parquet"))[0]
+        shutil.move(part, os.path.join(src, f"{i}.parquet"))
+        shutil.rmtree(tmp, ignore_errors=True)
+    _Q99_SRC_CACHE[sf_dir] = src
+    return src, tempfile.mkdtemp(prefix="q99_ckpt_")
+
+
+def q99_stream_sliding_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
+    import uuid
+
+    from .ops.sliding_hll import (sliding_hll_raw_points,
+                                  windows_from_frontier)
+    from .streaming.monitor import run_monitor_once
+    from .streaming.stateful import streaming_sliding_hll
+
+    src, ckpt = _q99_stage(spark, sf_dir)
+    try:
+        ev_stream = (spark.readStream
+                     .schema("event_id long, ts timestamp, "
+                             "user_id long, event_type string, "
+                             "value double, props string")
+                     .option("maxFilesPerTrigger", "1")
+                     .parquet(src))
+        fr_stream = streaming_sliding_hll(
+            sliding_hll_raw_points(ev_stream, "user_id", "ts"))
+        qname = "q99_sink_" + uuid.uuid4().hex[:8]
+        with _stream_state_partitions(spark):
+            run_monitor_once(fr_stream, ckpt, query_name=qname,
+                             output_mode="update")
+        final = spark.sql(f"""
+            SELECT register, ts_us, rank
+            FROM (SELECT *, MAX(points_seen)
+                            OVER (PARTITION BY register) AS mx
+                  FROM {qname})
+            WHERE points_seen = mx""")
+        frontier = _drain_sink_view(spark, final, qname).collect()
+    finally:
+        shutil.rmtree(ckpt, ignore_errors=True)
+
+    # identical window/verifier construction to q97 (same oracle)
+    ev = _read(spark, sf_dir, "events")
+    ts_us = F.unix_micros(F.col("ts").cast("timestamp"))
+    mm = ev.select(F.max(ts_us).alias("mx"),
+                   F.min(ts_us).alias("mn")).collect()[0]
+    span = mm["mx"] - mm["mn"]
+    wins = [("w025", 4), ("w050", 2), ("w100", 1)]
+    thrs = [mm["mx"] - span // d for _, d in wins]
+    ests = windows_from_frontier(frontier, thrs)
+    ex = ev.select(*[
+        F.countDistinct(
+            F.when(ts_us >= F.lit(t), F.col("user_id")))
+         .alias(f"e{i}") for i, t in enumerate(thrs)]).collect()[0]
+    import pandas as pd
+    pdf = pd.DataFrame({
+        "window": [w for w, _ in wins],
+        "thr_us": thrs,
+        "exact_distinct": [int(ex[i]) for i in range(len(wins))],
+        "est": ests,
+    })
+    return (spark.createDataFrame(
+                pdf, schema="window string, thr_us long, "
+                            "exact_distinct long, est double")
+            .select("window", "thr_us", "exact_distinct",
+                    F.round("est", 6).alias("est"))
+            .orderBy("window"))
+
+
+Q99_SQL = Q97_SQL  # stream ≡ batch: the same replayed estimates
+
+
+# =====================================================================
 # registry
 # =====================================================================
 def queries():
@@ -4843,6 +4945,7 @@ def queries():
         "q96_bbit_minhash": q96_bbit_minhash,
         "q97_sliding_hll": q97_sliding_hll,
         "q98_moments_sketch": q98_moments_sketch,
+        "q99_stream_sliding_hll": q99_stream_sliding_hll,
     }
     return dict(reversed(list(ordered.items())))
 
@@ -4958,6 +5061,7 @@ def oracle_sql():
         "q96_bbit_minhash": Q96_SQL,
         "q97_sliding_hll": Q97_SQL,
         "q98_moments_sketch": Q98_SQL,
+        "q99_stream_sliding_hll": Q99_SQL,
     }
 
 

@@ -209,3 +209,72 @@ def streaming_priority_sample(rows: DataFrame, key_col: str,
             .groupBy(key_col)
             .applyInPandasWithState(fold, out_ddl, state_ddl, "update",
                                     GroupStateTimeout.NoTimeout))
+
+
+def streaming_sliding_hll(points: DataFrame) -> DataFrame:
+    """Sliding-window HLL frontier (ops/sliding_hll.py) maintained on
+    a STREAM: one state entry per HLL register holding that
+    register's LPFM frontier — the Pareto set of (ts, rank) where
+    every kept entry out-ranks all newer entries.
+
+    The frontier is a pure function of the point SET (no order
+    dependence), and frontier(frontier(A) u B) == frontier(A u B),
+    so folding each micro-batch into the stored frontier reproduces
+    the batch sketch BIT-FOR-BIT — q99 reuses q97's value-level
+    DuckDB oracle unchanged.  State is O(log n) rows per register
+    (expected number of left-to-right maxima), independent of stream
+    length.
+
+    ``points`` must be a streaming DataFrame with (register int,
+    ts_us long, rank int) — produce it with
+    ``sliding_hll_raw_points``; per-(ts) dedup happens inside the
+    fold.  Emits each updated register's full frontier with the
+    cumulative ``points_seen``; downstream keeps the max-points_seen
+    emission per register.
+    """
+    import numpy as np
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    out_ddl = "register int, points_seen long, ts_us long, rank int"
+    state_ddl = "ts binary, rk binary, points_seen long"
+
+    def fold(key, pdf_iter, state):
+        if state.exists:
+            bts, brk, seen = state.get
+            ts = np.frombuffer(bytes(bts), np.int64).copy()
+            rk = np.frombuffer(bytes(brk), np.int64).copy()
+        else:
+            ts = np.empty(0, np.int64)
+            rk = np.empty(0, np.int64)
+            seen = 0
+        for pdf in pdf_iter:
+            seen += len(pdf)
+            ts = np.concatenate([ts, pdf["ts_us"].to_numpy(np.int64)])
+            rk = np.concatenate([rk, pdf["rank"].to_numpy(np.int64)])
+        # per-ts max-rank dedup: sort (ts asc, rank asc), keep the
+        # last row of each ts run
+        order = np.lexsort((rk, ts))
+        ts, rk = ts[order], rk[order]
+        if ts.size:
+            last = np.r_[ts[1:] != ts[:-1], True]
+            ts, rk = ts[last], rk[last]
+        # frontier: scan newest->oldest, keep strict running-max ranks
+        ts_d, rk_d = ts[::-1], rk[::-1]
+        if ts_d.size:
+            runmax = np.maximum.accumulate(rk_d)
+            keep = np.r_[True, rk_d[1:] > runmax[:-1]]
+            ts_f = np.ascontiguousarray(ts_d[keep])
+            rk_f = np.ascontiguousarray(rk_d[keep])
+        else:
+            ts_f, rk_f = ts_d, rk_d
+        state.update((ts_f.tobytes(), rk_f.tobytes(), seen))
+        yield pd.DataFrame({
+            "register": np.full(ts_f.size, key[0], np.int32),
+            "points_seen": np.full(ts_f.size, seen, np.int64),
+            "ts_us": ts_f,
+            "rank": rk_f.astype(np.int32),
+        })
+
+    return (points.groupBy("register")
+            .applyInPandasWithState(fold, out_ddl, state_ddl, "update",
+                                    GroupStateTimeout.NoTimeout))

@@ -99,3 +99,47 @@ def test_rank_expr_string_vs_bits(spark):
         v = int(frac, 16)
         want = 53 if v == 0 else 52 - v.bit_length() + 1
         assert rank == want, (frac, rank, want)
+
+
+def test_streaming_frontier_equals_batch(spark, tmp_path):
+    """Three micro-batches folded through the state store produce the
+    EXACT batch frontier (the q99 stream ≡ batch guarantee)."""
+    import glob
+    import shutil
+
+    from facs_spark.ops.sliding_hll import (sliding_hll_frontier,
+                                            sliding_hll_raw_points)
+    from facs_spark.streaming.monitor import run_monitor_once
+    from facs_spark.streaming.stateful import streaming_sliding_hll
+
+    ev = _events(spark, n=3_000, users=800).withColumn(
+        "rid", F.monotonically_increasing_id())
+    src = tmp_path / "src"
+    src.mkdir()
+    for i in range(3):
+        tmp = str(tmp_path / f"w{i}")
+        ev.filter(F.col("rid") % 3 == i).drop("rid").coalesce(1) \
+            .write.mode("overwrite").parquet(tmp)
+        part = glob.glob(tmp + "/part-*.parquet")[0]
+        shutil.move(part, str(src / f"{i}.parquet"))
+
+    stream = (spark.readStream
+              .schema("ts timestamp, user_id long")
+              .option("maxFilesPerTrigger", "1").parquet(str(src)))
+    out = streaming_sliding_hll(
+        sliding_hll_raw_points(stream, "user_id", "ts"))
+    run_monitor_once(out, str(tmp_path / "ckpt"),
+                     query_name="shll_test_sink", output_mode="update")
+    got = spark.sql("""
+        SELECT register, ts_us, rank
+        FROM (SELECT *, MAX(points_seen)
+                        OVER (PARTITION BY register) AS mx
+              FROM shll_test_sink)
+        WHERE points_seen = mx""")
+    stream_fr = sorted((r["register"], r["ts_us"], r["rank"])
+                       for r in got.collect())
+    spark.catalog.dropTempView("shll_test_sink")
+    batch_fr = sorted((r["register"], r["ts_us"], r["rank"])
+                      for r in sliding_hll_frontier(
+                          ev.drop("rid"), "user_id", "ts").collect())
+    assert stream_fr == batch_fr
