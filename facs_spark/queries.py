@@ -4835,6 +4835,74 @@ Q99_SQL = Q97_SQL  # stream ≡ batch: the same replayed estimates
 
 
 # =====================================================================
+# q100 — exponentially-decayed heavy hitters (time-decayed counters,
+# the streaming-analytics freshness weighting: Cormode, Shkapenyuk,
+# Srivastava & Xu, ICDE 2009 family).  Decay is bucketed to powers of
+# two — age bucket b = (now - ts) // half_life, weight 2^-b — so the
+# decayed count is S = sum_b cnt_b * 2^-b, computed as the EXACT
+# 128-bit integer sum_b cnt_b * 2^(60-b) (buckets past 60 half-lives
+# contribute 0 and are dropped): merge-order-invariant, and DuckDB's
+# HUGEINT SUM replays it exactly — value-level oracle, no float-
+# summation hazard.  The per-(key, bucket) counts partial-aggregate
+# map-side; only |keys| x |buckets| count rows shuffle.
+# =====================================================================
+def q100_decayed_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _read(spark, sf_dir, "events")
+    ts_us = F.unix_micros(F.col("ts").cast("timestamp"))
+    mm = ev.select(F.max(ts_us).alias("mx"),
+                   F.min(ts_us).alias("mn")).collect()[0]
+    hl = max((mm["mx"] - mm["mn"]) // 8, 1)       # half-life: span/8
+    bucket = F.floor((F.lit(mm["mx"]) - ts_us) / F.lit(hl))
+    per_bucket = (ev.select("event_type", bucket.alias("b"))
+                  .where(F.col("b") <= 60)
+                  .groupBy("event_type", "b")
+                  .agg(F.count(F.lit(1)).alias("cnt")))
+    rows = per_bucket.collect()
+    agg: dict[str, int] = {}
+    tot: dict[str, int] = {}
+    for r in rows:
+        agg[r["event_type"]] = (agg.get(r["event_type"], 0)
+                                + int(r["cnt"]) * (1 << (60 - int(r["b"]))))
+        tot[r["event_type"]] = tot.get(r["event_type"], 0) + int(r["cnt"])
+    import pandas as pd
+    pdf = pd.DataFrame(
+        [{"event_type": k,
+          "decayed": agg[k] / float(1 << 60),
+          "raw_count": tot[k]} for k in sorted(agg)])
+    return (spark.createDataFrame(
+                pdf, schema="event_type string, decayed double, "
+                            "raw_count long")
+            .select("event_type", F.round("decayed", 6).alias("decayed"),
+                    "raw_count")
+            .orderBy(F.desc("decayed"), "event_type"))
+
+
+Q100_SQL = """
+WITH mm AS (
+  SELECT MAX(epoch_us(ts)) AS mx, MIN(epoch_us(ts)) AS mn FROM events
+), hl AS (
+  SELECT CASE WHEN (mx - mn) // 8 < 1 THEN 1
+              ELSE (mx - mn) // 8 END AS hl, mx FROM mm
+), b AS (
+  SELECT event_type,
+         CAST(FLOOR(CAST(h.mx - epoch_us(e.ts) AS DOUBLE) / h.hl)
+              AS BIGINT) AS b
+  FROM events e, hl h
+), g AS (
+  SELECT event_type, b, COUNT(*) AS cnt FROM b WHERE b <= 60
+  GROUP BY event_type, b
+)
+SELECT event_type,
+       ROUND(CAST(SUM(cnt * (CAST(1 AS HUGEINT) << (60 - CAST(b AS INT))))
+                  AS DOUBLE) / 1152921504606846976.0, 6) AS decayed,
+       CAST(SUM(cnt) AS BIGINT) AS raw_count
+FROM g
+GROUP BY event_type
+ORDER BY decayed DESC, event_type
+"""
+
+
+# =====================================================================
 # registry
 # =====================================================================
 def queries():
@@ -4946,6 +5014,7 @@ def queries():
         "q97_sliding_hll": q97_sliding_hll,
         "q98_moments_sketch": q98_moments_sketch,
         "q99_stream_sliding_hll": q99_stream_sliding_hll,
+        "q100_decayed_counts": q100_decayed_counts,
     }
     return dict(reversed(list(ordered.items())))
 
@@ -5062,6 +5131,7 @@ def oracle_sql():
         "q97_sliding_hll": Q97_SQL,
         "q98_moments_sketch": Q98_SQL,
         "q99_stream_sliding_hll": Q99_SQL,
+        "q100_decayed_counts": Q100_SQL,
     }
 
 
