@@ -4509,9 +4509,10 @@ ORDER BY lang
 # q96 — b-bit minwise hashing (Li-Koenig WWW 2010) corpus similarity
 # (ops/dedup.bbit_minhash_corpus): per-lang word-3-gram sets, k=64
 # minwise hashes, keep only the low byte (b=8) of each, estimate
-# Jaccard with the paper's C1/C2 correction.  The hash is the shared
-# 13-hex md5 fraction (min-over-hex == min-over-value), so the oracle
-# replays signatures, b-bit matches, AND the correction algebra —
+# Jaccard with the paper's C1/C2 correction.  The k hashes are
+# Kirsch-Mitzenmacher double hashes (h1 + s*h2 mod p, p prime <
+# 2^52) of two 13-hex md5 fractions — exact int64 arithmetic, so
+# the oracle replays signatures, b-bit matches, AND the correction —
 # the whole estimator is value-level checked, unlike the
 # splitmix64-hashed production near-dup path (q10).
 # =====================================================================
@@ -4529,16 +4530,20 @@ WITH t AS (
          t[i] || ' ' || t[i + 1] || ' ' || t[i + 2] AS sh
   FROM t, UNNEST(generate_series(1, len(t) - 2)) AS u(i)
   WHERE len(t) >= 3
+), hx AS (
+  SELECT lang,
+         CAST(('0x' || substr(md5('a:' || sh), 1, 13)) AS BIGINT) AS h1,
+         CAST(('0x' || substr(md5('b:' || sh), 1, 13)) AS BIGINT) AS h2
+  FROM sh
 ), sig AS (
   SELECT lang, seed,
-         MIN(substr(md5(CAST(seed AS VARCHAR) || ':' || sh), 1, 13))
-           AS minh
-  FROM sh, UNNEST(generate_series(0, 63)) AS s(seed)
+         MIN((h1 + seed * h2) % 4503599627370449) AS minh
+  FROM hx, UNNEST(generate_series(0, 63)) AS s(seed)
   GROUP BY lang, seed
 ), matches AS (
   SELECT a.lang AS group_a, b.lang AS group_b,
          SUM(CASE WHEN a.minh = b.minh THEN 1 ELSE 0 END) AS mfull,
-         SUM(CASE WHEN substr(a.minh, 12, 2) = substr(b.minh, 12, 2)
+         SUM(CASE WHEN a.minh % 256 = b.minh % 256
                   THEN 1 ELSE 0 END) AS mb
   FROM sig a JOIN sig b ON a.seed = b.seed AND a.lang < b.lang
   GROUP BY 1, 2
