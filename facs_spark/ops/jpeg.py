@@ -5,14 +5,18 @@ multimodal dispatch (`multimodal.decode_image`), closing the
 actual container bytes end-to-end, no PIL/libjpeg.
 
 Scope (documented subset, everything else raises loudly):
-* encode: 8-bit RGB or grayscale, baseline sequential, 4:4:4 (no
-  chroma subsampling), Annex K quantization tables scaled by the
-  libjpeg quality formula, Annex K.3 default Huffman tables.
-* decode: baseline SOF0, 8-bit, 1 or 3 components at 1×1 sampling,
-  Huffman tables read from the stream's DHT segments (NOT assumed),
-  restart markers honored, 0xFF00 byte-stuffing unstuffed.
-  Progressive (SOF2), subsampled, arithmetic-coded, or 12-bit
-  streams raise ``NotImplementedError`` naming the missing piece.
+* encode: 8-bit RGB or grayscale, baseline sequential, 4:4:4 /
+  4:2:0 / 4:2:2 / 4:4:0 chroma subsampling (box-filter chroma
+  downsample, interleaved MCUs per B.2.3), Annex K quantization
+  tables scaled by the libjpeg quality formula, Annex K.3 default
+  Huffman tables.
+* decode: baseline SOF0, 8-bit, 1 or 3 components at any 1/2
+  sampling-factor mix (4:4:4, 4:2:0, 4:2:2, 4:4:0 — the web norm is
+  4:2:0), Huffman tables read from the stream's DHT segments (NOT
+  assumed), restart markers honored, 0xFF00 byte-stuffing unstuffed,
+  replicated-pixel chroma upsample.  Progressive (SOF2),
+  arithmetic-coded, or 12-bit streams raise ``NotImplementedError``
+  naming the missing piece.
 
 JPEG is lossy, so unlike PNG there is no bit-roundtrip oracle; the
 codec contract is tested as decode(encode(img)) ≈ img (mean
@@ -174,14 +178,70 @@ class _BitWriter:
 
 
 # ---------------------------------------------------------------- encode
-def encode_jpeg(px: np.ndarray, quality: int = 90) -> bytes:
+def _block_coeffs(plane: np.ndarray, qt: np.ndarray,
+                  nby: int, nbx: int) -> np.ndarray:
+    """(nby, nbx, 64) zigzag-ordered quantized DCT coefficients of a
+    plane edge-padded to the (nby*8, nbx*8) block grid."""
+    h, w = plane.shape
+    pad = np.pad(plane, ((0, nby * 8 - h), (0, nbx * 8 - w)),
+                 mode="edge")
+    blocks = (pad.reshape(nby, 8, nbx, 8).transpose(0, 2, 1, 3)
+              .reshape(-1, 8, 8) - 128.0)
+    f = _D @ blocks @ _D.T          # batched 2-D DCT
+    qz = np.round(f.reshape(-1, 64) / qt).astype(np.int32)
+    return qz[:, ZIGZAG].reshape(nby, nbx, 64)
+
+
+def _write_block(bw: "_BitWriter", blk: np.ndarray, pred: int,
+                 dct: dict, act: dict) -> int:
+    """Entropy-code one zigzag block; returns the new DC predictor."""
+    diff = int(blk[0]) - pred
+    s = _magnitude(diff)
+    code, ln = dct[s]
+    bw.write(code, ln)
+    if s:
+        v = diff if diff >= 0 else diff + (1 << s) - 1
+        bw.write(v, s)
+    run = 0
+    nz = np.flatnonzero(blk[1:])
+    last = nz[-1] + 1 if nz.size else 0
+    for k in range(1, last + 1):
+        v = int(blk[k])
+        if v == 0:
+            run += 1
+            continue
+        while run > 15:
+            code, ln = act[0xF0]              # ZRL
+            bw.write(code, ln)
+            run -= 16
+        s = _magnitude(v)
+        code, ln = act[(run << 4) | s]
+        bw.write(code, ln)
+        ev = v if v >= 0 else v + (1 << s) - 1
+        bw.write(ev, s)
+        run = 0
+    if last < 63:
+        code, ln = act[0x00]                  # EOB
+        bw.write(code, ln)
+    return int(blk[0])
+
+
+def encode_jpeg(px: np.ndarray, quality: int = 90,
+                subsampling: str = "444") -> bytes:
     """Encode (H, W, 3) RGB or (H, W) grayscale uint8 to baseline
-    JPEG (4:4:4, Annex K tables at ``quality``).  Deterministic:
+    JPEG (Annex K tables at ``quality``).  ``subsampling``: "444"
+    (one 8x8 block per component per MCU) or "420" (16x16 MCU: four
+    Y blocks + one 2x2-mean-downsampled block each of Cb/Cr — the
+    Common-Crawl/web norm, ~half the bytes of 4:4:4).  Deterministic:
     identical input → identical bytes."""
     px = np.asarray(px)
     gray = px.ndim == 2
     if not gray and (px.ndim != 3 or px.shape[2] != 3):
         raise ValueError("encode_jpeg wants (H,W,3) RGB or (H,W) gray")
+    if subsampling not in ("444", "420", "422", "440"):
+        raise NotImplementedError(
+            f"subsampling {subsampling!r} "
+            "(444, 420, 422, 440 supported)")
     h, w = px.shape[:2]
     if h == 0 or w == 0:
         raise ValueError("empty image")
@@ -196,16 +256,35 @@ def encode_jpeg(px: np.ndarray, quality: int = 90) -> bytes:
                   -0.168736 * r - 0.331264 * g + 0.5 * b + 128.0,
                   0.5 * r - 0.418688 * g - 0.081312 * b + 128.0]
 
-    hb, wb = -(-h // 8), -(-w // 8)
+    # luma sampling factors (hi, vi); chroma is always (1, 1)
+    yfac = {"444": (1, 1), "420": (2, 2),
+            "422": (2, 1), "440": (1, 2)}[subsampling]
+    if gray:
+        factors = [(1, 1)]
+    elif yfac == (1, 1):
+        factors = [(1, 1)] * 3
+    else:
+        factors = [yfac, (1, 1), (1, 1)]
+        fh, fv = yfac
+
+        # mean chroma downsample (box filter) over an edge-padded
+        # plane, by the luma sampling ratio in each axis
+        def down(p):
+            pe = np.pad(p, ((0, -p.shape[0] % fv), (0, -p.shape[1] % fh)),
+                        mode="edge")
+            acc = np.zeros((pe.shape[0] // fv, pe.shape[1] // fh))
+            for dy in range(fv):
+                for dx in range(fh):
+                    acc += pe[dy::fv, dx::fh]
+            return acc / (fh * fv)
+        planes = [planes[0], down(planes[1]), down(planes[2])]
+    maxh = max(f[0] for f in factors)
+    maxv = max(f[1] for f in factors)
+    mcux = -(-w // (8 * maxh))
+    mcuy = -(-h // (8 * maxv))
     qtabs = [ql] + ([] if gray else [qc, qc])
-    coeffs = []                     # per component: (hb*wb, 64) int32
-    for p, qt in zip(planes, qtabs):
-        pad = np.pad(p, ((0, hb * 8 - h), (0, wb * 8 - w)), mode="edge")
-        blocks = (pad.reshape(hb, 8, wb, 8).transpose(0, 2, 1, 3)
-                  .reshape(-1, 8, 8) - 128.0)
-        f = _D @ blocks @ _D.T      # batched 2-D DCT
-        qz = np.round(f.reshape(-1, 64) / qt).astype(np.int32)
-        coeffs.append(qz[:, ZIGZAG])   # zigzag order
+    coeffs = [_block_coeffs(p, qt, mcuy * vi, mcux * hi)
+              for p, qt, (hi, vi) in zip(planes, qtabs, factors)]
 
     dc_l = _build_codes(DC_LUMA_BITS, DC_LUMA_VALS)
     ac_l = _build_codes(AC_LUMA_BITS, AC_LUMA_VALS)
@@ -215,38 +294,15 @@ def encode_jpeg(px: np.ndarray, quality: int = 90) -> bytes:
 
     bw = _BitWriter()
     preds = [0] * len(coeffs)
-    for bi in range(hb * wb):       # MCU order == block order at 4:4:4
-        for ci, (dct, act) in enumerate(tabs):
-            blk = coeffs[ci][bi]
-            diff = int(blk[0]) - preds[ci]
-            preds[ci] = int(blk[0])
-            s = _magnitude(diff)
-            code, ln = dct[s]
-            bw.write(code, ln)
-            if s:
-                v = diff if diff >= 0 else diff + (1 << s) - 1
-                bw.write(v, s)
-            run = 0
-            nz = np.flatnonzero(blk[1:])
-            last = nz[-1] + 1 if nz.size else 0
-            for k in range(1, last + 1):
-                v = int(blk[k])
-                if v == 0:
-                    run += 1
-                    continue
-                while run > 15:
-                    code, ln = act[0xF0]      # ZRL
-                    bw.write(code, ln)
-                    run -= 16
-                s = _magnitude(v)
-                code, ln = act[(run << 4) | s]
-                bw.write(code, ln)
-                ev = v if v >= 0 else v + (1 << s) - 1
-                bw.write(ev, s)
-                run = 0
-            if last < 63:
-                code, ln = act[0x00]          # EOB
-                bw.write(code, ln)
+    for my in range(mcuy):
+        for mx in range(mcux):      # interleaved MCU scan (B.2.3)
+            for ci, ((dct, act), (hi, vi)) in enumerate(
+                    zip(tabs, factors)):
+                for dy in range(vi):
+                    for dx in range(hi):
+                        blk = coeffs[ci][my * vi + dy, mx * hi + dx]
+                        preds[ci] = _write_block(bw, blk, preds[ci],
+                                                 dct, act)
 
     # -- container ---------------------------------------------------
     def seg(marker: int, body: bytes) -> bytes:
@@ -260,7 +316,9 @@ def encode_jpeg(px: np.ndarray, quality: int = 90) -> bytes:
     ncomp = 1 if gray else 3
     sof = struct.pack(">BHHB", 8, h, w, ncomp)
     for cid in range(1, ncomp + 1):
-        sof += struct.pack(">BBB", cid, 0x11, 0 if cid == 1 else 1)
+        hi, vi = factors[cid - 1]
+        sof += struct.pack(">BBB", cid, (hi << 4) | vi,
+                           0 if cid == 1 else 1)
     out += seg(0xFFC0, sof)                            # baseline SOF0
     for tc_th, bits, vals in (
             ((0 << 4) | 0, DC_LUMA_BITS, DC_LUMA_VALS),
@@ -390,10 +448,12 @@ def decode_jpeg(blob: bytes) -> np.ndarray:
             nc = body[5]
             for i in range(nc):
                 cid, hv, tq = body[6 + 3 * i:9 + 3 * i]
-                if hv != 0x11:
+                hi, vi = hv >> 4, hv & 0xF
+                if hi not in (1, 2) or vi not in (1, 2):
                     raise NotImplementedError(
-                        "chroma subsampling (only 4:4:4 supported)")
-                comps.append((cid, tq))
+                        f"sampling factors {hi}x{vi} (1 and 2 "
+                        "supported: 4:4:4, 4:2:0, 4:2:2, 4:4:0)")
+                comps.append((cid, tq, hi, vi))
         elif marker in (0xFFC1, 0xFFC2, 0xFFC3, 0xFFC5, 0xFFC6, 0xFFC7,
                         0xFFC9, 0xFFCA, 0xFFCB, 0xFFCD, 0xFFCE, 0xFFCF):
             raise NotImplementedError(
@@ -414,14 +474,19 @@ def decode_jpeg(blob: bytes) -> np.ndarray:
     if len(scan) != len(comps):
         raise NotImplementedError("multi-scan streams not supported")
 
-    hb, wb = -(-h // 8), -(-w // 8)
-    planes = [np.zeros((hb * 8, wb * 8)) for _ in comps]
-    tq_of = dict(comps)
+    meta = {cid: (tq, hi, vi) for cid, tq, hi, vi in comps}
+    maxh = max(hi for _, _, hi, _ in comps)
+    maxv = max(vi for _, _, _, vi in comps)
+    mcux = -(-w // (8 * maxh))
+    mcuy = -(-h // (8 * maxv))
+    factors = [meta[cid][1:] for cid, _, _ in scan]
+    planes = [np.zeros((mcuy * vi * 8, mcux * hi * 8))
+              for hi, vi in factors]
     br = _BitReader(blob, pos)
     preds = [0] * len(comps)
     mcu = 0
-    for by in range(hb):
-        for bx in range(wb):
+    for my in range(mcuy):
+        for mx in range(mcux):      # interleaved MCU scan (B.2.3)
             if restart and mcu and mcu % restart == 0:
                 # encoder-aligned restart: skip to the RSTn marker
                 try:
@@ -431,39 +496,56 @@ def decode_jpeg(blob: bytes) -> np.ndarray:
                     br.realign(r.pos)
                 preds = [0] * len(comps)
             for ci, (cid, td, ta) in enumerate(scan):
-                try:
-                    blk = np.zeros(64, np.int32)
-                    s = _huff_decode(br, huff[(0, td)])
-                    diff = _extend(br.bits(s), s) if s else 0
-                    preds[ci] += diff
-                    blk[0] = preds[ci]
-                    k = 1
-                    while k < 64:
-                        rs = _huff_decode(br, huff[(1, ta)])
-                        r_, s_ = rs >> 4, rs & 0xF
-                        if s_ == 0:
-                            if r_ == 15:
-                                k += 16
-                                continue
-                            break                     # EOB
-                        k += r_
-                        if k > 63:
-                            raise ValueError("AC run past block end")
-                        blk[k] = _extend(br.bits(s_), s_)
-                        k += 1
-                except _Restart as r:
-                    br.realign(r.pos)
-                    preds = [0] * len(comps)
-                    raise ValueError(
-                        "restart marker mid-MCU (corrupt stream)")
-                nat = np.zeros(64, np.int32)
-                nat[ZIGZAG] = blk
-                deq = (nat * qt[tq_of[cid]]).reshape(8, 8).astype(float)
-                sp = _D.T @ deq @ _D + 128.0
-                planes[ci][by * 8:by * 8 + 8, bx * 8:bx * 8 + 8] = sp
+                hi, vi = factors[ci]
+                for dy in range(vi):
+                    for dx in range(hi):
+                        try:
+                            blk = np.zeros(64, np.int32)
+                            s = _huff_decode(br, huff[(0, td)])
+                            diff = _extend(br.bits(s), s) if s else 0
+                            preds[ci] += diff
+                            blk[0] = preds[ci]
+                            k = 1
+                            while k < 64:
+                                rs = _huff_decode(br, huff[(1, ta)])
+                                r_, s_ = rs >> 4, rs & 0xF
+                                if s_ == 0:
+                                    if r_ == 15:
+                                        k += 16
+                                        continue
+                                    break             # EOB
+                                k += r_
+                                if k > 63:
+                                    raise ValueError(
+                                        "AC run past block end")
+                                blk[k] = _extend(br.bits(s_), s_)
+                                k += 1
+                        except _Restart as r:
+                            br.realign(r.pos)
+                            preds = [0] * len(comps)
+                            raise ValueError(
+                                "restart marker mid-MCU (corrupt "
+                                "stream)")
+                        nat = np.zeros(64, np.int32)
+                        nat[ZIGZAG] = blk
+                        deq = (nat * qt[meta[cid][0]]).reshape(8, 8) \
+                            .astype(float)
+                        sp = _D.T @ deq @ _D + 128.0
+                        by, bx = my * vi + dy, mx * hi + dx
+                        planes[ci][by * 8:by * 8 + 8,
+                                   bx * 8:bx * 8 + 8] = sp
             mcu += 1
 
-    planes = [p[:h, :w] for p in planes]
+    # upsample each component to full resolution (pixel replication,
+    # the box filter matching the encoder's 2x2 mean) and crop
+    up = []
+    for p, (hi, vi) in zip(planes, factors):
+        if hi != maxh:
+            p = np.repeat(p, maxh // hi, axis=1)
+        if vi != maxv:
+            p = np.repeat(p, maxv // vi, axis=0)
+        up.append(p[:h, :w])
+    planes = up
     if len(planes) == 1:
         y = np.clip(np.round(planes[0]), 0, 255).astype(np.uint8)
         return np.repeat(y[:, :, None], 3, axis=2)

@@ -17,7 +17,8 @@ Decode support comes in two tiers:
   container bytes end-to-end; ``decode_audio``/``decode_image``
   dispatch to them on magic.
 * **stubbed codecs** — compressed audio (MP3/OGG) and non-baseline
-  JPEG (progressive/subsampled/12-bit) need ffmpeg/libjpeg, which
+  JPEG (progressive/12-bit; subsampled 4:2:0/4:2:2/4:4:0 baseline
+  IS supported) need ffmpeg/libjpeg, which
   this container lacks; those payloads raise a clearly-marked
   ``NotImplementedError`` exactly where a PIL/soundfile call slots
   in.  The FIMG/FAUD deterministic fakes remain for plumbing

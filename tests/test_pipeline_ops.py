@@ -1906,3 +1906,39 @@ def test_jpeg_codec_roundtrip_and_determinism():
         decode_jpeg(bytes(blob))
     with pytest.raises(ValueError):
         decode_jpeg(b"\x00\x01not a jpeg")
+
+
+def test_jpeg_chroma_subsampling_modes():
+    """4:2:0 / 4:2:2 / 4:4:0: correct dims at odd sizes, byte
+    savings vs 4:4:4, smooth-content fidelity, deterministic encode,
+    and general interleaved-MCU decode (ITU-T T.81 B.2.3)."""
+    import numpy as np
+
+    from facs_spark.ops.jpeg import decode_jpeg, encode_jpeg
+
+    def psnr(a, b):
+        mse = ((a.astype(float) - b.astype(float)) ** 2).mean()
+        return 99.0 if mse == 0 else 10 * np.log10(255 ** 2 / mse)
+
+    y, x = np.mgrid[0:41, 0:57]          # odd dims force edge MCUs
+    img = np.stack([x * 4 % 256, (x + y) * 2 % 256, y * 4 % 256],
+                   -1).astype(np.uint8)
+    base = encode_jpeg(img, 90, "444")
+    for sub in ("420", "422", "440"):
+        blob = encode_jpeg(img, 90, sub)
+        out = decode_jpeg(blob)
+        assert out.shape == img.shape
+        # smooth content: subsampling costs little fidelity
+        assert psnr(img, out) >= 35.0, (sub, psnr(img, out))
+        assert blob == encode_jpeg(img, 90, sub)   # deterministic
+    # 4:2:0 halves chroma data: visibly smaller stream on real sizes
+    big = np.repeat(np.repeat(img, 2, 0), 2, 1)
+    assert len(encode_jpeg(big, 90, "420")) < \
+        0.8 * len(encode_jpeg(big, 90, "444"))
+    # grayscale ignores the flag; unknown mode raises loudly
+    g = (x * 3 % 256).astype(np.uint8)
+    assert decode_jpeg(encode_jpeg(g, 90, "420")).shape == (41, 57, 3)
+    import pytest as _pytest
+    with _pytest.raises(NotImplementedError):
+        encode_jpeg(img, 90, "411")
+    assert base == encode_jpeg(img, 90)  # 4:4:4 output unchanged
