@@ -10,13 +10,22 @@ Scope (documented subset, everything else raises loudly):
   downsample, interleaved MCUs per B.2.3), Annex K quantization
   tables scaled by the libjpeg quality formula, Annex K.3 default
   Huffman tables.
-* decode: baseline SOF0, 8-bit, 1 or 3 components at any 1/2
-  sampling-factor mix (4:4:4, 4:2:0, 4:2:2, 4:4:0 — the web norm is
-  4:2:0), Huffman tables read from the stream's DHT segments (NOT
-  assumed), restart markers honored, 0xFF00 byte-stuffing unstuffed,
-  replicated-pixel chroma upsample.  Progressive (SOF2),
-  arithmetic-coded, or 12-bit streams raise ``NotImplementedError``
-  naming the missing piece.
+* decode: baseline SOF0 AND progressive SOF2 (T.81 Annex G:
+  DC-first/DC-refine, AC spectral-selection bands with EOB-run
+  codes, AC successive-approximation refinement with correction
+  bits, mid-stream DHT/DRI redefinition), 8-bit, 1 or 3 components
+  at any 1/2 sampling-factor mix (4:4:4, 4:2:0, 4:2:2, 4:4:0 — the
+  web norm), Huffman tables read from the stream's DHT segments
+  (NOT assumed), restart markers honored, 0xFF00 byte-stuffing
+  unstuffed, replicated-pixel chroma upsample.
+* progressive encode (``encode_jpeg_progressive``): the standard
+  DC(Al=1) -> DC-refine -> per-component AC(Al=1) -> AC-refine scan
+  script with per-scan OPTIMAL Huffman tables (Annex K.2 two-pass —
+  the baseline Annex K tables lack EOBn codes); carries the same
+  quantized coefficients as the baseline encoder, so progressive
+  decode is BIT-IDENTICAL to baseline decode (the roundtrip
+  oracle).  Arithmetic-coded or 12-bit streams raise
+  ``NotImplementedError`` naming the missing piece.
 
 JPEG is lossy, so unlike PNG there is no bit-roundtrip oracle; the
 codec contract is tested as decode(encode(img)) ≈ img (mean
@@ -226,14 +235,10 @@ def _write_block(bw: "_BitWriter", blk: np.ndarray, pred: int,
     return int(blk[0])
 
 
-def encode_jpeg(px: np.ndarray, quality: int = 90,
-                subsampling: str = "444") -> bytes:
-    """Encode (H, W, 3) RGB or (H, W) grayscale uint8 to baseline
-    JPEG (Annex K tables at ``quality``).  ``subsampling``: "444"
-    (one 8x8 block per component per MCU) or "420" (16x16 MCU: four
-    Y blocks + one 2x2-mean-downsampled block each of Cb/Cr — the
-    Common-Crawl/web norm, ~half the bytes of 4:4:4).  Deterministic:
-    identical input → identical bytes."""
+def _prepare(px: np.ndarray, quality: int, subsampling: str):
+    """Shared encoder front half: color transform, chroma
+    downsample, per-component quantized zigzag coefficient grids.
+    Returns (coeffs, factors, gray, h, w, mcux, mcuy, ql, qc)."""
     px = np.asarray(px)
     gray = px.ndim == 2
     if not gray and (px.ndim != 3 or px.shape[2] != 3):
@@ -285,6 +290,46 @@ def encode_jpeg(px: np.ndarray, quality: int = 90,
     qtabs = [ql] + ([] if gray else [qc, qc])
     coeffs = [_block_coeffs(p, qt, mcuy * vi, mcux * hi)
               for p, qt, (hi, vi) in zip(planes, qtabs, factors)]
+    return coeffs, factors, gray, h, w, mcux, mcuy, ql, qc
+
+
+def _container_head(gray, h, w, factors, ql, qc, sof_marker) -> bytearray:
+    """SOI .. SOF .. DHT segments (shared by baseline/progressive)."""
+    def seg(marker: int, body: bytes) -> bytes:
+        return struct.pack(">HH", marker, len(body) + 2) + body
+
+    out = bytearray(b"\xFF\xD8")                       # SOI
+    out += seg(0xFFE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")
+    out += seg(0xFFDB, b"\x00" + bytes(ql[ZIGZAG].astype(np.uint8)))
+    if not gray:
+        out += seg(0xFFDB, b"\x01" + bytes(qc[ZIGZAG].astype(np.uint8)))
+    ncomp = 1 if gray else 3
+    sof = struct.pack(">BHHB", 8, h, w, ncomp)
+    for cid in range(1, ncomp + 1):
+        hi, vi = factors[cid - 1]
+        sof += struct.pack(">BBB", cid, (hi << 4) | vi,
+                           0 if cid == 1 else 1)
+    out += seg(sof_marker, sof)
+    for tc_th, bits, vals in (
+            ((0 << 4) | 0, DC_LUMA_BITS, DC_LUMA_VALS),
+            ((1 << 4) | 0, AC_LUMA_BITS, AC_LUMA_VALS),
+            *((() if gray else (
+                ((0 << 4) | 1, DC_CHROMA_BITS, DC_CHROMA_VALS),
+                ((1 << 4) | 1, AC_CHROMA_BITS, AC_CHROMA_VALS))))):
+        out += seg(0xFFC4, bytes([tc_th] + bits + vals))
+    return out
+
+
+def encode_jpeg(px: np.ndarray, quality: int = 90,
+                subsampling: str = "444") -> bytes:
+    """Encode (H, W, 3) RGB or (H, W) grayscale uint8 to baseline
+    JPEG (Annex K tables at ``quality``).  ``subsampling``: "444"
+    (one 8x8 block per component per MCU) or "420" (16x16 MCU: four
+    Y blocks + one 2x2-mean-downsampled block each of Cb/Cr — the
+    Common-Crawl/web norm, ~half the bytes of 4:4:4).  Deterministic:
+    identical input → identical bytes."""
+    (coeffs, factors, gray, h, w,
+     mcux, mcuy, ql, qc) = _prepare(px, quality, subsampling)
 
     dc_l = _build_codes(DC_LUMA_BITS, DC_LUMA_VALS)
     ac_l = _build_codes(AC_LUMA_BITS, AC_LUMA_VALS)
@@ -305,35 +350,316 @@ def encode_jpeg(px: np.ndarray, quality: int = 90,
                                                  dct, act)
 
     # -- container ---------------------------------------------------
-    def seg(marker: int, body: bytes) -> bytes:
-        return struct.pack(">HH", marker, len(body) + 2) + body
-
-    out = bytearray(b"\xFF\xD8")                       # SOI
-    out += seg(0xFFE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")
-    out += seg(0xFFDB, b"\x00" + bytes(ql[ZIGZAG].astype(np.uint8)))
-    if not gray:
-        out += seg(0xFFDB, b"\x01" + bytes(qc[ZIGZAG].astype(np.uint8)))
+    out = _container_head(gray, h, w, factors, ql, qc, 0xFFC0)
     ncomp = 1 if gray else 3
-    sof = struct.pack(">BHHB", 8, h, w, ncomp)
-    for cid in range(1, ncomp + 1):
-        hi, vi = factors[cid - 1]
-        sof += struct.pack(">BBB", cid, (hi << 4) | vi,
-                           0 if cid == 1 else 1)
-    out += seg(0xFFC0, sof)                            # baseline SOF0
-    for tc_th, bits, vals in (
-            ((0 << 4) | 0, DC_LUMA_BITS, DC_LUMA_VALS),
-            ((1 << 4) | 0, AC_LUMA_BITS, AC_LUMA_VALS),
-            *((() if gray else (
-                ((0 << 4) | 1, DC_CHROMA_BITS, DC_CHROMA_VALS),
-                ((1 << 4) | 1, AC_CHROMA_BITS, AC_CHROMA_VALS))))):
-        out += seg(0xFFC4, bytes([tc_th] + bits + vals))
     sos = bytes([ncomp])
     for cid in range(1, ncomp + 1):
         td_ta = 0x00 if cid == 1 else 0x11
         sos += bytes([cid, td_ta])
     sos += b"\x00\x3F\x00"
-    out += seg(0xFFDA, sos)
+    out += struct.pack(">HH", 0xFFDA, len(sos) + 2) + sos
     out += bw.flush()
+    out += b"\xFF\xD9"                                 # EOI
+    return bytes(out)
+
+
+# ------------------------------------------------- progressive encode
+def _shift_to_zero(v: int, al: int) -> int:
+    """AC point transform (G.1.2.2): magnitude shift toward zero."""
+    return (v >> al) if v >= 0 else -((-v) >> al)
+
+
+class _NullBits:
+    """Bit sink for the statistics pass (appended bits don't affect
+    table optimization)."""
+
+    def write(self, code: int, length: int) -> None:
+        pass
+
+
+class _ScanWriter:
+    """One progressive scan's entropy stream: buffers EOB runs and
+    (for refinement scans) the correction bits that must follow the
+    next emitted Huffman symbol.  With ``act=None`` it runs in
+    STATISTICS mode — symbols are tallied into ``freq`` so a
+    per-scan optimal Huffman table (T.81 K.2) can be built, then the
+    same emission code runs again with the real table (the two-pass
+    structure progressive JPEG requires, since EOBn symbols are not
+    in the Annex K baseline tables)."""
+
+    def __init__(self, act: dict | None):
+        self.act = act
+        self.bw = _BitWriter() if act is not None else _NullBits()
+        self.freq = [0] * 256
+        self.eobrun = 0
+        self.pending: list[int] = []
+
+    def _emit_pending(self) -> None:
+        for b in self.pending:
+            self.bw.write(b, 1)
+        self.pending = []
+
+    def symbol(self, rs: int) -> None:
+        if self.act is None:
+            self.freq[rs] += 1
+        else:
+            code, ln = self.act[rs]
+            self.bw.write(code, ln)
+
+    def flush_eob(self) -> None:
+        if self.eobrun == 0:
+            self._emit_pending()
+            return
+        r = self.eobrun.bit_length() - 1
+        self.symbol(r << 4)
+        self.bw.write(self.eobrun - (1 << r), r)
+        self.eobrun = 0
+        self._emit_pending()
+
+    def bump_eob(self) -> None:
+        self.eobrun += 1
+        if self.eobrun == 0x7FFF:   # EOBn caps at 2^14 extensions
+            self.flush_eob()
+
+
+def _optimal_table(freq256) -> tuple[list[int], list[int]]:
+    """T.81 Annex K.2 optimal Huffman table generation (Figures
+    K.1-K.4): merge the two least-frequent trees, limit code length
+    to 16, reserve the all-ones code via the 257th symbol.  Returns
+    (BITS[16], HUFFVAL)."""
+    freq = list(freq256) + [1]      # reserved symbol 256
+    codesize = [0] * 257
+    others = [-1] * 257
+    while True:
+        # least-frequent nonzero; ties -> LARGEST symbol value (K.2)
+        c1 = -1
+        v = None
+        for i in range(257):
+            if freq[i] > 0 and (v is None or freq[i] <= v):
+                v = freq[i]
+                c1 = i
+        c2 = -1
+        v = None
+        for i in range(257):
+            if freq[i] > 0 and i != c1 and (v is None or freq[i] <= v):
+                v = freq[i]
+                c2 = i
+        if c2 < 0:
+            break
+        freq[c1] += freq[c2]
+        freq[c2] = 0
+        codesize[c1] += 1
+        while others[c1] >= 0:
+            c1 = others[c1]
+            codesize[c1] += 1
+        others[c1] = c2
+        codesize[c2] += 1
+        while others[c2] >= 0:
+            c2 = others[c2]
+            codesize[c2] += 1
+    bits = [0] * 33
+    for i in range(257):
+        if codesize[i]:
+            bits[codesize[i]] += 1
+    # limit to 16 bits (Figure K.3)
+    i = 32
+    while i > 16:
+        while bits[i] > 0:
+            j = i - 2
+            while bits[j] == 0:
+                j -= 1
+            bits[i] -= 2
+            bits[i - 1] += 1
+            bits[j + 1] += 2
+            bits[j] -= 1
+        i -= 1
+    while bits[i] == 0:
+        i -= 1
+    bits[i] -= 1                    # drop the reserved all-ones code
+    huffval = [s for ln in range(1, 33)
+               for s in range(256) if codesize[s] == ln]
+    return bits[1:17], huffval
+
+
+def encode_jpeg_progressive(px: np.ndarray, quality: int = 90,
+                            subsampling: str = "444") -> bytes:
+    """Encode to PROGRESSIVE JPEG (SOF2, T.81 Annex G) with the
+    standard successive-approximation scan script:
+
+      1. DC, all components interleaved, Al=1
+      2. DC refinement, Ah=1 -> Al=0
+      3. per component: AC band 1-63 at Al=1 (EOB-run coded)
+      4. per component: AC refinement Ah=1 -> Al=0
+
+    The final image carries the identical quantized coefficients as
+    ``encode_jpeg`` at the same quality/subsampling, so a full
+    progressive decode is BIT-IDENTICAL to the baseline decode —
+    the roundtrip test's oracle.  Deterministic output."""
+    (coeffs, factors, gray, h, w,
+     mcux, mcuy, ql, qc) = _prepare(px, quality, subsampling)
+
+    dc_l = _build_codes(DC_LUMA_BITS, DC_LUMA_VALS)
+    ac_l = _build_codes(AC_LUMA_BITS, AC_LUMA_VALS)
+    dc_c = _build_codes(DC_CHROMA_BITS, DC_CHROMA_VALS)
+    ac_c = _build_codes(AC_CHROMA_BITS, AC_CHROMA_VALS)
+    ncomp = 1 if gray else 3
+    dctabs = [dc_l] + [dc_c] * (ncomp - 1)
+    actabs = [ac_l] + [ac_c] * (ncomp - 1)
+    maxh = max(f[0] for f in factors)
+    maxv = max(f[1] for f in factors)
+
+    def seg(marker: int, body: bytes) -> bytes:
+        return struct.pack(">HH", marker, len(body) + 2) + body
+
+    def sos_header(comps_in_scan, ss, se, ah, al) -> bytes:
+        body = bytes([len(comps_in_scan)])
+        for ci in comps_in_scan:
+            td = 0 if ci == 0 else 1
+            body += bytes([ci + 1, (td << 4) | td])
+        body += bytes([ss, se, (ah << 4) | al])
+        return seg(0xFFDA, body)
+
+    out = _container_head(gray, h, w, factors, ql, qc, 0xFFC2)
+
+    # -- scan 1: DC first, interleaved, Al=1 -------------------------
+    al = 1
+    out += sos_header(list(range(ncomp)), 0, 0, 0, al)
+    bw = _BitWriter()
+    preds = [0] * ncomp
+    for my in range(mcuy):
+        for mx in range(mcux):
+            for ci, (hi, vi) in enumerate(factors):
+                for dy in range(vi):
+                    for dx in range(hi):
+                        dc = int(coeffs[ci][my * vi + dy,
+                                            mx * hi + dx, 0]) >> al
+                        diff = dc - preds[ci]
+                        preds[ci] = dc
+                        s = _magnitude(diff)
+                        code, ln = dctabs[ci][s]
+                        bw.write(code, ln)
+                        if s:
+                            v = diff if diff >= 0 else \
+                                diff + (1 << s) - 1
+                            bw.write(v, s)
+    out += bw.flush()
+
+    # -- scan 2: DC refinement, Ah=1 -> Al=0 -------------------------
+    out += sos_header(list(range(ncomp)), 0, 0, 1, 0)
+    bw = _BitWriter()
+    for my in range(mcuy):
+        for mx in range(mcux):
+            for ci, (hi, vi) in enumerate(factors):
+                for dy in range(vi):
+                    for dx in range(hi):
+                        bw.write(int(coeffs[ci][my * vi + dy,
+                                                mx * hi + dx, 0]) & 1,
+                                 1)
+    out += bw.flush()
+
+    # real (non-MCU-padded) block grid per component — AC scans are
+    # non-interleaved and cover only it (G.2; the padded blocks get
+    # DC from the interleaved scans and stay AC-zero, then crop away)
+    grids = []
+    for ci, (hi, vi) in enumerate(factors):
+        cw = -(-w * hi // maxh)
+        ch = -(-h * vi // maxv)
+        grids.append((-(-ch // 8), -(-cw // 8)))
+
+    # -- scans 3..: AC first pass per component, Al=1 ----------------
+    def emit_ac_first(sw, grid, nby, nbx, al):
+        for by in range(nby):
+            for bx in range(nbx):
+                blk = grid[by, bx]
+                t = [_shift_to_zero(int(blk[k]), al)
+                     for k in range(1, 64)]
+                nz = [i for i, v in enumerate(t) if v]
+                if not nz:
+                    sw.bump_eob()
+                    continue
+                sw.flush_eob()
+                run, last = 0, nz[-1]
+                for v in t[:last + 1]:
+                    if v == 0:
+                        run += 1
+                        continue
+                    while run > 15:
+                        sw.symbol(0xF0)           # ZRL
+                        run -= 16
+                    s = _magnitude(v)
+                    sw.symbol((run << 4) | s)
+                    ev = v if v >= 0 else v + (1 << s) - 1
+                    sw.bw.write(ev, s)
+                    run = 0
+                if last < 62:
+                    sw.bump_eob()
+        sw.flush_eob()
+
+    # the libjpeg jcphuff.c structure (a faithful rendering of T.81
+    # Figure G.7): r counts ZERO-history positions only; ZRLs are
+    # emitted eagerly when ANY nonzero temp is reached with r > 15
+    # (before that coef's own bit), each followed by the correction
+    # bits buffered so far — exactly the positional interleaving the
+    # decoder's walk consumes
+    def emit_ac_refine(sw, grid, nby, nbx):
+        for by in range(nby):
+            for bx in range(nbx):
+                blk = grid[by, bx]
+                temps = [abs(int(blk[k])) for k in range(64)]
+                eob = 0             # last newly-significant index
+                for k in range(1, 64):
+                    if temps[k] == 1:
+                        eob = k
+                r = 0
+                br_bits: list[int] = []
+                for k in range(1, 64):
+                    temp = temps[k]
+                    if temp == 0:
+                        r += 1
+                        continue
+                    while r > 15 and k <= eob:
+                        sw.flush_eob()
+                        sw.symbol(0xF0)           # ZRL
+                        r -= 16
+                        for b in br_bits:
+                            sw.bw.write(b, 1)
+                        br_bits = []
+                    if temp > 1:    # history: one correction bit
+                        br_bits.append(temp & 1)
+                        continue
+                    sw.flush_eob()  # newly significant (temp == 1)
+                    sw.symbol((r << 4) | 1)
+                    sw.bw.write(1 if int(blk[k]) > 0 else 0, 1)
+                    for b in br_bits:
+                        sw.bw.write(b, 1)
+                    br_bits = []
+                    r = 0
+                if r > 0 or br_bits:
+                    sw.eobrun += 1
+                    sw.pending.extend(br_bits)
+                    if sw.eobrun == 0x7FFF:
+                        sw.flush_eob()
+        sw.flush_eob()
+
+    # two passes per AC scan: tally symbols -> optimal table (the
+    # Annex K baseline tables lack EOBn codes) -> DHT -> entropy
+    def ac_scan(emit, ci, ss, se, ah, al) -> bytes:
+        nby, nbx = grids[ci]
+        stat = _ScanWriter(None)
+        emit(stat, coeffs[ci], nby, nbx, *([al] if ah == 0 else []))
+        bits, vals = _optimal_table(stat.freq)
+        ta = 0 if ci == 0 else 1
+        body = seg(0xFFC4, bytes([(1 << 4) | ta] + bits + vals))
+        body += sos_header([ci], ss, se, ah, al)
+        sw = _ScanWriter(_build_codes(bits, vals))
+        emit(sw, coeffs[ci], nby, nbx, *([al] if ah == 0 else []))
+        return body + sw.bw.flush()
+
+    for ci in range(ncomp):
+        out += ac_scan(emit_ac_first, ci, 1, 63, 0, 1)
+    for ci in range(ncomp):
+        out += ac_scan(emit_ac_refine, ci, 1, 63, 1, 0)
+
     out += b"\xFF\xD9"                                 # EOI
     return bytes(out)
 
@@ -399,6 +725,217 @@ def _extend(v: int, s: int) -> int:
     return v if v >= (1 << (s - 1)) else v - (1 << s) + 1
 
 
+def _next_marker(data: bytes, pos: int) -> int:
+    """Position of the next real marker at/after ``pos`` (skips
+    entropy bytes and stuffed 0xFF00)."""
+    while pos < len(data) - 1:
+        if data[pos] == 0xFF and data[pos + 1] not in (0x00,):
+            return pos
+        pos += 1
+    raise ValueError("ran off the end looking for a marker")
+
+
+# ------------------------------------------------- progressive decode
+class _ProgressiveState:
+    """Per-image coefficient accumulators for SOF2 multi-scan decode
+    (T.81 G.2): each scan deposits another slice of (spectral band x
+    bit precision) into the per-component zigzag coefficient grids."""
+
+    def __init__(self, comps, h, w):
+        self.meta = {cid: (tq, hi, vi) for cid, tq, hi, vi in comps}
+        self.maxh = max(hi for _, _, hi, _ in comps)
+        self.maxv = max(vi for _, _, _, vi in comps)
+        self.mcux = -(-w // (8 * self.maxh))
+        self.mcuy = -(-h // (8 * self.maxv))
+        self.coef = {}
+        self.nblocks = {}           # per-comp REAL (nby, nbx)
+        for cid, _tq, hi, vi in comps:
+            self.coef[cid] = np.zeros(
+                (self.mcuy * vi, self.mcux * hi, 64), np.int32)
+            cw = -(-w * hi // self.maxh)
+            ch = -(-h * vi // self.maxv)
+            self.nblocks[cid] = (-(-ch // 8), -(-cw // 8))
+
+
+def _prog_dc_scan(br, st, scan, huff, Ah, Al, dri):
+    """DC scan, interleaved or single-component (G.2 first pass when
+    Ah == 0, else one refinement bit per block)."""
+    preds = {cid: 0 for cid, _, _ in scan}
+
+    def block(cid, td, by, bx):
+        blk = st.coef[cid]
+        if Ah == 0:
+            s = _huff_decode(br, huff[(0, td)])
+            diff = _extend(br.bits(s), s) if s else 0
+            preds[cid] += diff
+            blk[by, bx, 0] = preds[cid] << Al
+        elif br.bits(1):
+            blk[by, bx, 0] |= (1 << Al)
+
+    if len(scan) > 1:               # interleaved MCU order
+        mcu = 0
+        for my in range(st.mcuy):
+            for mx in range(st.mcux):
+                if dri and mcu and mcu % dri == 0:
+                    _prog_restart(br, preds)
+                for cid, td, _ta in scan:
+                    _tq, hi, vi = st.meta[cid]
+                    for dy in range(vi):
+                        for dx in range(hi):
+                            block(cid, td, my * vi + dy, mx * hi + dx)
+                mcu += 1
+    else:
+        cid, td, _ta = scan[0]
+        nby, nbx = st.nblocks[cid]
+        n = 0
+        for by in range(nby):
+            for bx in range(nbx):
+                if dri and n and n % dri == 0:
+                    _prog_restart(br, preds)
+                block(cid, td, by, bx)
+                n += 1
+
+
+def _prog_restart(br, preds):
+    try:
+        while True:
+            br.bits(1)
+    except _Restart as r:
+        br.realign(r.pos)
+    for k in preds:
+        preds[k] = 0
+
+
+def _prog_ac_scan(br, st, scan, huff, Ss, Se, Ah, Al, dri):
+    """AC scan (single component only, per G.2): first pass decodes
+    magnitudes at precision Al with EOB-run codes; refinement passes
+    add one bit to known coefficients and introduce new +-1<<Al."""
+    if len(scan) != 1:
+        raise ValueError("interleaved AC scan is not legal JPEG")
+    cid, _td, ta = scan[0]
+    blkgrid = st.coef[cid]
+    nby, nbx = st.nblocks[cid]
+    eobrun = 0
+    n = 0
+    for by in range(nby):
+        for bx in range(nbx):
+            if dri and n and n % dri == 0:
+                _prog_restart(br, {})
+                eobrun = 0
+            n += 1
+            blk = blkgrid[by, bx]
+            if Ah == 0:             # ---------------- first pass
+                if eobrun:
+                    eobrun -= 1
+                    continue
+                k = Ss
+                while k <= Se:
+                    rs = _huff_decode(br, huff[(1, ta)])
+                    r, s = rs >> 4, rs & 0xF
+                    if s == 0:
+                        if r == 15:
+                            k += 16
+                            continue
+                        eobrun = (1 << r) - 1
+                        if r:
+                            eobrun += br.bits(r)
+                        break
+                    k += r
+                    if k > Se:
+                        raise ValueError("AC run past band end")
+                    blk[k] = _extend(br.bits(s), s) << Al
+                    k += 1
+            else:                   # ---------------- refinement
+                p1, m1 = 1 << Al, -1 << Al
+                k = Ss
+                if eobrun == 0:
+                    while k <= Se:
+                        rs = _huff_decode(br, huff[(1, ta)])
+                        r, s = rs >> 4, rs & 0xF
+                        newval = 0
+                        if s == 0:
+                            if r < 15:
+                                # counts the CURRENT block too — its
+                                # tail is corrected below, then the
+                                # run is decremented for it
+                                eobrun = 1 << r
+                                if r:
+                                    eobrun += br.bits(r)
+                                break
+                            # r == 15: skip 16 zero-history coefs
+                        else:
+                            if s != 1:
+                                raise ValueError(
+                                    "bad magnitude in AC refinement")
+                            newval = p1 if br.bits(1) else m1
+                        while k <= Se:
+                            if blk[k] != 0:
+                                if br.bits(1) and (blk[k] & p1) == 0:
+                                    blk[k] += p1 if blk[k] > 0 else m1
+                            else:
+                                if r == 0:
+                                    break
+                                r -= 1
+                            k += 1
+                        if newval and k <= Se:
+                            blk[k] = newval
+                        k += 1
+                if eobrun > 0:      # EOB region: corrections only
+                    while k <= Se:
+                        if blk[k] != 0:
+                            if br.bits(1) and (blk[k] & p1) == 0:
+                                blk[k] += p1 if blk[k] > 0 else m1
+                        k += 1
+                    eobrun -= 1
+
+
+def _decode_progressive(blob, pos, st, qt, huff, dri):
+    """Drive every scan of a SOF2 stream (DHT/DRI may be redefined
+    between scans); returns when EOI is reached."""
+    while True:
+        pos = _next_marker(blob, pos)
+        marker = struct.unpack_from(">H", blob, pos)[0]
+        if marker == 0xFFD9:        # EOI
+            return
+        if 0xFFD0 <= marker <= 0xFFD7 or marker == 0xFF01:
+            pos += 2                # stray RST/TEM between scans
+            continue
+        ln = struct.unpack_from(">H", blob, pos + 2)[0]
+        body = blob[pos + 4:pos + 2 + ln]
+        if marker == 0xFFC4:
+            off = 0
+            while off < len(body):
+                tc, th = body[off] >> 4, body[off] & 0xF
+                bits = list(body[off + 1:off + 17])
+                nv = sum(bits)
+                vals = list(body[off + 17:off + 17 + nv])
+                codes = _build_codes(bits, vals)
+                huff[(tc, th)] = {(c, l): v
+                                  for v, (c, l) in codes.items()}
+                off += 17 + nv
+        elif marker == 0xFFDD:
+            dri = struct.unpack_from(">H", body, 0)[0]
+        elif marker == 0xFFDA:
+            ns = body[0]
+            scan = []
+            for i in range(ns):
+                cid, tt = body[1 + 2 * i], body[2 + 2 * i]
+                scan.append((cid, tt >> 4, tt & 0xF))
+            Ss, Se = body[1 + 2 * ns], body[2 + 2 * ns]
+            AhAl = body[3 + 2 * ns]
+            Ah, Al = AhAl >> 4, AhAl & 0xF
+            br = _BitReader(blob, pos + 2 + ln)
+            if Ss == 0:
+                if Se != 0:
+                    raise ValueError("DC scan with Se != 0")
+                _prog_dc_scan(br, st, scan, huff, Ah, Al, dri)
+            else:
+                _prog_ac_scan(br, st, scan, huff, Ss, Se, Ah, Al, dri)
+            pos = _next_marker(blob, br.pos)
+            continue
+        pos = pos + 2 + ln
+
+
 def decode_jpeg(blob: bytes) -> np.ndarray:
     """Decode baseline JPEG to (H, W, 3) uint8 RGB (grayscale is
     replicated).  Subset limits raise ``NotImplementedError``
@@ -408,10 +945,12 @@ def decode_jpeg(blob: bytes) -> np.ndarray:
     pos = 2
     qt: dict[int, np.ndarray] = {}
     huff: dict[tuple, dict] = {}    # (tclass, tid) -> {(code,len): val}
-    comps: list = []                # (cid, tq)
+    comps: list = []                # (cid, tq, hi, vi)
     scan: list = []                 # (cid, td, ta)
     h = w = 0
     restart = 0
+    progressive = False
+    sos_pos = -1
     while pos < len(blob):
         if blob[pos] != 0xFF:
             raise ValueError(f"expected marker at {pos}")
@@ -441,7 +980,8 @@ def decode_jpeg(blob: bytes) -> np.ndarray:
                 codes = _build_codes(bits, vals)
                 huff[(tc, th)] = {(c, l): v for v, (c, l) in codes.items()}
                 off += 17 + n
-        elif marker == 0xFFC0:
+        elif marker in (0xFFC0, 0xFFC2):
+            progressive = marker == 0xFFC2
             if body[0] != 8:
                 raise NotImplementedError("only 8-bit precision")
             h, w = struct.unpack_from(">HH", body, 1)
@@ -454,14 +994,17 @@ def decode_jpeg(blob: bytes) -> np.ndarray:
                         f"sampling factors {hi}x{vi} (1 and 2 "
                         "supported: 4:4:4, 4:2:0, 4:2:2, 4:4:0)")
                 comps.append((cid, tq, hi, vi))
-        elif marker in (0xFFC1, 0xFFC2, 0xFFC3, 0xFFC5, 0xFFC6, 0xFFC7,
+        elif marker in (0xFFC1, 0xFFC3, 0xFFC5, 0xFFC6, 0xFFC7,
                         0xFFC9, 0xFFCA, 0xFFCB, 0xFFCD, 0xFFCE, 0xFFCF):
             raise NotImplementedError(
-                f"non-baseline SOF 0x{marker:04X} (progressive/"
-                "arithmetic) not supported")
+                f"non-baseline SOF 0x{marker:04X} (arithmetic/"
+                "lossless/12-bit) not supported")
         elif marker == 0xFFDD:
             restart = struct.unpack_from(">H", body, 0)[0]
         elif marker == 0xFFDA:
+            if progressive:
+                sos_pos = pos       # hand the whole scan chain over
+                break
             ns = body[0]
             for i in range(ns):
                 cid, tt = body[1 + 2 * i], body[2 + 2 * i]
@@ -469,10 +1012,30 @@ def decode_jpeg(blob: bytes) -> np.ndarray:
             pos = pos + 2 + ln
             break
         pos = pos + 2 + ln
-    if not comps or not scan or h == 0:
+    if not comps or h == 0 or (not scan and not progressive):
         raise ValueError("missing SOF/SOS")
+    if progressive:
+        st = _ProgressiveState(comps, h, w)
+        _decode_progressive(blob, sos_pos, st, qt, huff, restart)
+        factors = [(hi, vi) for _cid, _tq, hi, vi in comps]
+        maxh = st.maxh
+        maxv = st.maxv
+        planes = []
+        for cid, tq, hi, vi in comps:
+            grid = st.coef[cid]             # (nby, nbx, 64) zigzag
+            nby, nbx = grid.shape[:2]
+            nat = np.zeros_like(grid)
+            nat[..., ZIGZAG] = grid         # dezigzag
+            deq = (nat * qt[tq][None, None, :]).astype(float)
+            blocks = deq.reshape(-1, 8, 8)
+            sp = _D.T @ blocks @ _D + 128.0  # batched 2-D IDCT
+            planes.append(sp.reshape(nby, nbx, 8, 8)
+                          .transpose(0, 2, 1, 3)
+                          .reshape(nby * 8, nbx * 8))
+        return _finish_planes(planes, factors, maxh, maxv, h, w)
     if len(scan) != len(comps):
-        raise NotImplementedError("multi-scan streams not supported")
+        raise NotImplementedError(
+            "multi-scan sequential streams not supported")
 
     meta = {cid: (tq, hi, vi) for cid, tq, hi, vi in comps}
     maxh = max(hi for _, _, hi, _ in comps)
@@ -536,8 +1099,13 @@ def decode_jpeg(blob: bytes) -> np.ndarray:
                                    bx * 8:bx * 8 + 8] = sp
             mcu += 1
 
-    # upsample each component to full resolution (pixel replication,
-    # the box filter matching the encoder's 2x2 mean) and crop
+    return _finish_planes(planes, factors, maxh, maxv, h, w)
+
+
+def _finish_planes(planes, factors, maxh, maxv, h, w) -> np.ndarray:
+    """Shared decode tail: replicated-pixel chroma upsample (the box
+    filter matching the encoder's mean downsample), crop, YCbCr →
+    RGB (gray replicated to 3 channels)."""
     up = []
     for p, (hi, vi) in zip(planes, factors):
         if hi != maxh:

@@ -16,9 +16,10 @@ Decode support comes in two tiers:
   These parse actual
   container bytes end-to-end; ``decode_audio``/``decode_image``
   dispatch to them on magic.
-* **stubbed codecs** — compressed audio (MP3/OGG) and non-baseline
-  JPEG (progressive/12-bit; subsampled 4:2:0/4:2:2/4:4:0 baseline
-  IS supported) need ffmpeg/libjpeg, which
+* **stubbed codecs** — compressed audio (MP3/OGG) and
+  arithmetic-coded/12-bit JPEG (baseline at any 4:4:4/4:2:0/4:2:2/
+  4:4:0 subsampling AND progressive SOF2 ARE supported, both
+  directions) need ffmpeg/libjpeg, which
   this container lacks; those payloads raise a clearly-marked
   ``NotImplementedError`` exactly where a PIL/soundfile call slots
   in.  The FIMG/FAUD deterministic fakes remain for plumbing

@@ -1898,10 +1898,11 @@ def test_jpeg_codec_roundtrip_and_determinism():
     small = encode_jpeg(px, quality=20)
     assert len(small) < len(big)
 
-    # subset limits are loud: flip SOF0 -> SOF2 (progressive)
+    # subset limits are loud: flip SOF0 -> SOF9 (arithmetic coding —
+    # progressive SOF2 is now a real decode path, tested separately)
     blob = bytearray(encode_jpeg(px, quality=90))
     sof = blob.find(b"\xFF\xC0")
-    blob[sof + 1] = 0xC2
+    blob[sof + 1] = 0xC9
     with pytest.raises(NotImplementedError):
         decode_jpeg(bytes(blob))
     with pytest.raises(ValueError):
@@ -1942,3 +1943,44 @@ def test_jpeg_chroma_subsampling_modes():
     with _pytest.raises(NotImplementedError):
         encode_jpeg(img, 90, "411")
     assert base == encode_jpeg(img, 90)  # 4:4:4 output unchanged
+
+
+def test_jpeg_progressive_bit_identical_to_baseline():
+    """Progressive (SOF2) encode/decode: the scan script (DC Al=1,
+    DC refine, per-component AC first at Al=1, AC refinement)
+    carries the same quantized coefficients as the baseline encoder,
+    so the progressive decode must be BIT-IDENTICAL to the baseline
+    decode — one assertion covers DC successive approximation,
+    EOB-run coding, eager-ZRL correction-bit interleaving, per-scan
+    optimal Huffman tables, and mid-stream DHT redefinition."""
+    import numpy as np
+
+    from facs_spark.ops.jpeg import (decode_jpeg, encode_jpeg,
+                                     encode_jpeg_progressive)
+
+    rng = np.random.default_rng(7)
+    cases = [((17, 23), "444", 85), ((40, 56), "420", 90),
+             ((24, 26), "422", 90), ((26, 24), "440", 90)]
+    for shape, sub, q in cases:
+        y, x = np.mgrid[0:shape[0], 0:shape[1]]
+        img = np.stack([(x * 7 + y * 3) % 256, (x * 2 + y * 11) % 256,
+                        (x * 5 + y * 5) % 256], -1).astype(np.uint8)
+        img = (0.6 * img + 0.4 * rng.integers(0, 256, img.shape)) \
+            .astype(np.uint8)
+        base = decode_jpeg(encode_jpeg(img, q, sub))
+        blob = encode_jpeg_progressive(img, q, sub)
+        assert np.array_equal(base, decode_jpeg(blob)), (shape, sub)
+        assert blob == encode_jpeg_progressive(img, q, sub)
+    # near-flat image: long EOB runs spanning many blocks, with
+    # history-coefficient correction bits inside the EOB region
+    flat = np.full((64, 64, 3), 128, np.uint8)
+    flat[5, 9] = (250, 10, 10)
+    flat[40, 33] = (10, 250, 10)
+    assert np.array_equal(
+        decode_jpeg(encode_jpeg(flat, 90, "420")),
+        decode_jpeg(encode_jpeg_progressive(flat, 90, "420")))
+    # grayscale single-component scan chain
+    g = rng.integers(0, 256, (20, 28)).astype(np.uint8)
+    assert np.array_equal(
+        decode_jpeg(encode_jpeg(g, 90)),
+        decode_jpeg(encode_jpeg_progressive(g, 90)))
