@@ -379,9 +379,11 @@ def synth_media(df: DataFrame, id_col: str, kind: str = "image") -> DataFrame:
     ``kind="png"``: a REAL PNG per row — RGB for even ids, RGBA for
     odd, rows cycling all five filter types; pixels follow the
     SQL-replayable pattern in :func:`synth_png_pixels`.
-    ``kind="jpeg"``: a REAL baseline JPEG per row (quality 92) over
-    the RGB channels of the same :func:`synth_png_pixels` pattern —
-    lossy, so oracles gate fidelity (PSNR) instead of exact sums.
+    ``kind="jpeg"``: a REAL JPEG per row (quality 92) over the RGB
+    channels of the same :func:`synth_png_pixels` pattern, cycling
+    baseline 4:4:4 / baseline 4:2:0 / PROGRESSIVE 4:2:0 by id — the
+    web's actual variant mix; lossy, so oracles gate fidelity (PSNR)
+    instead of exact sums.
     """
     ensure_shipped(df.sparkSession)
     if kind not in ("image", "audio", "wav", "bmp", "png", "jpeg"):
@@ -411,9 +413,21 @@ def synth_media(df: DataFrame, id_col: str, kind: str = "image") -> DataFrame:
                 elif kind == "png":
                     blobs.append(encode_png(synth_png_pixels(int(i))))
                 elif kind == "jpeg":
-                    from .jpeg import encode_jpeg
-                    blobs.append(encode_jpeg(
-                        synth_png_pixels(int(i))[:, :, :3], quality=92))
+                    from .jpeg import encode_jpeg, encode_jpeg_progressive
+                    px = synth_png_pixels(int(i))[:, :, :3]
+                    # deterministic coverage of the codec's real web
+                    # variants: baseline 4:4:4 / baseline 4:2:0 /
+                    # progressive 4:2:0 by id residue (dims are the
+                    # oracle's exact check; fidelity is PSNR-gated)
+                    r = int(i) % 3
+                    if r == 0:
+                        blobs.append(encode_jpeg(px, quality=92))
+                    elif r == 1:
+                        blobs.append(encode_jpeg(px, quality=92,
+                                                 subsampling="420"))
+                    else:
+                        blobs.append(encode_jpeg_progressive(
+                            px, quality=92, subsampling="420"))
                 else:  # bmp
                     w = 8 + (int(i) * 5) % 24
                     h = 8 + (int(i) * 11) % 24

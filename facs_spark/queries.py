@@ -4406,13 +4406,26 @@ def q94_jpeg_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
         import pandas as pd
         from facs_spark.ops.multimodal import (decode_image,
                                                synth_png_pixels)
+
+        def luma(a):
+            return (0.299 * a[..., 0] + 0.587 * a[..., 1]
+                    + 0.114 * a[..., 2])
+
         for batch in iterator:
             recs = []
             for i, blob in zip(batch["doc_id"], batch["media"]):
                 px = decode_image(bytes(blob))
                 gt = synth_png_pixels(int(i))[:, :, :3]
-                mse = float(((px.astype(np.float64)
-                              - gt.astype(np.float64)) ** 2).mean())
+                a, b = px.astype(np.float64), gt.astype(np.float64)
+                # id%3 selects the encoder variant (synth_media):
+                # full-RGB fidelity for 4:4:4; LUMA fidelity for the
+                # 4:2:0 variants — chroma subsampling LOSES chroma by
+                # contract (the synth pattern's per-pixel color noise
+                # is the pathological case), luma it must preserve
+                if int(i) % 3 == 0:
+                    mse = float(((a - b) ** 2).mean())
+                else:
+                    mse = float(((luma(a) - luma(b)) ** 2).mean())
                 psnr = 99.0 if mse == 0 else \
                     10.0 * np.log10(255.0 ** 2 / mse)
                 recs.append({"doc_id": int(i),

@@ -109,8 +109,25 @@ def main() -> int:
             "wall_sec": None if wall is None else round(wall, 2),
         }
 
+    # a filter name may be the full registry key or a qNN prefix; an
+    # entry matching NOTHING is an error, not a silent no-op — a bare
+    # "q94" that matched zero queries once reported a vacuous
+    # "failures: 0" for a query that was actually red
+    if only:
+        matched = {o: [n for n in qs
+                       if n == o or n.startswith(o + "_")]
+                   for o in only}
+        unmatched = [o for o, ms in matched.items() if not ms]
+        if unmatched:
+            raise SystemExit(
+                f"no query matches filter(s) {unmatched}; "
+                f"registry keys look like {next(iter(qs))!r}")
+        selected = {n for ms in matched.values() for n in ms}
+    else:
+        selected = None
+
     for name, fn in qs.items():
-        if only and name not in only:
+        if selected is not None and name not in selected:
             continue
         t0 = time.time()
         try:
