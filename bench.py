@@ -264,6 +264,45 @@ def chunk_job(spark, n_pages: int) -> dict:
     }
 
 
+def shll_job(spark, n_pages: int) -> dict:
+    """Scaling job #4: the sliding-HLL LPFM frontier build (the
+    q97/q99 round-6b sketch tier) over the same deterministic
+    synthetic pages table — distinct-url-since-T for EVERY trailing
+    window from one pass.  Covers the shape the other jobs don't:
+    heavy JVM string/expr work per row (md5 + hex-string rank) into
+    ONE exchange of (register, ts_us, rank) longs, then a per-
+    register window scan.  The frontier is a pure function of the
+    input SET, so cross-level equality of (frontier size, window
+    estimates) is asserted, not hoped for."""
+    from facs_spark.ops.sliding_hll import (sliding_hll_frontier,
+                                            windows_from_frontier)
+
+    load0 = round(os.getloadavg()[0], 1)  # see throughput_job
+    pages = (spark.read.parquet(_pages_parquet(spark, n_pages))
+             .select("url", "warc_ts"))
+    # warm-up: fork+import workers, fill the page cache
+    sliding_hll_frontier(pages.sample(0.02, seed=1),
+                         "url", "warc_ts").count()
+    best, frontier = None, None
+    for _ in range(2):
+        spark.catalog.clearCache()
+        t0 = time.perf_counter()
+        frontier = sliding_hll_frontier(pages, "url", "warc_ts").collect()
+        dt = time.perf_counter() - t0
+        best = dt if best is None else min(best, dt)
+    tss = sorted(r["ts_us"] for r in frontier)
+    thrs = [tss[0], tss[len(tss) // 2], tss[-1]]
+    ests = windows_from_frontier(frontier, thrs)
+    return {
+        "pages": n_pages,
+        "frontier_rows": len(frontier),
+        "window_estimates": [round(e, 6) for e in ests],
+        "sec": round(best, 3),
+        "pages_per_sec": round(n_pages / best, 1),
+        "host_load_1m": load0,
+    }
+
+
 def run_queries(spark, trials: int) -> tuple[dict[str, float],
                                              dict[str, list[float]]]:
     """Per-query MEDIAN of ``trials`` runs + the raw per-trial times.
@@ -383,7 +422,7 @@ def check_md() -> list[str]:
                 f"'{short} {q[slowest]}' (or its 2-decimal rounding; "
                 f"from {src})")
     for suffix, label in (("", "flagship"), ("_dedup", "dedup"),
-                          ("_chunk", "chunk")):
+                          ("_chunk", "chunk"), ("_shll", "sliding-HLL")):
         path = os.path.join(REPO, f"BENCH_scaling{suffix}.json")
         if not os.path.exists(path):
             continue
@@ -422,7 +461,8 @@ def main() -> None:
         return
 
     jobs = {"--throughput-only": throughput_job,
-            "--dedup-only": dedup_job, "--chunk-only": chunk_job}
+            "--dedup-only": dedup_job, "--chunk-only": chunk_job,
+            "--shll-only": shll_job}
     job_flag = next((f for f in jobs if f in sys.argv),
                     "--throughput-only")
     if any(f in sys.argv for f in jobs):
@@ -434,7 +474,8 @@ def main() -> None:
 
     scaling_subs = {"--scaling": "--throughput-only",
                     "--scaling-dedup": "--dedup-only",
-                    "--scaling-chunk": "--chunk-only"}
+                    "--scaling-chunk": "--chunk-only",
+                    "--scaling-shll": "--shll-only"}
     if any(f in sys.argv for f in scaling_subs):
         sub_flag = next(v for f, v in scaling_subs.items()
                         if f in sys.argv)
@@ -455,7 +496,11 @@ def main() -> None:
         # the chunk job drains 4M pages in ~6 s at 32 cores — still
         # inside the fixed-wave-latency regime (measured eff 0.51 at
         # 2M vs 0.949 at 8M) — so its protocol defaults larger
-        default_pages = ("8000000" if sub_flag == "--chunk-only"
+        # the shll frontier drains 1M pages in ~1.2 s at 32 cores —
+        # same fixed-latency regime; 8M gives a ~10 s wide-level
+        # measured region (and reuses the chunk protocol's table)
+        default_pages = ("8000000" if sub_flag in ("--chunk-only",
+                                                   "--shll-only")
                          else "4000000")
         n_pages = int(os.environ.get("BENCH_PAGES", default_pages))
         results = {}
@@ -492,7 +537,8 @@ def main() -> None:
         eff = ((results[hi]["pages_per_sec"] / results[lo]["pages_per_sec"])
                / (hi / lo))
         suffix = {"--dedup-only": "_dedup",
-                  "--chunk-only": "_chunk"}.get(sub_flag, "")
+                  "--chunk-only": "_chunk",
+                  "--shll-only": "_shll"}.get(sub_flag, "")
         payload = {
             "metric": f"scaling_efficiency{suffix}",
             "value": round(eff, 3),
