@@ -987,6 +987,51 @@ def remove_duplicate_spans(df: DataFrame, id_col: str = "doc_id",
 _KM_PRIME = 4503599627370449       # largest prime < 2^52
 
 
+def _word3_shingles(df: DataFrame, group_col: str,
+                    text_col: str) -> DataFrame:
+    """Distinct (group, word-3-gram) rows, single-space tokenization
+    (matches the q96 oracle's string_split)."""
+    g = group_col
+    t = df.select(g, F.split(F.col(text_col), " ").alias("t"))
+    return (t.filter(F.size("t") >= 3)
+            .select(g, F.explode(
+                F.sequence(F.lit(1), F.size("t") - 2)).alias("i"), "t")
+            .select(g, F.concat_ws(
+                " ", F.element_at("t", F.col("i")),
+                F.element_at("t", F.col("i") + 1),
+                F.element_at("t", F.col("i") + 2)).alias("sh"))
+            .distinct())
+
+
+def _bbit_signatures(sh: DataFrame, group_col: str, k: int) -> DataFrame:
+    """Per-(group, seed) minwise hash over distinct shingles.
+
+    Kirsch-Mitzenmacher double hashing (their Lemma: h_s =
+    (h1 + s*h2) mod p preserves the scheme's guarantees): TWO md5
+    draws per distinct shingle instead of k — measured 4x on q96,
+    since md5 over k exploded copies of the text was the whole cost.
+    p is the largest prime < 2^52, so every product/sum stays exact
+    in int64 for BOTH engines (s*h2 <= 63 * 2^52 < 2^58), and the
+    b-bit sketch is the low byte: minh % 256.  Shared by the op and
+    the plan-pinning test (tests/test_plans.py) so the pinned shape
+    is the REAL pipeline.
+    """
+    g = group_col
+    h1 = F.conv(F.substring(F.md5(F.concat(F.lit("a:"),
+                                           F.col("sh"))),
+                            1, 13), 16, 10).cast("long")
+    h2 = F.conv(F.substring(F.md5(F.concat(F.lit("b:"),
+                                           F.col("sh"))),
+                            1, 13), 16, 10).cast("long")
+    return (sh.select(g, h1.alias("h1"), h2.alias("h2"))
+            .select(g, "h1", "h2", F.explode(F.sequence(
+                F.lit(0), F.lit(k - 1))).alias("seed"))
+            .select(g, "seed",
+                    ((F.col("h1") + F.col("seed") * F.col("h2"))
+                     % F.lit(_KM_PRIME)).alias("h"))
+            .groupBy(g, "seed").agg(F.min("h").alias("minh")))
+
+
 def bbit_minhash_corpus(df: DataFrame, group_col: str, text_col: str,
                         k: int = 64, b: int = 8) -> DataFrame:
     """Corpus-level Jaccard similarity between groups via b-bit
@@ -1018,39 +1063,11 @@ def bbit_minhash_corpus(df: DataFrame, group_col: str, text_col: str,
         raise ValueError("only b=8 is wired to the 13-hex replay "
                          "(low byte = last 2 hex chars)")
     g = group_col
-    t = df.select(g, F.split(F.col(text_col), " ").alias("t"))
-    sh = (t.filter(F.size("t") >= 3)
-          .select(g, F.explode(
-              F.sequence(F.lit(1), F.size("t") - 2)).alias("i"), "t")
-          .select(g, F.concat_ws(
-              " ", F.element_at("t", F.col("i")),
-              F.element_at("t", F.col("i") + 1),
-              F.element_at("t", F.col("i") + 2)).alias("sh"))
-          .distinct())
+    sh = _word3_shingles(df, g, text_col)
     sh = ensure_parallelism(
         sh, df.sparkSession.sparkContext.defaultParallelism).persist()
     try:
-        # Kirsch-Mitzenmacher double hashing (their Lemma: h_s =
-        # (h1 + s*h2) mod p preserves the scheme's guarantees): TWO
-        # md5 draws per distinct shingle instead of k — measured 4x
-        # on this query, since md5 over k exploded copies of the text
-        # was the whole cost.  p is the largest prime < 2^52, so
-        # every product/sum stays exact in int64 for BOTH engines
-        # (s*h2 <= 63 * 2^52 < 2^58), and the b-bit sketch is the
-        # low byte: minh % 256.
-        h1 = F.conv(F.substring(F.md5(F.concat(F.lit("a:"),
-                                               F.col("sh"))),
-                                1, 13), 16, 10).cast("long")
-        h2 = F.conv(F.substring(F.md5(F.concat(F.lit("b:"),
-                                               F.col("sh"))),
-                                1, 13), 16, 10).cast("long")
-        sig = (sh.select(g, h1.alias("h1"), h2.alias("h2"))
-               .select(g, "h1", "h2", F.explode(F.sequence(
-                   F.lit(0), F.lit(k - 1))).alias("seed"))
-               .select(g, "seed",
-                       ((F.col("h1") + F.col("seed") * F.col("h2"))
-                        % F.lit(_KM_PRIME)).alias("h"))
-               .groupBy(g, "seed").agg(F.min("h").alias("minh")))
+        sig = _bbit_signatures(sh, g, k)
         a, bb = sig.alias("a"), sig.alias("b")
         matches = (a.join(bb, F.col("a.seed") == F.col("b.seed"))
                    .where(F.col(f"a.{g}") < F.col(f"b.{g}"))

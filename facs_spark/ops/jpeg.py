@@ -293,8 +293,12 @@ def _prepare(px: np.ndarray, quality: int, subsampling: str):
     return coeffs, factors, gray, h, w, mcux, mcuy, ql, qc
 
 
-def _container_head(gray, h, w, factors, ql, qc, sof_marker) -> bytearray:
-    """SOI .. SOF .. DHT segments (shared by baseline/progressive)."""
+def _container_head(gray, h, w, factors, ql, qc, sof_marker,
+                    ac_tables: bool = True) -> bytearray:
+    """SOI .. SOF .. DHT segments (shared by baseline/progressive).
+    ``ac_tables=False`` omits the Annex K AC tables — the progressive
+    path redefines its AC table per scan (optimal DHTs), so shipping
+    the baseline ones would be ~320 dead bytes per stream."""
     def seg(marker: int, body: bytes) -> bytes:
         return struct.pack(">HH", marker, len(body) + 2) + body
 
@@ -310,12 +314,14 @@ def _container_head(gray, h, w, factors, ql, qc, sof_marker) -> bytearray:
         sof += struct.pack(">BBB", cid, (hi << 4) | vi,
                            0 if cid == 1 else 1)
     out += seg(sof_marker, sof)
-    for tc_th, bits, vals in (
-            ((0 << 4) | 0, DC_LUMA_BITS, DC_LUMA_VALS),
-            ((1 << 4) | 0, AC_LUMA_BITS, AC_LUMA_VALS),
-            *((() if gray else (
-                ((0 << 4) | 1, DC_CHROMA_BITS, DC_CHROMA_VALS),
-                ((1 << 4) | 1, AC_CHROMA_BITS, AC_CHROMA_VALS))))):
+    tabs = [((0 << 4) | 0, DC_LUMA_BITS, DC_LUMA_VALS)]
+    if ac_tables:
+        tabs.append(((1 << 4) | 0, AC_LUMA_BITS, AC_LUMA_VALS))
+    if not gray:
+        tabs.append(((0 << 4) | 1, DC_CHROMA_BITS, DC_CHROMA_VALS))
+        if ac_tables:
+            tabs.append(((1 << 4) | 1, AC_CHROMA_BITS, AC_CHROMA_VALS))
+    for tc_th, bits, vals in tabs:
         out += seg(0xFFC4, bytes([tc_th] + bits + vals))
     return out
 
@@ -519,7 +525,8 @@ def encode_jpeg_progressive(px: np.ndarray, quality: int = 90,
         body += bytes([ss, se, (ah << 4) | al])
         return seg(0xFFDA, body)
 
-    out = _container_head(gray, h, w, factors, ql, qc, 0xFFC2)
+    out = _container_head(gray, h, w, factors, ql, qc, 0xFFC2,
+                          ac_tables=False)
 
     # -- scan 1: DC first, interleaved, Al=1 -------------------------
     al = 1

@@ -4023,9 +4023,17 @@ def _q88_stage(spark, sf_dir: str) -> tuple:
     import shutil
     import tempfile
 
+    import atexit
+
     cached = _Q88_SRC_CACHE.get(sf_dir)
     if cached and os.path.isdir(cached):
         return cached, tempfile.mkdtemp(prefix="q88_ckpt_")
+    # staged sources are cached for the process (bench reruns), so
+    # they can only be reclaimed at exit — without this, every
+    # (process, sf_dir) pair leaked a staged copy of the table
+    atexit.register(lambda: shutil.rmtree(
+        _Q88_SRC_CACHE.pop(sf_dir, "/nonexistent"),
+        ignore_errors=True))
     docs = _read(spark, sf_dir, "documents")
     src = tempfile.mkdtemp(prefix="q88_src_")
     for i in range(3):
@@ -4612,8 +4620,15 @@ ORDER BY group_a, group_b
 # libm call, LN in the linear-counting branch, is 1-ulp-safe under
 # ROUND 6).  Windows: trailing 25% / 50% / 100% of the event span.
 # =====================================================================
-def q97_sliding_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from .ops.sliding_hll import sliding_hll_frontier, windows_from_frontier
+def _sliding_hll_result(spark: SparkSession, sf_dir: str,
+                        frontier_rows) -> DataFrame:
+    """Shared q97/q99 tail: thresholds (trailing 25/50/100% of the
+    event span), frontier-answered estimates, exact verifier, output
+    frame.  ONE implementation keeps Q99_SQL = Q97_SQL a valid
+    oracle — the two queries must stay in lockstep by construction,
+    not by parallel editing."""
+    from .ops.sliding_hll import windows_from_frontier
+
     ev = _read(spark, sf_dir, "events")
     ts_us = F.unix_micros(F.col("ts").cast("timestamp"))
     mm = ev.select(F.max(ts_us).alias("mx"),
@@ -4621,8 +4636,7 @@ def q97_sliding_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
     span = mm["mx"] - mm["mn"]
     wins = [("w025", 4), ("w050", 2), ("w100", 1)]
     thrs = [mm["mx"] - span // d for _, d in wins]
-    frontier = sliding_hll_frontier(ev, "user_id", "ts").collect()
-    ests = windows_from_frontier(frontier, thrs)
+    ests = windows_from_frontier(frontier_rows, thrs)
     ex = ev.select(*[
         F.countDistinct(
             F.when(ts_us >= F.lit(t), F.col("user_id")))
@@ -4640,6 +4654,13 @@ def q97_sliding_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select("window", "thr_us", "exact_distinct",
                     F.round("est", 6).alias("est"))
             .orderBy("window"))
+
+
+def q97_sliding_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .ops.sliding_hll import sliding_hll_frontier
+    ev = _read(spark, sf_dir, "events")
+    frontier = sliding_hll_frontier(ev, "user_id", "ts").collect()
+    return _sliding_hll_result(spark, sf_dir, frontier)
 
 
 Q97_SQL = """
@@ -4713,14 +4734,19 @@ def q98_moments_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     recs = []
     for r in sorted(rows, key=lambda r: r["lang"]):
         ms = MomentsSketch.from_bytes(bytes(r["sketch"]))
+        # power sums ship as DECIMAL STRINGS: the sketch keeps
+        # arbitrary-precision ints precisely so exactness survives
+        # any scale — a `long` column would cap s4 at 2^63 (reached
+        # by ~1e6 pages of ~5e3 chars), and the oracle's HUGEINT SUM
+        # casts to VARCHAR just as exactly
         recs.append({"lang": r["lang"], "n_pages": ms.n,
-                     "s1": int(ms.sums[0]), "s2": int(ms.sums[1]),
-                     "s3": int(ms.sums[2]), "s4": int(ms.sums[3]),
+                     "s1": str(ms.sums[0]), "s2": str(ms.sums[1]),
+                     "s3": str(ms.sums[2]), "s4": str(ms.sums[3]),
                      "est_p50": ms.quantile(0.5)})
     est_df = spark.createDataFrame(
         pd.DataFrame(recs),
-        schema="lang string, n_pages long, s1 long, s2 long, s3 long, "
-               "s4 long, est_p50 double")
+        schema="lang string, n_pages long, s1 string, s2 string, "
+               "s3 string, s4 string, est_p50 double")
     ranks = (docs.join(F.broadcast(est_df.select("lang", "est_p50")),
                        "lang")
              .groupBy("lang")
@@ -4738,10 +4764,11 @@ def q98_moments_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 Q98_SQL = """
 SELECT lang, COUNT(*) AS n_pages,
-       CAST(SUM(n_chars) AS BIGINT) AS s1,
-       CAST(SUM(n_chars * n_chars) AS BIGINT) AS s2,
-       CAST(SUM(n_chars * n_chars * n_chars) AS BIGINT) AS s3,
-       CAST(SUM(n_chars * n_chars * n_chars * n_chars) AS BIGINT) AS s4,
+       CAST(SUM(n_chars) AS VARCHAR) AS s1,
+       CAST(SUM(n_chars * n_chars) AS VARCHAR) AS s2,
+       CAST(SUM(n_chars * n_chars * n_chars) AS VARCHAR) AS s3,
+       CAST(SUM(n_chars * n_chars * n_chars * n_chars) AS VARCHAR)
+         AS s4,
        ROUND(CAST(SUM(n_chars) AS DOUBLE) / COUNT(*), 6) AS mean,
        TRUE AS within_bound
 FROM documents
@@ -4772,9 +4799,14 @@ def _q99_stage(spark, sf_dir: str) -> tuple:
     import shutil
     import tempfile
 
+    import atexit
+
     cached = _Q99_SRC_CACHE.get(sf_dir)
     if cached and os.path.isdir(cached):
         return cached, tempfile.mkdtemp(prefix="q99_ckpt_")
+    atexit.register(lambda: shutil.rmtree(          # see _q88_stage
+        _Q99_SRC_CACHE.pop(sf_dir, "/nonexistent"),
+        ignore_errors=True))
     ev = _read(spark, sf_dir, "events")
     src = tempfile.mkdtemp(prefix="q99_src_")
     for i in range(3):
@@ -4821,32 +4853,7 @@ def q99_stream_sliding_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
     finally:
         shutil.rmtree(ckpt, ignore_errors=True)
 
-    # identical window/verifier construction to q97 (same oracle)
-    ev = _read(spark, sf_dir, "events")
-    ts_us = F.unix_micros(F.col("ts").cast("timestamp"))
-    mm = ev.select(F.max(ts_us).alias("mx"),
-                   F.min(ts_us).alias("mn")).collect()[0]
-    span = mm["mx"] - mm["mn"]
-    wins = [("w025", 4), ("w050", 2), ("w100", 1)]
-    thrs = [mm["mx"] - span // d for _, d in wins]
-    ests = windows_from_frontier(frontier, thrs)
-    ex = ev.select(*[
-        F.countDistinct(
-            F.when(ts_us >= F.lit(t), F.col("user_id")))
-         .alias(f"e{i}") for i, t in enumerate(thrs)]).collect()[0]
-    import pandas as pd
-    pdf = pd.DataFrame({
-        "window": [w for w, _ in wins],
-        "thr_us": thrs,
-        "exact_distinct": [int(ex[i]) for i in range(len(wins))],
-        "est": ests,
-    })
-    return (spark.createDataFrame(
-                pdf, schema="window string, thr_us long, "
-                            "exact_distinct long, est double")
-            .select("window", "thr_us", "exact_distinct",
-                    F.round("est", 6).alias("est"))
-            .orderBy("window"))
+    return _sliding_hll_result(spark, sf_dir, frontier)
 
 
 Q99_SQL = Q97_SQL  # stream ≡ batch: the same replayed estimates

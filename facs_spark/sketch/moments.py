@@ -14,8 +14,10 @@ gated by measured rank error (pytest + the q98 ``within_bound``
 column), same discipline as t-digest/KLL (q07/q08).
 
 Batch sums are chunked so ``x^4`` partials never overflow int64
-mid-batch (x <= 2^13 guaranteed safe at 100k-element chunks;
-larger values fall back to exact per-chunk object sums).
+mid-batch: a 100k-element chunk of int64 fourth powers is safe only
+up to x = floor((2^63 / 100000)^(1/4)) = 3097, so any chunk whose
+max exceeds 3000 falls back to exact per-chunk object-dtype sums
+(values in the (3100, 8192] band previously wrapped silently).
 
 Reference counterpart: facs reports only count/rate aggregates
 (``facs/query.c`` F_set counters); the moments sketch answers
@@ -34,6 +36,8 @@ _MAGIC = b"FSMO"
 _VERSION = 1
 _K = 4               # power sums s1..s4 (Chebyshev degree 4 fit)
 _CHUNK = 100_000
+# x^4 * _CHUNK < 2^63 requires x <= 3097; stay under with margin
+_INT64_SAFE_MAX = 3000
 
 
 def _chunked_int_sums(v: np.ndarray) -> list[int]:
@@ -42,8 +46,7 @@ def _chunked_int_sums(v: np.ndarray) -> list[int]:
     out = [0, 0, 0, 0]
     for lo in range(0, v.size, _CHUNK):
         c = v[lo:lo + _CHUNK]
-        c2 = c * c
-        if c.size and int(c.max()) > (1 << 13):
+        if c.size and int(c.max()) > _INT64_SAFE_MAX:
             # x^4 up to 2^52 per element: chunk in object space
             o = c.astype(object)
             o2 = o * o
@@ -52,6 +55,7 @@ def _chunked_int_sums(v: np.ndarray) -> list[int]:
             out[2] += int(np.sum(o2 * o))
             out[3] += int(np.sum(o2 * o2))
         else:
+            c2 = c * c
             out[0] += int(c.sum())
             out[1] += int(c2.sum())
             out[2] += int((c2 * c).sum())

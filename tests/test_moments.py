@@ -33,6 +33,13 @@ def test_large_values_no_overflow():
     ms = MomentsSketch()
     ms.update_batch(vals)
     assert ms.sums[3] == 1000 * 10 ** 24
+    # the former silent-wrap band: 100k elements of x in (3100, 8192]
+    # summed x^4 past 2^63 while the old 2^13 threshold kept the
+    # int64 path — regression-pin the exact sum
+    band = np.full(100_000, 5000, dtype=np.int64)
+    ms2 = MomentsSketch()
+    ms2.update_batch(band)
+    assert ms2.sums[3] == 100_000 * 5000 ** 4
 
 
 def test_maxent_quantile_rank_error():

@@ -490,45 +490,27 @@ def test_sliding_hll_frontier_single_exchange_no_text(spark):
 def test_bbit_minhash_signature_partial_min_map_side(spark):
     """b-bit minhash (q96): the k-exploded hash rows partial-MIN
     map-side, so the signature exchange carries |groups| x k rows,
-    never the exploded shingles; text never crosses any exchange."""
+    never the exploded shingles; text never crosses any exchange.
+    Asserts on the op's OWN signature builder (shared helper), so
+    the pinned shape is the real pipeline."""
     import re
 
-    from facs_spark.ops.dedup import bbit_minhash_corpus
+    from facs_spark.ops.dedup import _bbit_signatures, _word3_shingles
     docs = spark.read.parquet(f"{SF}/documents.parquet").limit(50)
-    out = bbit_minhash_corpus(docs, "lang", "text", k=8, b=8)
-    # localCheckpoint already materialized the result; plan shape is
-    # asserted on a fresh (non-checkpointed) build of the signature
-    from pyspark.sql import functions as F
-    t = docs.select("lang", F.split(F.col("text"), " ").alias("t"))
-    sh = (t.filter(F.size("t") >= 3)
-          .select("lang", F.explode(
-              F.sequence(F.lit(1), F.size("t") - 2)).alias("i"), "t")
-          .select("lang", F.concat_ws(
-              " ", F.element_at("t", F.col("i")),
-              F.element_at("t", F.col("i") + 1),
-              F.element_at("t", F.col("i") + 2)).alias("sh"))
-          .distinct())
-    from facs_spark.ops.dedup import _KM_PRIME
-    h1 = F.conv(F.substring(F.md5(F.concat(F.lit("a:"), F.col("sh"))),
-                            1, 13), 16, 10).cast("long")
-    h2 = F.conv(F.substring(F.md5(F.concat(F.lit("b:"), F.col("sh"))),
-                            1, 13), 16, 10).cast("long")
-    sig = (sh.select("lang", h1.alias("h1"), h2.alias("h2"))
-           .select("lang", "h1", "h2",
-                   F.explode(F.sequence(F.lit(0), F.lit(7))).alias("seed"))
-           .select("lang", "seed",
-                   ((F.col("h1") + F.col("seed") * F.col("h2"))
-                    % F.lit(_KM_PRIME)).alias("h"))
-           .groupBy("lang", "seed").agg(F.min("h").alias("minh")))
+    sig = _bbit_signatures(
+        _word3_shingles(docs, "lang", "text"), "lang", 8)
     plan = _formatted(sig)
     assert _n_nodes(plan, "HashAggregate") >= 4, \
         "expected partial+final pairs for distinct and min"
     sig_exchanges = [b for b in plan.split("\n\n")
-                    if re.match(r"\(\d+\) Exchange", b)]
+                     if re.match(r"\(\d+\) Exchange", b)]
     for block in sig_exchanges:
         assert "text#" not in block, "raw text crosses a shuffle"
-    # the result itself stays correct under the tiny k
-    assert out.count() >= 0
+    # one signature row per (group, seed), k of them per group
+    rows = sig.collect()
+    langs = {r["lang"] for r in rows}
+    assert len(rows) == 8 * len(langs) and len(langs) >= 1
+    assert all(0 <= r["seed"] < 8 and r["minh"] >= 0 for r in rows)
 
 
 def test_decayed_counts_partial_agg_only_counts_shuffle(spark):
