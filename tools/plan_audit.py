@@ -77,6 +77,16 @@ AUDIT = [
      "two map-side CS builds subtracted driver-side; exact top-20 heap"),
     ("q94_jpeg_decode",
      "chained synth+decode kernels stay partition-parallel; one sort"),
+    # q95/q96 collect their sketch state driver-side, so the
+    # RETURNED frame's plan is trivial — their distributed shapes
+    # are pinned in tests/test_plans.py (grouped-sketch blob shuffle,
+    # b-bit signature partial-MIN) instead of audited here
+    ("q97_sliding_hll",
+     "one register-hash exchange shared by dedup agg AND window"),
+    ("q98_moments_sketch",
+     "power-sum partials map-side; blobs-only lang shuffle"),
+    ("q100_decayed_counts",
+     "per-(key, bucket) counts partial-agg; counts-only shuffle"),
 ]
 
 
