@@ -4928,6 +4928,87 @@ ORDER BY decayed DESC, event_type
 
 
 # =====================================================================
+# q101 — KMV distinct sampling (Bar-Yossef et al. 2002 / the theta
+# sketch's bottom-k core, exposed as a SAMPLE): the k smallest
+# md5-hash distinct users per event_type (+ overall) are
+# simultaneously (a) a uniform sample OF THE DISTINCT SET — which
+# row-level sampling like q86 cannot give: heavy users are not
+# over-represented — and (b) a cardinality estimator,
+# est = (k-1)/u_k with u_k the k-th smallest normalized hash.
+# Everything is a deterministic function of the shared 13-hex md5
+# fraction, so selection, ranks, AND the estimate replay value-level
+# in SQL.  Scale shape: one distinct-agg shuffle of (group, user)
+# longs, then a per-group TOP-k window over tiny groups — raw events
+# never shuffle twice.
+# =====================================================================
+_Q101_K = 16
+
+
+def q101_kmv_distinct_sample(spark: SparkSession,
+                             sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+    ev = _read(spark, sf_dir, "events")
+    per = ev.select("event_type", "user_id").distinct()
+    allg = (ev.select(F.lit("__all__").alias("event_type"), "user_id")
+            .distinct())
+    u = per.unionByName(allg)
+    hx = F.substring(F.md5(F.concat(F.lit("q101:"),
+                                    F.col("user_id").cast("string"))),
+                     1, 13)
+    w = Window.partitionBy("event_type").orderBy("hx", "user_id")
+    ranked = (u.withColumn("hx", hx)
+              .withColumn("rk", F.row_number().over(w))
+              .withColumn("n_distinct",
+                          F.count(F.lit(1)).over(
+                              Window.partitionBy("event_type"))))
+    kth = (ranked.where(F.col("rk") == _Q101_K)
+           .select(F.col("event_type").alias("g"),
+                   F.conv("hx", 16, 10).cast("long").alias("vk")))
+    est = (F.when(F.col("n_distinct") <= _Q101_K,
+                  F.col("n_distinct").cast("double"))
+           .otherwise(F.lit(float(_Q101_K - 1))
+                      / ((F.col("vk") + 1).cast("double")
+                         / F.lit(4503599627370496.0))))
+    return (ranked.where(F.col("rk") <= _Q101_K)
+            .join(kth, F.col("event_type") == F.col("g"), "left")
+            .select("event_type", "rk", "user_id", "n_distinct",
+                    F.round(est, 6).alias("est_kmv"))
+            .orderBy("event_type", "rk"))
+
+
+Q101_SQL = f"""
+WITH d AS (
+  SELECT event_type, user_id FROM events GROUP BY 1, 2
+  UNION ALL
+  SELECT '__all__', user_id FROM events GROUP BY 1, 2
+), r AS (
+  SELECT event_type, user_id,
+         substr(md5('q101:' || CAST(user_id AS VARCHAR)), 1, 13) AS hx,
+         ROW_NUMBER() OVER (
+             PARTITION BY event_type
+             ORDER BY substr(md5('q101:' || CAST(user_id AS VARCHAR)),
+                             1, 13), user_id) AS rk,
+         COUNT(*) OVER (PARTITION BY event_type) AS n_distinct
+  FROM d
+), kth AS (
+  SELECT event_type AS g,
+         CAST(('0x' || hx) AS BIGINT) AS vk
+  FROM r WHERE rk = {_Q101_K}
+)
+SELECT r.event_type, r.rk, r.user_id,
+       CAST(r.n_distinct AS BIGINT) AS n_distinct,
+       ROUND(CASE WHEN r.n_distinct <= {_Q101_K}
+                  THEN CAST(r.n_distinct AS DOUBLE)
+                  ELSE {float(_Q101_K - 1)}
+                       / (CAST(k.vk + 1 AS DOUBLE)
+                          / 4503599627370496.0) END, 6) AS est_kmv
+FROM r LEFT JOIN kth k ON k.g = r.event_type
+WHERE r.rk <= {_Q101_K}
+ORDER BY r.event_type, r.rk
+"""
+
+
+# =====================================================================
 # registry
 # =====================================================================
 def queries():
@@ -5040,6 +5121,7 @@ def queries():
         "q98_moments_sketch": q98_moments_sketch,
         "q99_stream_sliding_hll": q99_stream_sliding_hll,
         "q100_decayed_counts": q100_decayed_counts,
+        "q101_kmv_distinct_sample": q101_kmv_distinct_sample,
     }
     return dict(reversed(list(ordered.items())))
 
@@ -5157,6 +5239,7 @@ def oracle_sql():
         "q98_moments_sketch": Q98_SQL,
         "q99_stream_sliding_hll": Q99_SQL,
         "q100_decayed_counts": Q100_SQL,
+        "q101_kmv_distinct_sample": Q101_SQL,
     }
 
 
