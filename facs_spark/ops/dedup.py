@@ -632,6 +632,20 @@ def ngram_jaccard_pairs(df: DataFrame, id_col: str, text_col: str,
     over non-stop shingles (df ≤ max_df).  Stop shingles are shared
     boilerplate, so for genuine near-dup pairs this barely moves J;
     pass ``max_df=None`` for unrestricted exact semantics.
+
+    Execution (r7): the old shape materialized the inverted-index
+    self-join (Σ df² rows — 127M at sf1.0 for 2.5k output pairs) and
+    hash-aggregated every co-occurrence through a second exchange.
+    Now the candidate-pair space never touches a shuffle: each doc
+    becomes ONE (id, shingle-hash array) row, docs are hashed into
+    ``B`` blocks, every unordered block pair (i ≤ j) is a task, and a
+    vectorized numpy kernel counts intersections for the cell's pair
+    space in-task (sorted co-occurrence keys → run lengths — an
+    SpGEMM over the cell).  Only doc arrays move (B+1 copies each ≈
+    postings × (B+1) longs), pairs ≥ threshold are the sole output.
+    B grows with the core count, so per-cell memory is bounded and
+    the grid scales out; at 10¹² docs you'd run this exact verifier
+    candidate-restricted as before.
     """
     ensure_shipped(df.sparkSession)
 
@@ -655,19 +669,102 @@ def ngram_jaccard_pairs(df: DataFrame, id_col: str, text_col: str,
         hot_sh = (sh.groupBy("sh").agg(F.count(F.lit(1)).alias("df_count"))
                   .filter(F.col("df_count") > max_df).select("sh"))
         sh = sh.join(F.broadcast(hot_sh), "sh", "left_anti")
-    sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("sz"))
-    a = sh.select(F.col(id_col).alias("id_a"), "sh")
-    b = sh.select(F.col(id_col).alias("id_b"), "sh")
-    inter = (a.join(b, "sh").filter(F.col("id_a") < F.col("id_b"))
-             .groupBy("id_a", "id_b").agg(F.count(F.lit(1)).alias("inter")))
-    sz_a = sizes.select(F.col(id_col).alias("id_a"), F.col("sz").alias("sz_a"))
-    sz_b = sizes.select(F.col(id_col).alias("id_b"), F.col("sz").alias("sz_b"))
-    return (inter.join(sz_a, "id_a").join(sz_b, "id_b")
-            .withColumn("jaccard",
-                        F.col("inter") /
-                        (F.col("sz_a") + F.col("sz_b") - F.col("inter")))
-            .filter(F.col("jaccard") >= threshold)
-            .select("id_a", "id_b", "jaccard"))
+    # one exchange of (id, shingle) longs → per-doc arrays
+    arrays = sh.groupBy(id_col).agg(F.collect_list("sh").alias("_shs"))
+
+    spark = df.sparkSession
+    cores = spark.sparkContext.defaultParallelism
+    # grid sized so cells ≈ 2× cores: B(B+1)/2 tasks keep every core
+    # busy while bounding per-cell doc count (and kernel memory) —
+    # scale-adaptive, not tuned to local[32]
+    nblocks = max(2, int(np.ceil((np.sqrt(16.0 * cores + 1) - 1) / 2)))
+
+    blk = F.pmod(F.xxhash64(F.col(id_col)), F.lit(nblocks)).cast("int")
+    rep = (arrays.withColumn("_b", blk)
+           .withColumn("_x", F.explode(F.sequence(
+               F.lit(0), F.lit(nblocks - 1))))
+           .select(F.col(id_col).alias("_id"), "_shs",
+                   F.least("_b", "_x").alias("_ci"),
+                   F.greatest("_b", "_x").alias("_cj"),
+                   # 0 = left side, 1 = right side, 2 = both (diagonal)
+                   F.when(F.col("_b") < F.col("_x"), F.lit(0))
+                   .when(F.col("_b") > F.col("_x"), F.lit(1))
+                   .otherwise(F.lit(2)).cast("int").alias("_side")))
+
+    thr = float(threshold)
+
+    def cell_kernel(pdf: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame({"id_a": pd.Series(dtype="int64"),
+                              "id_b": pd.Series(dtype="int64"),
+                              "jaccard": pd.Series(dtype="float64")})
+        if not len(pdf):
+            return empty
+        diagonal = int(pdf["_ci"].iat[0]) == int(pdf["_cj"].iat[0])
+        sides = pdf["_side"].to_numpy()
+        ids = pdf["_id"].to_numpy()
+        sets = [np.asarray(s, dtype=np.int64) for s in pdf["_shs"]]
+        l_rows = np.flatnonzero(sides != 1)
+        r_rows = np.flatnonzero(sides != 0)
+        if l_rows.size == 0 or r_rows.size == 0:
+            return empty
+        l_ids = ids[l_rows]
+        r_ids = ids[r_rows]
+        l_sz = np.array([sets[i].size for i in l_rows], dtype=np.int64)
+        r_sz = np.array([sets[i].size for i in r_rows], dtype=np.int64)
+        # inverted index over the right side: shingles sorted, with
+        # (start, end) runs per distinct value
+        r_sh = (np.concatenate([sets[i] for i in r_rows])
+                if r_sz.sum() else np.zeros(0, dtype=np.int64))
+        if r_sh.size == 0:
+            return empty
+        r_doc = np.repeat(np.arange(r_ids.size, dtype=np.int64), r_sz)
+        order = np.argsort(r_sh, kind="stable")
+        rs, rd = r_sh[order], r_doc[order]
+        u_vals, u_starts = np.unique(rs, return_index=True)
+        u_ends = np.append(u_starts[1:], rs.size)
+        # probe every left posting against the index
+        l_sh = np.concatenate([sets[i] for i in l_rows]) \
+            if l_sz.sum() else np.zeros(0, dtype=np.int64)
+        if l_sh.size == 0:
+            return empty
+        l_doc = np.repeat(np.arange(l_ids.size, dtype=np.int64), l_sz)
+        pos = np.searchsorted(u_vals, l_sh)
+        pos_c = np.minimum(pos, u_vals.size - 1)
+        hit = u_vals[pos_c] == l_sh
+        starts = u_starts[pos_c[hit]]
+        lens = u_ends[pos_c[hit]] - starts
+        ld = l_doc[hit]
+        total = int(lens.sum())
+        if total == 0:
+            return empty
+        # ragged gather: for each hit posting, the index slice of
+        # right docs holding that shingle
+        cum = np.cumsum(lens)
+        gather = np.arange(total, dtype=np.int64) \
+            + np.repeat(starts - (cum - lens), lens)
+        rdoc_hits = rd[gather]
+        ldoc_hits = np.repeat(ld, lens)
+        keys = ldoc_hits * r_ids.size + rdoc_hits
+        pair_keys, inter = np.unique(keys, return_counts=True)
+        li = pair_keys // r_ids.size
+        ri = pair_keys % r_ids.size
+        ida, idb = l_ids[li], r_ids[ri]
+        jac = inter / (l_sz[li] + r_sz[ri] - inter)
+        keep = jac >= thr
+        if diagonal:
+            # every unordered pair appears twice (plus self-pairs):
+            # keep the id_a < id_b instance
+            keep &= ida < idb
+            out_a, out_b = ida[keep], idb[keep]
+        else:
+            out_a = np.minimum(ida[keep], idb[keep])
+            out_b = np.maximum(ida[keep], idb[keep])
+        return pd.DataFrame({"id_a": out_a, "id_b": out_b,
+                             "jaccard": jac[keep]})
+
+    return (rep.groupBy("_ci", "_cj")
+            .applyInPandas(cell_kernel,
+                           schema="id_a long, id_b long, jaccard double"))
 
 
 # ----------------------------------------------------------- clusters

@@ -1043,6 +1043,15 @@ def decode_jpeg(blob: bytes) -> np.ndarray:
     if len(scan) != len(comps):
         raise NotImplementedError(
             "multi-scan sequential streams not supported")
+    if len(scan) == 1 and any((hi, vi) != (1, 1)
+                              for _cid, _tq, hi, vi in comps):
+        # T.81 A.2.2: a single-component (non-interleaved) scan walks
+        # the component's own ceil(w/8)×ceil(h/8) block grid, not the
+        # interleaved MCU geometry below — refuse loudly rather than
+        # mis-decode (ADVICE r6)
+        raise NotImplementedError(
+            "single-component sequential scan with sampling factors "
+            "!= 1x1 not supported")
 
     meta = {cid: (tq, hi, vi) for cid, tq, hi, vi in comps}
     maxh = max(hi for _, _, hi, _ in comps)

@@ -404,3 +404,43 @@ def quantile_buckets(df: DataFrame, col: str, n_buckets: int = 3,
     for c in cutoffs:
         bucket = bucket + (F.col(col) > F.lit(c)).cast("int")
     return df.withColumn(out_col, bucket), cutoffs
+
+
+def kmv_bottom_k(df: DataFrame, group_col: str, hash_col: str,
+                 id_col: str, k: int,
+                 n_cells: int | None = None) -> DataFrame:
+    """Mergeable per-group bottom-``k`` by ``(hash_col, id_col)`` —
+    the KMV distinct-sampling core (Bar-Yossef et al. 2002) as a
+    tree aggregation instead of a global window sort.
+
+    ``df`` must hold one row per DISTINCT (group, id).  The old q101
+    shape ranked every row with ``row_number() OVER (PARTITION BY
+    group ORDER BY hash)`` — a synthetic whole-corpus group (q101's
+    ``__all__``) then sorts EVERY distinct id in ONE window task, the
+    single-sorted-partition killer at 10¹² rows.  Bottom-k is a
+    mergeable summary: rows are salted into ``n_cells`` cells per
+    group (deterministic ``xxhash64(id)``, scale-adaptive default of
+    4× the parallelism), each cell keeps its sorted bottom-k and row
+    count map-side, and the per-group merge sees only cells×k rows.
+    No task ever holds more than its cell's ids; the group's full
+    distinct set never sorts in one place.
+
+    Returns one row per group: ``(g, bottom_k array<struct<hx,id>>,
+    n_distinct)`` — the array is the exact global bottom-k (every
+    group element is in some cell; a global bottom-k member is its
+    cell's bottom-k member too), and ``n_distinct`` the exact
+    distinct count (sum of disjoint cell counts).
+    """
+    spark = df.sparkSession
+    cells = int(n_cells or spark.sparkContext.defaultParallelism * 4)
+    item = F.struct(F.col(hash_col).alias("hx"),
+                    F.col(id_col).alias("id"))
+    salt = F.pmod(F.xxhash64(F.col(id_col)), F.lit(cells))
+    part = (df.groupBy(F.col(group_col).alias("g"), salt.alias("_c"))
+            .agg(F.slice(F.array_sort(F.collect_list(item)), 1, k)
+                 .alias("_bk"),
+                 F.count(F.lit(1)).alias("_cnt")))
+    return (part.groupBy("g")
+            .agg(F.slice(F.array_sort(F.flatten(F.collect_list("_bk"))),
+                         1, k).alias("bottom_k"),
+                 F.sum("_cnt").alias("n_distinct")))

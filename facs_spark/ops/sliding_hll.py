@@ -125,7 +125,11 @@ def windows_from_frontier(frontier_rows, thresholds_us,
                           m: int = 256) -> list[float]:
     """Answer trailing windows [T, now] from collected frontier rows
     (each with .register/.ts_us/.rank) — no second data pass."""
-    regs = np.array([r["register"] for r in frontier_rows])
+    # explicit int64: np.array([]) would default to float64 and make
+    # np.maximum.at raise on the empty-frontier case instead of
+    # returning the zero-register estimate (ADVICE r6)
+    regs = np.array([r["register"] for r in frontier_rows],
+                    dtype=np.int64)
     tss = np.array([r["ts_us"] for r in frontier_rows], dtype=np.int64)
     rks = np.array([r["rank"] for r in frontier_rows], dtype=np.int64)
     out = []

@@ -29,6 +29,7 @@ that ship them).
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import DataFrame, functions as F
 from pyspark.sql.window import Window
 
@@ -260,3 +261,107 @@ def sessionize(df: DataFrame, on: list[str] | str, ts_col: str,
     run = (Window.partitionBy(*keys).orderBy(F.col(ts_col).asc())
            .rowsBetween(Window.unboundedPreceding, Window.currentRow))
     return df.withColumn(session_col, F.sum(new_sess).over(run))
+
+
+def band_count_min(points: DataFrame, refs: DataFrame,
+                   on: list[str] | str, ts_col: str, band: int,
+                   point_id_col: str, ref_id_col: str,
+                   block_width: int | None = None) -> DataFrame:
+    """For every point row, the COUNT of ref rows with the same key
+    within ``|ref_ts − point_ts| ≤ band`` plus the MIN of their
+    ``ref_id_col`` — i.e. the aggregate of the symmetric range join
+    ``point BETWEEN ref_ts − band AND ref_ts + band`` WITHOUT ever
+    materializing the matched pairs.
+
+    ``range_join`` + groupBy is output-bound: each point matches
+    ~density × 2·band refs, so the join ships O(n · density) rows
+    through two exchanges just to count them (at sf1.0 q41 that is
+    ~110M rows for 200k output rows).  Here the timeline is cut into
+    blocks of ``block_width`` (default 8×band), refs are replicated
+    into every block their ±band reach touches (≤ 2 copies at the
+    default width), and a per-(key, block) numpy kernel computes each
+    point's count with two ``searchsorted`` probes and its min-id
+    with a sparse-table range-minimum query — O((n/blocks) log)
+    per task, one shuffle of (key, block) rows, output rows only.
+
+    Points with a count of 0 are omitted (inner-join semantics).
+    Null keys/timestamps never match (SQL semantics) and are dropped.
+    ``ts_col`` must be integral (epoch seconds); ``point_id_col`` /
+    ``ref_id_col`` must be integral and non-null.
+    """
+    keys = [on] if isinstance(on, str) else list(on)
+    w = int(block_width or 8 * band)
+    if w < band:
+        raise ValueError("block_width must be ≥ band")
+    not_null = F.col(ts_col).isNotNull()
+    for k in keys:
+        not_null = not_null & F.col(k).isNotNull()
+    p = (points.filter(not_null)
+         .select(*keys, F.col(ts_col).cast("long").alias("_ts"),
+                 F.col(point_id_col).cast("long").alias("_id"),
+                 F.lit(0).cast("int").alias("_side"),
+                 F.floor(F.col(ts_col).cast("long") / w).alias("_blk")))
+    lo = F.floor((F.col(ts_col).cast("long") - band) / w)
+    hi = F.floor((F.col(ts_col).cast("long") + band) / w)
+    r = (refs.filter(not_null)
+         .select(*keys, F.col(ts_col).cast("long").alias("_ts"),
+                 F.col(ref_id_col).cast("long").alias("_id"),
+                 F.lit(1).cast("int").alias("_side"),
+                 F.explode(F.sequence(lo, hi)).alias("_blk")))
+    both = p.unionByName(r)
+
+    bnd = int(band)
+
+    def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
+        import numpy as np
+        empty = pd.DataFrame({point_id_col: pd.Series(dtype="int64"),
+                              "_n": pd.Series(dtype="int64"),
+                              "_min": pd.Series(dtype="int64")})
+        side = pdf["_side"].to_numpy()
+        is_pt = side == 0
+        if not is_pt.any() or is_pt.all():
+            return empty
+        ts = pdf["_ts"].to_numpy(dtype=np.int64)
+        ids = pdf["_id"].to_numpy(dtype=np.int64)
+        p_ts = ts[is_pt]
+        p_id = ids[is_pt]
+        r_ts = ts[~is_pt]
+        r_id = ids[~is_pt]
+        order = np.argsort(r_ts, kind="stable")
+        r_ts, r_id = r_ts[order], r_id[order]
+        lo_i = np.searchsorted(r_ts, p_ts - bnd, side="left")
+        hi_i = np.searchsorted(r_ts, p_ts + bnd, side="right")
+        n = hi_i - lo_i
+        keep = n > 0
+        if not keep.any():
+            return empty
+        lo_i, hi_i = lo_i[keep], hi_i[keep]
+        # sparse-table RMQ over r_id in ts order: O(n log n) build,
+        # O(1) vectorized query per point
+        m = r_id.size
+        levels = max(1, int(np.floor(np.log2(m))) + 1)
+        st = [r_id]
+        for k in range(1, levels):
+            half = 1 << (k - 1)
+            prev = st[-1]
+            if prev.size <= half:
+                break
+            st.append(np.minimum(prev[:-half], prev[half:]))
+        span = hi_i - lo_i
+        k = np.floor(np.log2(span)).astype(np.int64)
+        mins = np.empty(span.size, dtype=np.int64)
+        for kk in np.unique(k):
+            sel = k == kk
+            tab = st[kk]
+            a = tab[lo_i[sel]]
+            b = tab[hi_i[sel] - (1 << kk)]
+            mins[sel] = np.minimum(a, b)
+        return pd.DataFrame({point_id_col: p_id[keep],
+                             "_n": n[keep].astype(np.int64),
+                             "_min": mins})
+
+    out_schema = f"{point_id_col} long, _n long, _min long"
+    return (both.groupBy(*keys, "_blk")
+            .applyInPandas(kernel, schema=out_schema)
+            .withColumnRenamed("_n", "n_in_band")
+            .withColumnRenamed("_min", "min_ref_id"))

@@ -320,9 +320,13 @@ def gopher_rules(df: DataFrame, text_col: str = "text",
     # space makes the first token count too
     n_alpha_words = F.regexp_count(F.concat(F.lit(" "), t),
                                    F.lit(r"\s[^\s]*[A-Za-z]"))
-    n_stop = sum(
-        (F.lower(t).rlike(r"\b" + w + r"\b")).cast("int")
-        for w in GOPHER_STOPWORDS)
+    # ONE alternation pass over the lowered text instead of one
+    # rlike scan per stopword (8 full regex passes → 1): the distinct
+    # captured words ARE the set of stopwords present, so the count
+    # of distinct matches equals the old sum of per-word indicators
+    n_stop = F.size(F.array_distinct(F.regexp_extract_all(
+        F.lower(t),
+        F.lit(r"\b(" + "|".join(GOPHER_STOPWORDS) + r")\b"), 1)))
     feats = df.select(
         "*",
         n_words.alias("g_words"),
@@ -547,24 +551,71 @@ def script_profile(df: DataFrame, id_col: str = "doc_id",
     raw codepoint distribution, so it also catches mixed-script spam
     and mojibake).
 
-    Pure JVM ``regexp_count`` per script + one ``array_sort`` argmax
-    (ties break alphabetically); zero shuffles, zero Python — a
-    codegen map at any corpus size.  Returns (id, <script>_chars...,
-    dominant_script, script_chars).
+    One vectorized Arrow kernel, zero shuffles: each batch's texts
+    concatenate into a single UTF-32 codepoint array (one C-speed
+    encode), every script's block becomes two numpy range compares,
+    and per-doc counts fall out of ``np.add.reduceat`` — one pass
+    over the bytes instead of the old five JVM ``regexp_count``
+    scans (which dominated q78: 5 full regex passes + a struct
+    array_sort argmax per row).  The argmax tie-break (count desc,
+    name asc) is ``np.argmax`` over the alphabetically-ordered
+    class list.  Returns (id, <script>_chars..., dominant_script,
+    script_chars).
     """
-    counts = {name: F.regexp_count(F.col(text_col), F.lit(f"[{cls}]"))
-              .cast("long") for name, cls in SCRIPT_CLASSES}
-    # argmax by (count desc, name asc): sort structs of (-count, name)
-    # ascending and take the head — whole-stage codegen, no UDF
-    ranked = F.array_sort(F.array(*[
-        F.struct((-counts[n]).alias("neg"), F.lit(n).alias("name"))
-        for n, _ in SCRIPT_CLASSES]))
-    total = sum(list(counts.values())[1:], list(counts.values())[0])
-    return df.select(
-        F.col(id_col),
-        *[counts[n].alias(f"{n}_chars") for n, _ in SCRIPT_CLASSES],
-        F.element_at(ranked, 1)["name"].alias("dominant_script"),
-        total.alias("script_chars"))
+    # codepoint ranges straight from SCRIPT_CLASSES (shared with the
+    # oracle): "A-Za-zÀ-ɏ" → [(65,90),(97,122),(192,591)], others are
+    # single blocks
+    ranges = []
+    names = [n for n, _ in SCRIPT_CLASSES]
+    for _name, cls in SCRIPT_CLASSES:
+        rs, i = [], 0
+        while i < len(cls):
+            if i + 2 < len(cls) and cls[i + 1] == "-":
+                rs.append((ord(cls[i]), ord(cls[i + 2])))
+                i += 3
+            else:
+                rs.append((ord(cls[i]), ord(cls[i])))
+                i += 1
+        ranges.append(tuple(rs))
+
+    def kernel(iterator):
+        import numpy as np
+        import pandas as pd
+        for batch in iterator:
+            texts = batch[text_col].tolist()
+            ndocs = len(texts)
+            if ndocs == 0:
+                continue
+            buf = "".join(texts).encode("utf-32-le")
+            cp = np.frombuffer(buf, dtype=np.uint32)
+            lens = np.fromiter((len(t) for t in texts), dtype=np.int64,
+                               count=ndocs)
+            offs = np.zeros(ndocs, dtype=np.int64)
+            np.cumsum(lens[:-1], out=offs[1:])
+            counts = np.zeros((len(names), ndocs), dtype=np.int64)
+            for si, rs in enumerate(ranges):
+                mask = np.zeros(cp.size, dtype=np.int64)
+                for lo, hi in rs:
+                    mask += ((cp >= lo) & (cp <= hi))
+                # per-doc segment sums via one cumulative sum —
+                # empty docs get 0 with no reduceat edge cases
+                cs = np.zeros(cp.size + 1, dtype=np.int64)
+                np.cumsum(mask, out=cs[1:])
+                counts[si] = cs[offs + lens] - cs[offs]
+            dom_idx = np.argmax(counts, axis=0)
+            out = {id_col: batch[id_col].to_numpy()}
+            for si, n in enumerate(names):
+                out[f"{n}_chars"] = counts[si]
+            out["dominant_script"] = np.array(names, dtype=object)[dom_idx]
+            out["script_chars"] = counts.sum(axis=0)
+            yield pd.DataFrame(out)
+
+    from ..session import ensure_parallelism
+    schema = (f"{id_col} long, "
+              + ", ".join(f"{n}_chars long" for n in names)
+              + ", dominant_script string, script_chars long")
+    return ensure_parallelism(df.select(id_col, text_col)) \
+        .mapInPandas(kernel, schema=schema)
 
 
 def hashed_linear_score(df: DataFrame, id_col: str = "doc_id",

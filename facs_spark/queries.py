@@ -1409,20 +1409,26 @@ def q40_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
 # The oracle is DuckDB's plain inequality join over the same epochs.
 # =====================================================================
 def q41_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from .ops.temporal import range_join
+    # r7: the interval side is a symmetric ±1 h band around every
+    # event, and the query only needs COUNT + MIN per probe — the
+    # band_count_min aggregate computes both without materializing
+    # the ~density×2h matched pairs the bin equi-join shipped
+    # (110M join rows → 200k output rows at sf1.0; §8 of the
+    # optimization guide: move decisions, not pair explosions).
+    # range_join itself stays the general pair-producing op.
+    from .ops.temporal import band_count_min
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     ev = (_read(spark, sf_dir, "events")
           .withColumn("ep", F.col("ts").cast("timestamp").cast("long")))
     pts = (ev.filter(F.col("event_id") % 5 == 0)
            .select("event_type", "event_id", "ep"))
-    iv = ev.select("event_type", F.col("event_id").alias("iv_id"),
-                   (F.col("ep") - 3600).alias("win_s"),
-                   (F.col("ep") + 3600).alias("win_e"))
-    j = range_join(pts, iv, "ep", "win_s", "win_e",
-                   on="event_type", bin_width=3600)
-    return (j.groupBy("event_id")
-            .agg(F.count(F.lit(1)).alias("n_nearby"),
-                 F.min("iv_id").alias("first_nearby"))
+    refs = ev.select("event_type", F.col("event_id").alias("iv_id"), "ep")
+    out = band_count_min(pts, refs, on="event_type", ts_col="ep",
+                         band=3600, point_id_col="event_id",
+                         ref_id_col="iv_id")
+    return (out.select("event_id",
+                       F.col("n_in_band").alias("n_nearby"),
+                       F.col("min_ref_id").alias("first_nearby"))
             .orderBy("event_id"))
 
 
@@ -4946,7 +4952,13 @@ _Q101_K = 16
 
 def q101_kmv_distinct_sample(spark: SparkSession,
                              sf_dir: str) -> DataFrame:
-    from pyspark.sql import Window
+    # r7: mergeable bottom-k (ops/sampling.kmv_bottom_k) instead of
+    # row_number over a per-group window — the synthetic __all__
+    # group made that a one-task sort of every distinct user (r6
+    # VERDICT item #1).  Ranks, n_distinct and the (k-1)/u_k estimate
+    # now derive from the per-group bottom-k array; results are
+    # identical (same value-level oracle).
+    from .ops.sampling import kmv_bottom_k
     ev = _read(spark, sf_dir, "events")
     per = ev.select("event_type", "user_id").distinct()
     allg = (ev.select(F.lit("__all__").alias("event_type"), "user_id")
@@ -4955,24 +4967,21 @@ def q101_kmv_distinct_sample(spark: SparkSession,
     hx = F.substring(F.md5(F.concat(F.lit("q101:"),
                                     F.col("user_id").cast("string"))),
                      1, 13)
-    w = Window.partitionBy("event_type").orderBy("hx", "user_id")
-    ranked = (u.withColumn("hx", hx)
-              .withColumn("rk", F.row_number().over(w))
-              .withColumn("n_distinct",
-                          F.count(F.lit(1)).over(
-                              Window.partitionBy("event_type"))))
-    kth = (ranked.where(F.col("rk") == _Q101_K)
-           .select(F.col("event_type").alias("g"),
-                   F.conv("hx", 16, 10).cast("long").alias("vk")))
+    agg = kmv_bottom_k(u.withColumn("hx", hx), "event_type", "hx",
+                       "user_id", _Q101_K)
+    vk = F.conv(F.element_at("bottom_k", _Q101_K)["hx"], 16, 10) \
+        .cast("long")
     est = (F.when(F.col("n_distinct") <= _Q101_K,
                   F.col("n_distinct").cast("double"))
            .otherwise(F.lit(float(_Q101_K - 1))
-                      / ((F.col("vk") + 1).cast("double")
+                      / ((vk + 1).cast("double")
                          / F.lit(4503599627370496.0))))
-    return (ranked.where(F.col("rk") <= _Q101_K)
-            .join(kth, F.col("event_type") == F.col("g"), "left")
-            .select("event_type", "rk", "user_id", "n_distinct",
-                    F.round(est, 6).alias("est_kmv"))
+    return (agg.select(F.col("g").alias("event_type"), "n_distinct",
+                       F.round(est, 6).alias("est_kmv"),
+                       F.posexplode("bottom_k").alias("pos", "it"))
+            .select("event_type", (F.col("pos") + 1).cast("int")
+                    .alias("rk"), F.col("it.id").alias("user_id"),
+                    "n_distinct", "est_kmv")
             .orderBy("event_type", "rk"))
 
 

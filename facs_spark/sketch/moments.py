@@ -46,7 +46,7 @@ def _chunked_int_sums(v: np.ndarray) -> list[int]:
     out = [0, 0, 0, 0]
     for lo in range(0, v.size, _CHUNK):
         c = v[lo:lo + _CHUNK]
-        if c.size and int(c.max()) > _INT64_SAFE_MAX:
+        if c.size and max(int(c.max()), -int(c.min())) > _INT64_SAFE_MAX:
             # x^4 up to 2^52 per element: chunk in object space
             o = c.astype(object)
             o2 = o * o

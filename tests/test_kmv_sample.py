@@ -72,3 +72,42 @@ def test_kmv_sample_is_frequency_blind(spark=None):
     finally:
         import shutil
         shutil.rmtree(sf, ignore_errors=True)
+
+
+def test_kmv_bottom_k_matches_window_rank():
+    """kmv_bottom_k (mergeable salted tree agg) ≡ the global-window
+    row_number ranking it replaced, for every group including a
+    synthetic all-rows group, at several cell counts."""
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from facs_spark.ops.sampling import kmv_bottom_k
+
+    spark = get_spark("kmv_bottom_k_test", cpus=4,
+                      shuffle_partitions=4)
+    rng = np.random.default_rng(11)
+    n = 5000
+    pdf = pd.DataFrame({
+        "g": rng.choice(["a", "b", "c"], size=n),
+        "uid": rng.integers(0, 800, n).astype("int64"),
+    })
+    df = (spark.createDataFrame(pdf).distinct()
+          .unionByName(spark.createDataFrame(
+              pdf.assign(g="__all__")[["g", "uid"]]).distinct()))
+    hx = F.substring(F.md5(F.col("uid").cast("string")), 1, 13)
+    d = df.withColumn("hx", hx)
+    # ground truth: sort each group's distinct (hx, uid) and slice
+    ref = d.toPandas()
+    want = {}
+    for g, grp in ref.groupby("g"):
+        rows = sorted(zip(grp["hx"], grp["uid"]))[:16]
+        want[g] = (rows, len(grp))
+    for cells in (1, 7, 64):
+        got = kmv_bottom_k(d, "g", "hx", "uid", 16,
+                           n_cells=cells).collect()
+        assert {r["g"] for r in got} == set(want)
+        for r in got:
+            rows, nd = want[r["g"]]
+            assert r["n_distinct"] == nd
+            assert [(it["hx"], it["id"]) for it in r["bottom_k"]] \
+                == rows, f"cells={cells} group={r['g']}"

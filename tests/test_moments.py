@@ -40,6 +40,16 @@ def test_large_values_no_overflow():
     ms2 = MomentsSketch()
     ms2.update_batch(band)
     assert ms2.sums[3] == 100_000 * 5000 ** 4
+    # large-magnitude NEGATIVE ints must also engage the object path:
+    # the old guard checked only c.max(), so -5000s wrapped s2/s4
+    # (ADVICE r6)
+    neg = np.full(100_000, -5000, dtype=np.int64)
+    ms3 = MomentsSketch()
+    ms3.update_batch(neg)
+    assert ms3.sums[1] == 100_000 * 5000 ** 2
+    assert ms3.sums[3] == 100_000 * 5000 ** 4
+    assert ms3.sums[0] == -100_000 * 5000
+    assert ms3.sums[2] == -100_000 * 5000 ** 3
 
 
 def test_maxent_quantile_rank_error():

@@ -334,14 +334,21 @@ def test_scrub_and_gopher_are_shuffle_free_maps(spark):
 
 
 def test_script_profile_is_shuffle_free_map(spark):
-    """The script profile (regexp_count per block + array_sort
-    argmax) must stay a pure projection — zero exchanges, no Python."""
+    """The script profile (r7: one vectorized UTF-32 codepoint
+    kernel instead of five JVM regexp_count passes) must stay a pure
+    per-partition map — exactly one MapInPandas, NO keyed exchange
+    (ensure_parallelism's round-robin fan-out is allowed, as in the
+    classify plan), no row-at-a-time Python."""
     from facs_spark.ops.textstats import script_profile
     docs = spark.read.parquet(f"{SF}/documents.parquet")
     plan = _formatted(script_profile(docs))
-    assert _n_nodes(plan, "Exchange") == 0, plan
-    for bad in ("BatchEvalPython", "ArrowEvalPython", "MapInPandas"):
-        assert bad not in plan, f"{bad} in plan"
+    assert "hashpartitioning" not in plan.lower(), plan
+    assert "rangepartitioning" not in plan.lower(), plan
+    assert _n_nodes(plan, "MapInPandas") == 1, plan
+    assert "BatchEvalPython" not in plan, plan
+    # column pruning through the kernel: only (id, text) reach it
+    read = plan.split("ReadSchema:")[1].splitlines()[0]
+    assert "lang" not in read and "source" not in read, read
 
 
 def test_linear_quality_single_agg_no_join(spark):

@@ -291,3 +291,59 @@ def test_asof_join_skew_bucket_with_tolerance(spark):
         .sort_values("lid").reset_index(drop=True)
     pd.testing.assert_frame_equal(plain, skewed[plain.columns],
                                   check_like=True)
+
+
+def test_band_count_min_matches_naive(spark):
+    """band_count_min ≡ the naive band join aggregate on random data
+    (multiple keys, dense ties, block-boundary straddlers)."""
+    from facs_spark.ops.temporal import band_count_min
+    rng = np.random.default_rng(17)
+    n = 4000
+    refs = pd.DataFrame({
+        "k": rng.integers(0, 3, n),
+        "ts": rng.integers(0, 200_000, n).astype("int64"),
+        "rid": np.arange(n, dtype="int64") * 7 % n,
+    })
+    pts = refs.iloc[::5].rename(columns={"rid": "pid"}).copy()
+    band = 3600
+    got = band_count_min(
+        spark.createDataFrame(pts), spark.createDataFrame(refs),
+        on="k", ts_col="ts", band=band,
+        point_id_col="pid", ref_id_col="rid").toPandas() \
+        .sort_values("pid").reset_index(drop=True)
+    # naive ground truth
+    rows = []
+    for _, p in pts.iterrows():
+        m = refs[(refs["k"] == p["k"])
+                 & (refs["ts"] >= p["ts"] - band)
+                 & (refs["ts"] <= p["ts"] + band)]
+        if len(m):
+            rows.append((p["pid"], len(m), m["rid"].min()))
+    want = pd.DataFrame(rows, columns=["pid", "n_in_band", "min_ref_id"]) \
+        .astype("int64").sort_values("pid").reset_index(drop=True)
+    pd.testing.assert_frame_equal(
+        got[["pid", "n_in_band", "min_ref_id"]].astype("int64"), want)
+
+
+def test_band_count_min_narrow_blocks(spark):
+    """block_width == band (maximum halo replication) must give the
+    same answer as the default width — boundary-halo correctness."""
+    from facs_spark.ops.temporal import band_count_min
+    rng = np.random.default_rng(5)
+    n = 1500
+    refs = pd.DataFrame({
+        "k": rng.integers(0, 2, n),
+        "ts": rng.integers(0, 50_000, n).astype("int64"),
+        "rid": rng.permutation(n).astype("int64"),
+    })
+    pts = refs.iloc[::3].rename(columns={"rid": "pid"}).copy()
+    kw = dict(on="k", ts_col="ts", band=1000,
+              point_id_col="pid", ref_id_col="rid")
+    a = band_count_min(spark.createDataFrame(pts),
+                       spark.createDataFrame(refs),
+                       block_width=1000, **kw).toPandas() \
+        .sort_values("pid").reset_index(drop=True)
+    b = band_count_min(spark.createDataFrame(pts),
+                       spark.createDataFrame(refs), **kw).toPandas() \
+        .sort_values("pid").reset_index(drop=True)
+    pd.testing.assert_frame_equal(a, b)
