@@ -178,6 +178,10 @@ class _BitWriter:
             self.out.append(b)
             if b == 0xFF:            # byte stuffing (T.81 F.1.2.3)
                 self.out.append(0x00)
+        # drop emitted bytes from acc — otherwise it grows into an
+        # arbitrarily long bigint and every write slows with scan
+        # length (same quadratic term as the reader's fill)
+        self.acc &= (1 << self.nbits) - 1
 
     def flush(self) -> bytes:
         if self.nbits:
@@ -433,27 +437,24 @@ def _optimal_table(freq256) -> tuple[list[int], list[int]]:
     K.1-K.4): merge the two least-frequent trees, limit code length
     to 16, reserve the all-ones code via the 257th symbol.  Returns
     (BITS[16], HUFFVAL)."""
-    freq = list(freq256) + [1]      # reserved symbol 256
+    # vectorized K.1 merge loop (r7): the two least-frequent picks
+    # were 2×257-entry python scans per merge (~130k iterations per
+    # table) — argmin over a reversed masked array reproduces the
+    # exact "ties -> LARGEST symbol value" rule in C speed
+    freq = np.array(list(freq256) + [1], dtype=np.int64)
+    freq[freq == 0] = np.iinfo(np.int64).max  # inactive sentinel
     codesize = [0] * 257
     others = [-1] * 257
-    while True:
-        # least-frequent nonzero; ties -> LARGEST symbol value (K.2)
-        c1 = -1
-        v = None
-        for i in range(257):
-            if freq[i] > 0 and (v is None or freq[i] <= v):
-                v = freq[i]
-                c1 = i
-        c2 = -1
-        v = None
-        for i in range(257):
-            if freq[i] > 0 and i != c1 and (v is None or freq[i] <= v):
-                v = freq[i]
-                c2 = i
-        if c2 < 0:
-            break
-        freq[c1] += freq[c2]
-        freq[c2] = 0
+    nactive = int(np.count_nonzero(freq != np.iinfo(np.int64).max))
+    while nactive >= 2:
+        rev = freq[::-1]
+        c1 = 256 - int(np.argmin(rev))
+        v1 = freq[c1]
+        freq[c1] = np.iinfo(np.int64).max
+        c2 = 256 - int(np.argmin(freq[::-1]))
+        freq[c1] = v1 + freq[c2]
+        freq[c2] = np.iinfo(np.int64).max
+        nactive -= 1
         codesize[c1] += 1
         while others[c1] >= 0:
             c1 = others[c1]
@@ -482,8 +483,11 @@ def _optimal_table(freq256) -> tuple[list[int], list[int]]:
     while bits[i] == 0:
         i -= 1
     bits[i] -= 1                    # drop the reserved all-ones code
-    huffval = [s for ln in range(1, 33)
-               for s in range(256) if codesize[s] == ln]
+    # symbols sorted by (code length, symbol) — stable argsort over
+    # the 256 real symbols replaces the 8k-iteration nested listcomp
+    cs = np.array(codesize[:256], dtype=np.int64)
+    nz = np.flatnonzero(cs)
+    huffval = nz[np.argsort(cs[nz], kind="stable")].tolist()
     return bits[1:17], huffval
 
 
@@ -696,7 +700,10 @@ class _BitReader:
                     f"marker 0x{b:02X}{nxt:02X} inside entropy data")
         else:
             self.pos += 1
-        self.acc = (self.acc << 8) | b
+        # mask consumed high bits before shifting: without it acc
+        # grows 8 bits per fill forever (a Python bigint), making
+        # every shift/extract O(scan bytes) — quadratic on long scans
+        self.acc = ((self.acc & ((1 << self.nbits) - 1)) << 8) | b
         self.nbits += 8
 
     def bits(self, n: int) -> int:
@@ -717,15 +724,66 @@ class _Restart(Exception):
         self.pos = pos
 
 
-def _huff_decode(br: _BitReader, lut: dict) -> int:
-    code, length = 0, 0
-    while length < 16:
-        code = (code << 1) | br.bits(1)
-        length += 1
-        v = lut.get((code, length))
-        if v is not None:
-            return v
-    raise ValueError("invalid Huffman code in entropy data")
+_DECODE_LUT_CACHE: dict = {}
+
+
+def _decode_lut(bits, vals) -> tuple[list[int], int]:
+    """Flat peek-L lookup table for canonical Huffman decode: entry
+    at every L-bit index whose top bits equal a code holds
+    ``(symbol << 5) | code_length`` (0 = no code).  L is the table's
+    real max code length, so tiny optimal tables stay tiny.  Cached
+    by table bytes — the Annex K default tables recur for every
+    baseline image, and their 16-bit depth makes the 65k-entry build
+    the dominant decode cost if repeated per image."""
+    key = (bytes(bits), bytes(vals))
+    hit = _DECODE_LUT_CACHE.get(key)
+    if hit is not None:
+        return hit
+    maxlen = 0
+    for i in range(16):
+        if bits[i]:
+            maxlen = i + 1
+    maxlen = max(maxlen, 1)
+    table = [0] * (1 << maxlen)
+    code, k = 0, 0
+    for length in range(1, maxlen + 1):
+        for _ in range(bits[length - 1]):
+            v = vals[k]
+            k += 1
+            span = 1 << (maxlen - length)
+            base = code << (maxlen - length)
+            table[base:base + span] = [(v << 5) | length] * span
+            code += 1
+        code <<= 1
+    if len(_DECODE_LUT_CACHE) > 512:   # bound worker memory
+        _DECODE_LUT_CACHE.clear()
+    _DECODE_LUT_CACHE[key] = (table, maxlen)
+    return table, maxlen
+
+
+def _huff_decode(br: _BitReader, lut: tuple[list[int], int]) -> int:
+    """One peek-L table probe instead of the old bit-by-bit walk
+    (which paid a dict lookup + bits(1) per code bit).  Fill order is
+    identical to the incremental walk: a byte is pulled only when no
+    complete code resolves from the bits already buffered, so marker
+    and restart behavior is unchanged."""
+    table, L = lut
+    while True:
+        avail = br.nbits
+        if avail >= L:
+            e = table[(br.acc >> (avail - L)) & ((1 << L) - 1)]
+            if e:
+                br.nbits = avail - (e & 0x1F)
+                return e >> 5
+            raise ValueError("invalid Huffman code in entropy data")
+        if avail:
+            # zero-pad the peek; trust it only if the resolved code
+            # fits inside the real bits
+            e = table[(br.acc << (L - avail)) & ((1 << L) - 1)]
+            if e and (e & 0x1F) <= avail:
+                br.nbits = avail - (e & 0x1F)
+                return e >> 5
+        br._fill()
 
 
 def _extend(v: int, s: int) -> int:
@@ -916,9 +974,7 @@ def _decode_progressive(blob, pos, st, qt, huff, dri):
                 bits = list(body[off + 1:off + 17])
                 nv = sum(bits)
                 vals = list(body[off + 17:off + 17 + nv])
-                codes = _build_codes(bits, vals)
-                huff[(tc, th)] = {(c, l): v
-                                  for v, (c, l) in codes.items()}
+                huff[(tc, th)] = _decode_lut(bits, vals)
                 off += 17 + nv
         elif marker == 0xFFDD:
             dri = struct.unpack_from(">H", body, 0)[0]
@@ -984,8 +1040,7 @@ def decode_jpeg(blob: bytes) -> np.ndarray:
                 bits = list(body[off + 1:off + 17])
                 n = sum(bits)
                 vals = list(body[off + 17:off + 17 + n])
-                codes = _build_codes(bits, vals)
-                huff[(tc, th)] = {(c, l): v for v, (c, l) in codes.items()}
+                huff[(tc, th)] = _decode_lut(bits, vals)
                 off += 17 + n
         elif marker in (0xFFC0, 0xFFC2):
             progressive = marker == 0xFFC2
