@@ -84,20 +84,69 @@ def sliding_hll_points(df: DataFrame, value_col: str,
 
     Partitioned by register ONLY (hash on a subset satisfies the
     groupBy's clustering), so the downstream frontier window scan
-    reuses the same exchange: the whole frontier build is ONE
-    shuffle of (register, ts_us, rank) longs (plan-pinned in
-    tests/test_plans.py)."""
+    reuses the same exchange."""
     return (sliding_hll_raw_points(df, value_col, ts_col)
             .repartition("register")
             .groupBy("register", "ts_us")
             .agg(F.max("rank").alias("rank")))
 
 
+def _frontier_kernel(iterator):
+    """Partition-local LPFM frontier, fully vectorized.
+
+    Sort (register asc, ts desc, rank desc) and keep a row iff its
+    key = register*64 + rank strictly exceeds the running max of all
+    preceding rows.  rank <= 53 < 64, so the running max never leaks
+    across registers; within a register the comparison reduces to
+    rank, so a row survives iff its rank beats every newer entry —
+    and a same-ts duplicate loses to its own group's max-rank row,
+    which sorts first.  One pass, exact frontier."""
+    import pandas as pd
+    regs, tss, rks = [], [], []
+    for batch in iterator:
+        regs.append(batch["register"].to_numpy(dtype=np.int64))
+        tss.append(batch["ts_us"].to_numpy(dtype=np.int64))
+        rks.append(batch["rank"].to_numpy(dtype=np.int64))
+    if not regs:
+        return
+    r = np.concatenate(regs)
+    t = np.concatenate(tss)
+    k = np.concatenate(rks)
+    if r.size == 0:
+        return
+    order = np.lexsort((-k, -t, r))
+    r, t, k = r[order], t[order], k[order]
+    key = r * 64 + k
+    cm = np.maximum.accumulate(key)
+    keep = np.empty(key.size, dtype=bool)
+    keep[0] = True
+    keep[1:] = key[1:] > cm[:-1]
+    yield pd.DataFrame({"register": r[keep].astype("int32"),
+                        "ts_us": t[keep],
+                        "rank": k[keep].astype("int32")})
+
+
 def sliding_hll_frontier(df: DataFrame, value_col: str,
                          ts_col: str) -> DataFrame:
     """The LPFM sketch: keep (register, ts_us, rank) iff rank is
-    strictly greater than every NEWER entry's rank in the register."""
-    pts = sliding_hll_points(df, value_col, ts_col)
+    strictly greater than every NEWER entry's rank in the register.
+
+    r7 shape (r6 VERDICT item #2): the old single-exchange form
+    shipped EVERY deduplicated (register, ts) point into at most
+    m=256 register partitions — a hard 256-task ceiling with an
+    O(distinct ts) exchange.  The frontier is a pure function of the
+    point SET with frontier(frontier(A) ∪ B) = frontier(A ∪ B) (the
+    identity q99's streaming fold already exploits), so each input
+    partition now computes its own partial frontier map-side
+    (O(m·ln n) rows each) and only partials cross the exchange —
+    O(partitions · m · ln n) rows instead of O(n), with the register
+    grouping applied to the tiny merged set."""
+    raw = sliding_hll_raw_points(df, value_col, ts_col)
+    partial = raw.mapInPandas(
+        _frontier_kernel, schema="register int, ts_us long, rank int")
+    pts = (partial.repartition("register")
+           .groupBy("register", "ts_us")
+           .agg(F.max("rank").alias("rank")))
     w = (Window.partitionBy("register").orderBy(F.desc("ts_us"))
          .rowsBetween(Window.unboundedPreceding, -1))
     return (pts.withColumn("newer_max", F.max("rank").over(w))

@@ -220,9 +220,9 @@ def q04_classify_pages(spark: SparkSession, sf_dir: str) -> DataFrame:
                                   error_rate=EXACT_E)
     classified = classify_pages(docs, bloom, text_col="text",
                                 passthrough=("doc_id",), tole_rate=TOLE)
-    return (classified.select("doc_id", "escalated", "contaminated",
-                              "match_time", "match_score")
-            .orderBy("doc_id"))
+    return _sorted_once(
+        classified.select("doc_id", "escalated", "contaminated",
+                          "match_time", "match_score"), "doc_id")
 
 
 Q04_SQL = Q03_SQL.replace(
@@ -1044,9 +1044,9 @@ def q29_classify_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = classify_pages_shuffle(docs, ref, id_col="doc_id",
                                  text_col="text", k=K_GRAM,
                                  tole_rate=TOLE)
-    return (out.select("doc_id", "escalated", "contaminated",
-                       "match_time", "match_score")
-            .orderBy("doc_id"))
+    return _sorted_once(
+        out.select("doc_id", "escalated", "contaminated",
+                   "match_time", "match_score"), "doc_id")
 
 
 # =====================================================================
@@ -1949,7 +1949,7 @@ def q45_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _read(spark, sf_dir, "documents")
     prob = F.length("text") / F.lit(400.0)
     out = weighted_sample(docs, prob, "doc_id", seed=11)
-    return out.select("doc_id").orderBy("doc_id")
+    return _sorted_once(out.select("doc_id"), "doc_id")
 
 
 Q45_SQL = """
@@ -1979,7 +1979,8 @@ def q42_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .ops.sampling import stratified_sample
     docs = _read(spark, sf_dir, "documents")
     out = stratified_sample(docs, "lang", _Q42_FRACS, "doc_id", seed=5)
-    return out.select("lang", "doc_id").orderBy("lang", "doc_id")
+    return _sorted_once(out.select("lang", "doc_id"),
+                        "lang", "doc_id")
 
 
 def _q42_sql() -> str:
@@ -2634,14 +2635,14 @@ def q57_warc_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
                          r"<body>(.*)</body>", 1).alias("warc_text"),
         "warc_ts")
     docs = _read(spark, sf_dir, "documents")
-    return (docs.join(parsed, "doc_id")
-            .select("doc_id",
-                    (F.col("warc_text") == F.col("text"))
-                    .alias("text_match"),
-                    (F.col("warc_ts").cast("long")
-                     == F.lit(_Q57_EPOCH) + F.col("doc_id"))
-                    .alias("ts_match"))
-            .orderBy("doc_id"))
+    return _sorted_once(
+        docs.join(parsed, "doc_id")
+        .select("doc_id",
+                (F.col("warc_text") == F.col("text"))
+                .alias("text_match"),
+                (F.col("warc_ts").cast("long")
+                 == F.lit(_Q57_EPOCH) + F.col("doc_id"))
+                .alias("ts_match")), "doc_id")
 
 
 Q57_SQL = """
@@ -2667,7 +2668,7 @@ def q58_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     both, _off, _n = _with_twins(emb, cache_key=sf_dir)
     out = semantic_dedup(both, "vec_id", "embedding",
                          n_clusters=8, threshold=0.9)
-    return out.select("vec_id", "kept").orderBy("vec_id")
+    return _sorted_once(out.select("vec_id", "kept"), "vec_id")
 
 
 Q58_SQL = f"""
@@ -2925,11 +2926,11 @@ def q63_domain_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
                              (F.col("doc_id") % 13).cast("string"),
                              F.lit(".com")).alias("domain")))
     out = group_stat_filter(docs, "domain", "n_chars", min_docs=2)
-    return (out.select("doc_id", "domain",
-                       F.round("group_mean", 6).alias("group_mean"),
-                       F.col("group_docs").cast("long").alias("group_docs"),
-                       "keep")
-            .orderBy("doc_id"))
+    return _sorted_once(
+        out.select("doc_id", "domain",
+                   F.round("group_mean", 6).alias("group_mean"),
+                   F.col("group_docs").cast("long").alias("group_docs"),
+                   "keep"), "doc_id")
 
 
 Q63_SQL = """
@@ -3002,8 +3003,9 @@ FROM range(1, 4) t(r) ORDER BY bucket
 def q65_chunk_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .ops.chunking import chunk_text
     docs = _read(spark, sf_dir, "documents")
-    return (chunk_text(docs, "doc_id", "text", width=32, stride=24)
-            .orderBy("doc_id", "chunk_id"))
+    return _sorted_once(
+        chunk_text(docs, "doc_id", "text", width=32, stride=24),
+        "doc_id", "chunk_id")
 
 
 Q65_SQL = """
@@ -4542,18 +4544,26 @@ def q95_ddsketch_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select("lang", F.length("text").alias("tlen"))
             .filter(F.col("tlen") > 0))
     spec = SketchSpec.make("ddsketch", "tlen", alpha=_DD_ALPHA)
-    rows = grouped_sketches(docs, ["lang"], spec).collect()
-    import pandas as pd
-    recs = []
-    for r in sorted(rows, key=lambda r: r["lang"]):
-        dd = DDSketch.from_bytes(bytes(r["sketch"]))
-        vals = dd.quantiles(_DD_QS)
-        rec = {"lang": r["lang"], "n_pages": dd.count}
-        for q, v in zip(_DD_QS, vals):
-            rec[f"p{int(q * 100):02d}"] = v
-        recs.append(rec)
-    out = spark.createDataFrame(
-        pd.DataFrame(recs),
+    g = grouped_sketches(docs, ["lang"], spec)
+
+    # r7 (r6 VERDICT item #3): finalize per group in a pandas kernel
+    # over the sketch-blob rows — no driver collect / createDataFrame
+    # round-trip, so a 10⁵-group corpus never serializes on the
+    # driver (guide §5: the driver does no data work)
+    def finalize(pdf):
+        import pandas as pd
+        recs = []
+        for lang, blob in zip(pdf["lang"], pdf["sketch"]):
+            dd = DDSketch.from_bytes(bytes(blob))
+            vals = dd.quantiles(_DD_QS)
+            rec = {"lang": lang, "n_pages": dd.count}
+            for q, v in zip(_DD_QS, vals):
+                rec[f"p{int(q * 100):02d}"] = v
+            recs.append(rec)
+        return pd.DataFrame(recs)
+
+    out = g.groupBy("lang").applyInPandas(
+        finalize,
         schema="lang string, n_pages long, p25 double, p50 double, "
                "p75 double, p90 double, p99 double")
     return out.select("lang", "n_pages",
@@ -4792,25 +4802,32 @@ ORDER BY x.win
 def q98_moments_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .sketch.moments import MomentsSketch
     docs = _read(spark, sf_dir, "documents").select("lang", "n_chars")
-    rows = grouped_sketches(docs, ["lang"],
-                            SketchSpec.make("moments", "n_chars")).collect()
-    import pandas as pd
-    recs = []
-    for r in sorted(rows, key=lambda r: r["lang"]):
-        ms = MomentsSketch.from_bytes(bytes(r["sketch"]))
-        # power sums ship as DECIMAL STRINGS: the sketch keeps
-        # arbitrary-precision ints precisely so exactness survives
-        # any scale — a `long` column would cap s4 at 2^63 (reached
-        # by ~1e6 pages of ~5e3 chars), and the oracle's HUGEINT SUM
-        # casts to VARCHAR just as exactly
-        recs.append({"lang": r["lang"], "n_pages": ms.n,
-                     "s1": str(ms.sums[0]), "s2": str(ms.sums[1]),
-                     "s3": str(ms.sums[2]), "s4": str(ms.sums[3]),
-                     "est_p50": ms.quantile(0.5)})
-    est_df = spark.createDataFrame(
-        pd.DataFrame(recs),
+    g = grouped_sketches(docs, ["lang"],
+                         SketchSpec.make("moments", "n_chars"))
+
+    # r7 (r6 VERDICT item #3): per-group finalization in a pandas
+    # kernel instead of a driver collect loop — group count never
+    # serializes on the driver.  Power sums still ship as DECIMAL
+    # STRINGS: the sketch keeps arbitrary-precision ints precisely so
+    # exactness survives any scale — a `long` column would cap s4 at
+    # 2^63 (reached by ~1e6 pages of ~5e3 chars), and the oracle's
+    # HUGEINT SUM casts to VARCHAR just as exactly.
+    def finalize(pdf):
+        import pandas as pd
+        recs = []
+        for lang, blob in zip(pdf["lang"], pdf["sketch"]):
+            ms = MomentsSketch.from_bytes(bytes(blob))
+            recs.append({"lang": lang, "n_pages": ms.n,
+                         "s1": str(ms.sums[0]), "s2": str(ms.sums[1]),
+                         "s3": str(ms.sums[2]), "s4": str(ms.sums[3]),
+                         "est_p50": ms.quantile(0.5)})
+        return pd.DataFrame(recs)
+
+    est_df = g.groupBy("lang").applyInPandas(
+        finalize,
         schema="lang string, n_pages long, s1 string, s2 string, "
-               "s3 string, s4 string, est_p50 double")
+               "s3 string, s4 string, est_p50 double") \
+        .localCheckpoint(eager=True)  # consumed twice: broadcast + join
     ranks = (docs.join(F.broadcast(est_df.select("lang", "est_p50")),
                        "lang")
              .groupBy("lang")

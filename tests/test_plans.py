@@ -475,10 +475,12 @@ def test_cbf_probe_has_no_join_exchange(spark):
 
 
 def test_sliding_hll_frontier_single_exchange_no_text(spark):
-    """Sliding-HLL (q97): rows shuffle ONCE as (register, ts_us,
-    rank) longs for the per-register frontier window — the hashed
-    value column itself must never cross an exchange, and the
-    per-(register, ts) max must partial-aggregate map-side."""
+    """Sliding-HLL (q97, r7 partial-frontier shape): every input
+    partition reduces to its own LPFM frontier map-side (the
+    MapInPandas stage BELOW the exchange), so the single register
+    shuffle carries only O(partitions·m·ln n) partial rows — never
+    the raw points, never the hashed value column — and the m=256
+    register fan-in no longer caps the heavy stage's parallelism."""
     import re
 
     from facs_spark.ops.sliding_hll import sliding_hll_frontier
@@ -489,6 +491,13 @@ def test_sliding_hll_frontier_single_exchange_no_text(spark):
     assert len(exchange_blocks) == 1, "frontier must shuffle exactly once"
     assert "user_id#" not in exchange_blocks[0], \
         "hashed value column crosses the shuffle"
+    # the partial-frontier kernel must sit BELOW the exchange (map
+    # side): formatted numbering starts at the deepest node (Scan=1),
+    # so the kernel's number must be LOWER than the Exchange's
+    assert _n_nodes(plan, "MapInPandas") == 1
+    mip = int(re.search(r"\((\d+)\) MapInPandas", plan).group(1))
+    exch = int(re.search(r"\((\d+)\) Exchange", plan).group(1))
+    assert mip < exch, "partial-frontier kernel must be map-side"
     # dedup groupBy AND the frontier window both reuse the single
     # register-hash exchange
     assert _n_nodes(plan, "Window") == 1
