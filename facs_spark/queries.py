@@ -392,9 +392,10 @@ def q10_minhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
                           num_hashes=128, bands=32, shingle_n=3)
     # at J≥0.8 with 32 bands × 4 rows the miss probability per pair is
     # (1-0.8^4)^32 ≈ 5e-9 — exact-recall for the oracle comparison
-    return (pairs.select("id_a", "id_b",
-                         F.round("jaccard", 6).alias("jaccard"))
-            .orderBy("id_a", "id_b"))
+    return _sorted_once(
+        pairs.select("id_a", "id_b",
+                     F.round("jaccard", 6).alias("jaccard")),
+        "id_a", "id_b")
 
 
 _JACCARD_SQL_CORE = """
@@ -1696,7 +1697,8 @@ def q32_cosine_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     both, _off, n = _with_twins(emb, cache_key=sf_dir)
     pairs = cosine_neardup_pairs(both, "vec_id", "embedding",
                                  threshold=0.9, n_rows=n + N_TWINS)
-    return pairs.select("id_a", "id_b").orderBy("id_a", "id_b")
+    return _sorted_once(pairs.select("id_a", "id_b"),
+                        "id_a", "id_b")
 
 
 Q32_SQL = f"""
@@ -2266,9 +2268,9 @@ def _q51_stage(spark, sf_dir: str) -> tuple:
 
 def q51_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     import shutil
-    import uuid
+    import tempfile
 
-    from .streaming.monitor import run_monitor_once, streaming_dedup
+    from .streaming.monitor import streaming_dedup
     src, ckpt = _q51_stage(spark, sf_dir)
     try:
         ev = (spark.readStream
@@ -2278,14 +2280,23 @@ def q51_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
               .parquet(src))
         deduped = streaming_dedup(ev, id_cols=("event_id",),
                                   ts_col="ts", watermark="2 days")
-        qname = "q51_sink_" + uuid.uuid4().hex[:8]
+        # r7: parquet sink, not the memory sink — the dedup stream
+        # emits every surviving ROW (~1M at sf1.0; the grouped result
+        # is tiny but the sink itself carried the row stream through
+        # the driver).  Executors write the append output in
+        # parallel; the count-per-type runs over the read-back (same
+        # reasoning as q47).
+        path = tempfile.mkdtemp(prefix="q51_out_", dir=_scratch_dir())
         with _stream_state_partitions(spark):
-            run_monitor_once(deduped.select("event_id", "event_type"),
-                             ckpt, query_name=qname, output_mode="append")
-        out_df = spark.sql(
-            f"SELECT event_type, COUNT(*) AS n FROM {qname} "
-            "GROUP BY event_type ORDER BY event_type")
-        return _drain_sink_view(spark, out_df, qname)
+            q = (deduped.select("event_id", "event_type")
+                 .writeStream.outputMode("append").format("parquet")
+                 .option("path", path)
+                 .option("checkpointLocation", ckpt)
+                 .trigger(availableNow=True).start())
+            q.awaitTermination()
+        return (spark.read.parquet(path)
+                .groupBy("event_type").agg(F.count(F.lit(1)).alias("n"))
+                .orderBy("event_type"))
     finally:
         shutil.rmtree(ckpt, ignore_errors=True)
 
@@ -3083,9 +3094,9 @@ def q67_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
                        id_col="doc_id", text_col="text",
                        prefix=3, alpha=0.5)
     w = F.round("weight", 6)
-    return (out.select("doc_id", "n_tokens", w.alias("weight"),
-                       (w > 0).alias("keep"))
-            .orderBy("doc_id"))
+    return _sorted_once(
+        out.select("doc_id", "n_tokens", w.alias("weight"),
+                   (w > 0).alias("keep")), "doc_id")
 
 
 Q67_SQL = """
@@ -3128,10 +3139,10 @@ def q68_dsir_select(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _read(spark, sf_dir, "documents")
     out = dsir_select(docs, target=F.col("lang") == "en", k=100,
                       seed=7, prefix=3, alpha=0.5)
-    return (out.select("doc_id",
-                       F.round("weight", 6).alias("weight"),
-                       F.round("score", 6).alias("score"))
-            .orderBy("doc_id"))
+    return _sorted_once(
+        out.select("doc_id",
+                   F.round("weight", 6).alias("weight"),
+                   F.round("score", 6).alias("score")), "doc_id")
 
 
 Q68_SQL = """
@@ -4550,19 +4561,23 @@ def q95_ddsketch_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     # over the sketch-blob rows — no driver collect / createDataFrame
     # round-trip, so a 10⁵-group corpus never serializes on the
     # driver (guide §5: the driver does no data work)
-    def finalize(pdf):
+    def finalize(iterator):
         import pandas as pd
-        recs = []
-        for lang, blob in zip(pdf["lang"], pdf["sketch"]):
-            dd = DDSketch.from_bytes(bytes(blob))
-            vals = dd.quantiles(_DD_QS)
-            rec = {"lang": lang, "n_pages": dd.count}
-            for q, v in zip(_DD_QS, vals):
-                rec[f"p{int(q * 100):02d}"] = v
-            recs.append(rec)
-        return pd.DataFrame(recs)
+        for pdf in iterator:
+            recs = []
+            for lang, blob in zip(pdf["lang"], pdf["sketch"]):
+                dd = DDSketch.from_bytes(bytes(blob))
+                vals = dd.quantiles(_DD_QS)
+                rec = {"lang": lang, "n_pages": dd.count}
+                for q, v in zip(_DD_QS, vals):
+                    rec[f"p{int(q * 100):02d}"] = v
+                recs.append(rec)
+            yield pd.DataFrame(recs)
 
-    out = g.groupBy("lang").applyInPandas(
+    # mapInPandas, NOT groupBy().applyInPandas: grouped_sketches
+    # already merged to one row per group, so finalization needs no
+    # second exchange — it runs wherever the merged rows sit
+    out = g.mapInPandas(
         finalize,
         schema="lang string, n_pages long, p25 double, p50 double, "
                "p75 double, p90 double, p99 double")
@@ -4812,22 +4827,28 @@ def q98_moments_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     # exactness survives any scale — a `long` column would cap s4 at
     # 2^63 (reached by ~1e6 pages of ~5e3 chars), and the oracle's
     # HUGEINT SUM casts to VARCHAR just as exactly.
-    def finalize(pdf):
+    def finalize(iterator):
         import pandas as pd
-        recs = []
-        for lang, blob in zip(pdf["lang"], pdf["sketch"]):
-            ms = MomentsSketch.from_bytes(bytes(blob))
-            recs.append({"lang": lang, "n_pages": ms.n,
-                         "s1": str(ms.sums[0]), "s2": str(ms.sums[1]),
-                         "s3": str(ms.sums[2]), "s4": str(ms.sums[3]),
-                         "est_p50": ms.quantile(0.5)})
-        return pd.DataFrame(recs)
+        for pdf in iterator:
+            recs = []
+            for lang, blob in zip(pdf["lang"], pdf["sketch"]):
+                ms = MomentsSketch.from_bytes(bytes(blob))
+                recs.append({"lang": lang, "n_pages": ms.n,
+                             "s1": str(ms.sums[0]),
+                             "s2": str(ms.sums[1]),
+                             "s3": str(ms.sums[2]),
+                             "s4": str(ms.sums[3]),
+                             "est_p50": ms.quantile(0.5)})
+            yield pd.DataFrame(recs)
 
-    est_df = g.groupBy("lang").applyInPandas(
+    # mapInPandas over the already-merged per-group rows (no second
+    # exchange); checkpointed because it is consumed twice
+    # (broadcast rank-join + final join)
+    est_df = g.mapInPandas(
         finalize,
         schema="lang string, n_pages long, s1 string, s2 string, "
                "s3 string, s4 string, est_p50 double") \
-        .localCheckpoint(eager=True)  # consumed twice: broadcast + join
+        .localCheckpoint(eager=True)
     ranks = (docs.join(F.broadcast(est_df.select("lang", "est_p50")),
                        "lang")
              .groupBy("lang")
