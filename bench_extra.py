@@ -76,8 +76,20 @@ def main() -> None:
         if explain_dir:
             os.makedirs(explain_dir, exist_ok=True)
             df = fn(spark, sf_dir)
-            txt = df._sc._jvm.PythonSQLUtils.explainString(
-                df._jdf.queryExecution(), "formatted")
+
+            def _fmt(d):
+                mode = d.sparkSession._jvm.org.apache.spark.sql \
+                    .execution.ExplainMode
+                return d._jdf.queryExecution().explainString(
+                    mode.fromString("formatted"))
+
+            txt = _fmt(df)
+            pre = getattr(df, "_facs_pre_sort", None)
+            if pre is not None:
+                txt = ("== Final plan (post-checkpoint sort; "
+                       "_sorted_once truncates lineage) ==\n" + txt
+                       + "\n\n== Pipeline plan (the _sorted_once "
+                       "child, materialized once) ==\n" + _fmt(pre))
             with open(os.path.join(explain_dir, f"{name}.txt"), "w") as fh:
                 fh.write(txt)
         ts = []

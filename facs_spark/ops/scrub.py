@@ -51,11 +51,20 @@ def scrub_pii(df: DataFrame, text_col: str = "text",
     cur: Column = F.col(text_col)
     counts: list[Column] = []
     for name, pat, repl in PII_PATTERNS:
+        # ONE regex pass per pattern instead of two (r7): split on
+        # the pattern, then count = parts−1 and redacted text =
+        # join(parts, repl).  Identical to regexp_count +
+        # regexp_replace for these patterns: same left-to-right
+        # non-overlapping Pattern scan, no zero-width matches, and
+        # the literal replacements carry no group references;
+        # codegen subexpression elimination evaluates the split once.
+        parts = F.split(cur, pat, -1)
         if count_cols:
             counts.append(
-                F.regexp_count(cur, F.lit(pat)).cast("long")
+                F.when(cur.isNull(), F.lit(None))
+                .otherwise(F.size(parts) - 1).cast("long")
                 .alias(f"pii_{name}"))
-        cur = F.regexp_replace(cur, pat, repl)
+        cur = F.array_join(parts, repl)
     cols = [cur.alias(out_col) if c == out_col else F.col(c)
             for c in df.columns]
     if out_col not in df.columns:

@@ -447,8 +447,15 @@ def _sorted_once(df: DataFrame, *cols) -> DataFrame:
     previous trial's result — each invocation computes its own data.
     Queries whose sort child is already an aggregation skip this:
     the agg's shuffle files are reused by the sample pass anyway.
+
+    The checkpoint truncates visible lineage, so the computed child
+    is attached as ``_facs_pre_sort`` for the plan-evidence tools
+    (tools/plan_audit.py, bench_extra.py --explain) — the audited
+    pipeline shape is the child's, plus this one range exchange.
     """
-    return df.localCheckpoint(eager=True).orderBy(*cols)
+    res = df.localCheckpoint(eager=True).orderBy(*cols)
+    res._facs_pre_sort = df
+    return res
 
 
 def _scratch_dir() -> str:
@@ -2977,7 +2984,11 @@ def q64_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .ops.sampling import quantile_buckets
     from .ops.textstats import lm_doc_score
     docs = _read(spark, sf_dir, "documents")
-    scored = lm_doc_score(docs)
+    # materialize the LM scores once: quantile_buckets' t-digest
+    # build AND the bucket-count agg below both consume them, and
+    # without this each consumer re-ran the whole two-shuffle LM
+    # pipeline (r7; same localCheckpoint rationale as _sorted_once)
+    scored = lm_doc_score(docs).localCheckpoint(eager=True)
     n_buckets = 3
     bucketed, cutoffs = quantile_buckets(scored, "lm_score", n_buckets)
     counts = {r["bucket"]: r["n"]

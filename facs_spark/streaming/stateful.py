@@ -229,11 +229,25 @@ def streaming_sliding_hll(points: DataFrame) -> DataFrame:
     ts_us long, rank int) — produce it with
     ``sliding_hll_raw_points``; per-(ts) dedup happens inside the
     fold.  Emits each updated register's full frontier with the
-    cumulative ``points_seen``; downstream keeps the max-points_seen
-    emission per register.
+    cumulative ``points_seen`` (a monotone per-register version
+    marker — the count of fold INPUT rows, which since r7 are the
+    map-side partials, not raw points); downstream keeps the
+    max-points_seen emission per register.
+
+    r7: each micro-batch partition is pre-reduced to its partial
+    LPFM frontier map-side (``ops.sliding_hll._frontier_kernel`` —
+    stateless, so legal before the stateful op) before the shuffle
+    to the register state partitions: the state operator receives
+    O(partitions·m·ln n) rows per batch instead of every raw point,
+    the same partial-merge identity the fold itself relies on.
+    The resulting frontier state is identical.
     """
     import numpy as np
     from pyspark.sql.streaming.state import GroupStateTimeout
+
+    from ..ops.sliding_hll import _frontier_kernel
+    points = points.mapInPandas(
+        _frontier_kernel, schema="register int, ts_us long, rank int")
 
     out_ddl = "register int, points_seen long, ts_us long, rank int"
     state_ddl = "ts binary, rk binary, points_seen long"
