@@ -277,8 +277,8 @@ def band_count_min(points: DataFrame, refs: DataFrame,
     ~density × 2·band refs, so the join ships O(n · density) rows
     through two exchanges just to count them (at sf1.0 q41 that is
     ~110M rows for 200k output rows).  Here the timeline is cut into
-    blocks of ``block_width`` (default 8×band), refs are replicated
-    into every block their ±band reach touches (≤ 2 copies at the
+    blocks of ``block_width`` (default 32×band), refs are replicated
+    into every block their ±band reach touches (~1.03 copies at the
     default width), and a per-(key, block) numpy kernel computes each
     point's count with two ``searchsorted`` probes and its min-id
     with a sparse-table range-minimum query — O((n/blocks) log)
@@ -290,7 +290,7 @@ def band_count_min(points: DataFrame, refs: DataFrame,
     ``ref_id_col`` must be integral and non-null.
     """
     keys = [on] if isinstance(on, str) else list(on)
-    w = int(block_width or 8 * band)
+    w = int(block_width or 32 * band)
     if w < band:
         raise ValueError("block_width must be ≥ band")
     not_null = F.col(ts_col).isNotNull()

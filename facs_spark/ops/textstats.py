@@ -366,10 +366,14 @@ def lm_doc_score(df: DataFrame, id_col: str = "doc_id",
     """
     # single-space split — the library's ONE tokenization for
     # sketch/oracle parity (see sketch_agg prep="tokens")
+    # counts (model-sized) feeds the totals agg AND the scoring
+    # join — materialized once; the corpus-scale token stream is
+    # recomputed by its two consumers on purpose (see bigram form)
     toks = (df.select(id_col,
                       F.explode(F.split(F.col(text_col), " ")).alias("tok"))
             .filter(F.col("tok") != ""))
-    counts = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("c"))
+    counts = (toks.groupBy("tok").agg(F.count(F.lit(1)).alias("c"))
+              .localCheckpoint(eager=True))
     row = counts.agg(F.sum("c"), F.count(F.lit(1))).collect()[0]
     n_total, vocab = int(row[0] or 0), int(row[1])
     logp = F.log((F.col("c") + F.lit(alpha))
@@ -410,6 +414,11 @@ def lm_doc_score_bigram(df: DataFrame, id_col: str = "doc_id",
     base = (df.select(F.col(id_col), arr.alias("_t"))
             .withColumn("_n", F.size("_t"))
             .where(F.col("_n") >= 2))
+    # the MODEL-sized unigram table is materialized once (it feeds
+    # both the vocab count and the model join); the corpus-scale
+    # pair/token streams are deliberately NOT checkpointed — A/B at
+    # sf1.0 showed materializing them costs more than the explode
+    # recompute (r7).
     pairs = (base.select(
         id_col,
         F.explode(F.arrays_zip(
@@ -420,7 +429,8 @@ def lm_doc_score_bigram(df: DataFrame, id_col: str = "doc_id",
     uni = (df.select(F.explode(F.split(F.col(text_col), " "))
                      .alias("w1"))
            .filter(F.col("w1") != "")
-           .groupBy("w1").agg(F.count(F.lit(1)).alias("cu")))
+           .groupBy("w1").agg(F.count(F.lit(1)).alias("cu"))
+           .localCheckpoint(eager=True))
     vocab = uni.count()
     big = (pairs.groupBy("w1", "w2")
            .agg(F.count(F.lit(1)).alias("cb")))
